@@ -1,0 +1,88 @@
+"""Query registry backing the ``__spark_entry__.py`` driver contract.
+
+Each operator module registers named queries with an optional DuckDB oracle
+SQL string.  The driver runs the Spark builder and the oracle side-by-side at
+sf0.01 and hash-compares results, so every registration must obey the
+cross-engine determinism rules (see docs in :func:`register`).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Modules that register queries on import (order = SURVEY.md §2 walk).
+_QUERY_MODULES = [
+    "sql2all_spark.operators.relational",
+    "sql2all_spark.operators.joins",
+    "sql2all_spark.operators.aggregates",
+    "sql2all_spark.operators.windows",
+    "sql2all_spark.operators.setops",
+    "sql2all_spark.operators.scalar_funcs",
+    "sql2all_spark.operators.dedup",
+    "sql2all_spark.operators.similarity",
+    "sql2all_spark.operators.text",
+    "sql2all_spark.operators.multimodal",
+    "sql2all_spark.streaming.batch_twins",
+]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: QueryFn
+    oracle: str | None  # DuckDB SQL twin; None → driver does rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``.
+
+    Cross-engine determinism rules for (builder, oracle) pairs:
+    - alias every computed column identically on both sides;
+    - exact money sums go through DECIMAL casts then back to DOUBLE;
+    - pin NULLS FIRST/LAST in any ORDER BY;
+    - round order-dependent float aggregates (stddev/corr/cosine);
+    - no nondeterministic functions.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError:
+            pass  # module not built yet (incremental rounds)
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.builder for name, spec in all_specs().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in all_specs().items()
+        if spec.oracle is not None
+    }

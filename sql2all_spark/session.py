@@ -1,0 +1,74 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32) but every
+config here is chosen to also hold on a large multi-executor cluster:
+
+- AQE on (runtime shuffle-partition coalescing + skew-join splitting) so the
+  same plan adapts from 60k rows to 100 TB without re-tuning.
+- ``spark.sql.shuffle.partitions`` defaults to 2×cores locally; on a real
+  cluster AQE's coalescing makes a high initial value cheap.
+- Arrow enabled for every pandas-UDF exchange (the only Python hot paths we
+  allow are Arrow-batched).
+- Session timezone pinned UTC so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 10k rows/Arrow batch keeps pandas-UDF peak memory bounded at wide rows
+    # (binary/multimodal columns) while amortizing the Python call overhead.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Parquet scans: vectorized reader is default-on; make pushdown explicit.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # Broadcast threshold: dims (region/nation/supplier/part at test SF) stay
+    # broadcast; at 100 TB the big tables exceed this and fall back to SMJ.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+}
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "sql2all_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.  Idempotent per JVM."""
+    cpus = cpu_count()
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    confs = dict(DEFAULT_CONFS)
+    confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions or 2 * cpus)
+    confs.update(extra_confs or {})
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Ensure oracle-critical session confs hold even on a reused session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def configure_existing(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable defaults to a session we did not create
+    (the driver hands us one in ``__spark_entry__.entry``)."""
+    for k, v in DEFAULT_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a running session — keep its value
+    return spark

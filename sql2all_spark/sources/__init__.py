@@ -1,0 +1,101 @@
+"""Source dispatch by URL scheme (reference ``impl FromStr for Database``,
+``src/lib.rs:47-65``).
+
+The reference supports ``mysql:`` / ``postgresql:`` / ``sqlite:///`` and
+executes the SQL *on the source* (whole-query pushdown).  The Spark analogue
+keeps the pushdown: JDBC sources get the query via ``option("query", sql)``
+so the remote engine still does the work and Spark parallelizes the fetch;
+file sources register the data as a temp view and run the SQL in Spark
+itself (native execution — the part the reference never had).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+SourceReader = Callable[..., DataFrame]
+
+_JDBC_SCHEMES = {
+    # url scheme → jdbc subprotocol (driver class resolved by Spark)
+    "mysql": "mysql",
+    "postgresql": "postgresql",
+    "postgres": "postgresql",
+    "sqlite": "sqlite",
+}
+_FILE_SCHEMES = {
+    "parquet": "parquet",
+    "csv": "csv",
+    "json": "json",
+    "orc": "orc",
+    "file": None,  # format from extension
+}
+
+
+def split_scheme(url: str) -> tuple[str, str]:
+    if ":" not in url:
+        raise ValueError(
+            f"unsupported database url {url!r}"  # reference: lib.rs:63 error arm
+        )
+    scheme, rest = url.split(":", 1)
+    return scheme.lower(), rest.lstrip("/")
+
+
+def _format_from_path(path: str) -> str:
+    # extension dispatch mirrors OutputFormat::from_str (src/lib.rs:79-90)
+    ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    if ext in ("parquet", "csv", "json", "orc"):
+        return ext
+    raise ValueError(f"cannot infer source format from path {path!r}")
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, query: str, **options: str
+) -> DataFrame:
+    """Whole-query JDBC pushdown — the reference's core design
+    (``src/db/mysql.rs:91`` ``conn.query_iter(query)``) with Spark's
+    partitioned fetch replacing the single cursor.
+
+    Pass ``partitionColumn``/``lowerBound``/``upperBound``/``numPartitions``
+    to parallelize the read (reference reads on exactly one connection,
+    ``src/db/mysql.rs:85-86``)."""
+    scheme, _ = split_scheme(url)
+    jdbc_url = url if url.startswith("jdbc:") else f"jdbc:{url}"
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", jdbc_url)
+        .option("query", query)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_file_sql(
+    spark: SparkSession, url: str, query: str, table: str = "src", **options: str
+) -> DataFrame:
+    """File source + native Spark SQL: reads the file, registers it as view
+    ``table`` (default ``src``), runs ``query`` in Spark."""
+    scheme, path = split_scheme(url)
+    fmt = _FILE_SCHEMES.get(scheme) or _format_from_path(path)
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.format(fmt).load(path if path.startswith("/") else "/" + path)
+    df.createOrReplaceTempView(table)
+    return spark.sql(query)
+
+
+def read_source(
+    spark: SparkSession, url: str, query: str, **options: str
+) -> DataFrame:
+    """Scheme dispatch (reference ``src/lib.rs:47-65``)."""
+    scheme, _ = split_scheme(url)
+    if scheme in _JDBC_SCHEMES:
+        return read_jdbc(spark, url, query, **options)
+    if scheme in _FILE_SCHEMES:
+        return read_file_sql(spark, url, query, **options)
+    raise ValueError(f"unsupported database url scheme {scheme!r}")

