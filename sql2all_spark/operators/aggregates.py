@@ -1,0 +1,247 @@
+"""Aggregation surface: GROUP BY, HAVING, DISTINCT aggregates, ROLLUP/CUBE,
+statistical aggregates, percentiles, string aggregation, approx-distinct.
+
+Scale notes: every groupBy here benefits from Spark's automatic partial
+(map-side) aggregation — the shuffle carries one row per (group, partition).
+COUNT(DISTINCT) expands to a two-phase aggregate internally.  ROLLUP/CUBE
+expand each input row into its grouping-set combinations *before* the partial
+aggregate, so the shuffle stays proportional to groups, not rows.
+
+Statistical aggregates over doubles (stddev/corr) are order-dependent in the
+last ulp, so the oracle pairs compute them from decimal-exact moment sums
+(sum, sum of squares, count) with identical double arithmetic on both engines
+— bit-deterministic at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql2all_spark.functions.exact import davg, davg_sql, dsum, dsum_sql
+from sql2all_spark.registry import register
+from sql2all_spark.tables import load_table
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+SELECT l_suppkey,
+       COUNT(*) AS n_lines,
+       {dsum_sql('l_quantity')} AS total_qty
+FROM lineitem
+GROUP BY l_suppkey
+HAVING COUNT(*) > 550 AND {dsum_sql('l_quantity')} > 14000
+""",
+    doc="GROUP BY + HAVING (post-aggregation filter).",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_quantity")).alias("total_qty"),
+        )
+        .filter((F.col("n_lines") > 550) & (F.col("total_qty") > 14000))
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Exact COUNT(DISTINCT) alongside a plain COUNT — Spark plans the"
+    " expand + two-phase aggregate automatically.",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       {dsum_sql('l_extendedprice')} AS total_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="ROLLUP hierarchy: (flag,status), (flag), () subtotals with"
+    " null-filled grouping columns.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+    )
+
+
+@register(
+    "agg_cube_grouping",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE over two dims + GROUPING() markers distinguishing real nulls"
+    " from subtotal nulls.",
+)
+def agg_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n")
+
+
+@register(
+    "agg_stats_moments",
+    oracle=f"""
+WITH m AS (
+  SELECT c_mktsegment,
+         COUNT(c_acctbal) AS n,
+         {dsum_sql('c_acctbal', 4)} AS s1,
+         {dsum_sql('c_acctbal * c_acctbal', 6)} AS s2
+  FROM customer
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       n,
+       s1 / n AS mean_bal,
+       (s2 - s1 * s1 / n) / (n - 1) AS var_bal,
+       SQRT((s2 - s1 * s1 / n) / (n - 1)) AS stddev_bal
+FROM m
+""",
+    doc="Sample variance/stddev via decimal-exact moment sums — deterministic"
+    " under any accumulation order, unlike stddev_samp(double) whose"
+    " partial-merge order varies per run.",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    m = c.groupBy("c_mktsegment").agg(
+        F.count(bal).alias("n"),
+        dsum(bal, 4).alias("s1"),
+        dsum(bal * bal, 6).alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return m.select(
+        "c_mktsegment",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean_bal"),
+        var.alias("var_bal"),
+        F.sqrt(var).alias("stddev_bal"),
+    )
+
+
+@register(
+    "agg_corr_moments",
+    oracle=f"""
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         {dsum_sql('l_quantity')} AS sx,
+         {dsum_sql('l_extendedprice')} AS sy,
+         {dsum_sql('l_quantity * l_quantity')} AS sxx,
+         {dsum_sql('l_extendedprice * l_extendedprice', 4)} AS syy,
+         {dsum_sql('l_quantity * l_extendedprice', 4)} AS sxy
+  FROM lineitem
+)
+SELECT n,
+       (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+         AS corr_qty_price
+FROM m
+""",
+    doc="Pearson correlation from exact moment sums (same determinism"
+    " rationale as agg_stats_moments).",
+)
+def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y, 4).alias("syy"),
+        dsum(x * y, 4).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return m.select("n", corr.alias("corr_qty_price"))
+
+
+@register(
+    "agg_percentile_minmax",
+    oracle="""
+SELECT o_orderstatus,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       ROUND(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS median_price,
+       ROUND(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="MIN/MAX (order-independent, no decimal trick needed) + exact"
+    " interpolated percentiles, rounded to absorb interpolation-arithmetic"
+    " differences across engines.",
+)
+def agg_percentile_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.groupBy("o_orderstatus").agg(
+        F.min(p).alias("min_price"),
+        F.max(p).alias("max_price"),
+        F.round(F.percentile(p, F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile(p, F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name ASC) AS nations
+FROM nation
+GROUP BY n_regionkey
+""",
+    doc="Ordered string aggregation: Spark has no ordered string_agg, so"
+    " sort the collected array then join — deterministic where raw"
+    " collect_list is not.",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL sketches differ per engine — rows-only check
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB path for distinct"
+    " counting — mergeable constant-size sketch instead of an exact expand."
+    " No oracle: sketch estimates are engine-specific by design.",
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
