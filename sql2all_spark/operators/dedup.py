@@ -1,0 +1,287 @@
+"""Deduplication operators for LLM training-data pipelines: exact
+(hash-groupBy), MinHash-LSH near-dup, SimHash near-dup.
+
+Everything here is pure JVM expression work (no Python UDFs): shingling,
+hashing, signatures, and band keys are row-local ``transform``/``aggregate``
+higher-order functions, so the only shuffles are the LSH band join and the
+final group — the shape that scales to 100 TB:
+
+  scan → [row-local: shingle + minhash signature + band keys]   (no shuffle)
+       → explode bands → shuffle on band key → bucket self-join (candidates)
+       → verify exact Jaccard only on candidates                (tiny)
+
+Cross-engine determinism: the base hash is the first 15 hex digits of md5
+(60 bits, always positive), identical in Spark (``conv(substr(md5(s),1,15),
+16,10)``) and DuckDB (``CAST('0x'||substr(md5(s),1,15) AS BIGINT)``), so even
+the LSH pipeline is value-checked against the oracle — not just rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql2all_spark.registry import register
+from sql2all_spark.tables import load_table
+
+# MinHash parameters: h_i(x) = (A[i]*x + B[i]) mod P over the md5-based base
+# hash.  P is prime and > 2^32; A[i] < 2^30 keeps A[i]*x < 2^62 (no overflow
+# in either engine).  8 hashes → 4 bands × 2 rows: pair-collision probability
+# ≈ 1-(1-j^2)^4, a gentle curve suited to the word-soup fixture.
+P = 4294967311
+A = [522104677, 993163321, 146371657, 813928499, 76943, 1004987867, 588887509, 290135423]
+B = [86028157, 454880273, 299807347, 900157177, 631705609, 21433, 719913599, 57044843]
+N_BANDS, ROWS_PER_BAND = 4, 2
+SIMHASH_BITS = 32
+
+
+def _base_hash(col: Column) -> Column:
+    """60-bit md5-derived hash, bit-identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _base_hash_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _perm_hash(i: int):
+    return lambda x: (A[i] * x + B[i]) % P
+
+
+def _shingles(text: Column) -> Column:
+    """Distinct 3-word shingles.  Row-local; callers must filter docs with
+    <3 words (engines disagree on null propagation in short-doc edge cases)."""
+    w = F.split(text, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i),
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+            ),
+        )
+    )
+
+
+_SHINGLES_SQL = """
+list_distinct(list_transform(
+  range(1, len(string_split(text, ' ')) - 1),
+  i -> string_split(text, ' ')[i] || ' ' ||
+       string_split(text, ' ')[i+1] || ' ' ||
+       string_split(text, ' ')[i+2]))
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT
+  md5(lower(trim(text))) AS fingerprint,
+  COUNT(*) AS n_docs,
+  MIN(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY md5(lower(trim(text)))
+""",
+    doc="Exact dedup: normalize → md5 fingerprint → hash-groupBy keeping the"
+    " lowest doc_id.  At 100 TB this is one shuffle on the 128-bit"
+    " fingerprint with map-side partial aggregation; no text ever shuffles,"
+    " only fingerprints.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.groupBy(fp.alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_exprs = ",\n    ".join(
+        f"list_aggregate(list_transform(hashes, x -> ({A[i]} * x + {B[i]}) % {P}),"
+        f" 'min') AS h{i}"
+        for i in range(N_BANDS * ROWS_PER_BAND)
+    )
+    band_keys = ", ".join(
+        f"'{j}:' || h{2 * j} || '_' || h{2 * j + 1}" for j in range(N_BANDS)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         {_SHINGLES_SQL} AS shingles
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+hashed AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {_base_hash_sql('s')} % {P}) AS hashes
+  FROM docs
+),
+sig AS (
+  SELECT doc_id, shingles,
+    {sig_exprs}
+  FROM hashed
+),
+banded AS (
+  SELECT doc_id, shingles, UNNEST([{band_keys}]) AS band_key
+  FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
+         / len(list_distinct(da.shingles || db.shingles)) AS jaccard
+FROM pairs p
+JOIN docs da ON da.doc_id = p.doc_a
+JOIN docs db ON db.doc_id = p.doc_b
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc="MinHash-LSH near-duplicate detection: 3-word shingles → 8 minhashes"
+    " → 4 bands × 2 rows → band-bucket self-join → exact Jaccard verification"
+    " of candidates only.  The band join shuffles on band_key (uniform by"
+    " construction); Jaccard recomputation touches only candidate pairs, so"
+    " cost scales with near-dup density, not corpus size².",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    docs = (
+        d.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    )
+    hashed = docs.withColumn(
+        "hashes",
+        F.transform(F.col("shingles"), lambda s: _base_hash(s) % P),
+    )
+    sig = hashed.select(
+        "doc_id",
+        "shingles",
+        # nb: a plain `lambda x, i=i` would make PySpark pass the array index
+        # as the second lambda arg — build the closure through a factory
+        *[
+            F.array_min(F.transform(F.col("hashes"), _perm_hash(i))).alias(f"h{i}")
+            for i in range(N_BANDS * ROWS_PER_BAND)
+        ],
+    )
+    banded = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "",
+                        F.lit(f"{j}:"),
+                        F.col(f"h{2 * j}"),
+                        F.lit("_"),
+                        F.col(f"h{2 * j + 1}"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        "band_key",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        "band_key",
+    )
+    pairs = (
+        a.join(b, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return pairs.select("doc_a", "doc_b", jaccard.alias("jaccard"))
+
+
+def _simhash_oracle() -> str:
+    base = _base_hash_sql("t")
+    return f"""
+WITH sigs AS (
+  SELECT doc_id, lang,
+    list_reduce(
+      list_transform(range(0, {SIMHASH_BITS}), j ->
+        CASE WHEN list_reduce(
+          list_transform(list_distinct(string_split(text, ' ')),
+                         t -> (({base} >> ({SIMHASH_BITS - 1} - j)) & 1) * 2 - 1),
+          (a, b) -> a + b) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+      (acc, bit) -> acc * 2 + bit) AS simhash
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sigs a JOIN sigs b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    doc="SimHash near-dup: 32-bit signature from per-token hash-bit votes,"
+    " then Hamming-distance pairs within the same lang partition.  Signature"
+    " build is row-local; the pair join is bounded by the lang partitioning"
+    " (at 100 TB you'd band on simhash prefixes instead of a lang self-join"
+    " — the signature column itself is the reusable artifact).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.array_distinct(F.split(F.col("text"), " "))
+    votes = lambda j: F.aggregate(  # noqa: E731
+        F.transform(
+            tokens,
+            lambda t: (
+                F.shiftright(_base_hash(t), SIMHASH_BITS - 1 - j).bitwiseAND(
+                    F.lit(1)
+                )
+            )
+            * 2
+            - 1,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    bits = F.array(
+        *[
+            F.when(votes(j) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    )
+    sigs = d.select("doc_id", "lang", simhash.alias("simhash"))
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        F.col("simhash").alias("sim_a"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("simhash").alias("sim_b"),
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "lang", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 10)
+    )

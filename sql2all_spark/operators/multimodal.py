@@ -1,0 +1,199 @@
+"""Multimodal-column operators: binary payloads with typed metadata, decode /
+feature-extraction / frame-sampling as Arrow-batched pandas UDFs.
+
+The container has no image/audio codecs, so the decode step is a STUB: a
+deterministic fake that derives "media properties" from the md5 of the
+payload (clearly marked below).  Everything around the stub is real and
+load-bearing at 100 TB:
+
+- media lives in an opaque ``binary`` column + typed metadata columns —
+  the Spark-idiomatic layout for multimodal datasets (no codec in the plan);
+- per-row transforms run through ``mapInPandas`` with Arrow batches
+  (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak memory at
+  wide binary rows);
+- frame sampling fans out 1 input row → N frame rows *inside* the UDF
+  iterator, the pattern for video → frame datasets;
+- outputs are deterministic, so even the Python path is value-checked
+  against the DuckDB oracle — the strongest correctness statement a UDF
+  pipeline can make.
+
+A real deployment swaps ``_fake_decode_props`` for PIL/ffmpeg calls; the
+schema, batching, and partitioning do not change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sql2all_spark.registry import register
+from sql2all_spark.tables import load_table
+
+FRAME_STEP = 7  # sample every 7th fake frame
+
+
+def _fake_decode_props(payload: bytes) -> tuple[int, int, int]:
+    """STUB decoder: derive (width, height, n_frames) from md5(payload).
+
+    Stands in for an image/video codec (not installed in this container).
+    Deterministic on purpose so the pipeline is oracle-checkable; replace
+    with a real decoder without touching any Spark plumbing.
+    """
+    h = hashlib.md5(payload).hexdigest()
+    width = int(h[0:4], 16) % 1920 + 1
+    height = int(h[4:8], 16) % 1080 + 1
+    n_frames = int(h[8:12], 16) % 240 + 1
+    return width, height, n_frames
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text encoded as the opaque binary payload column (the
+    fixture set has no real media; the bytes are treated as opaque)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+@register(
+    "mm_binary_metadata",
+    oracle="""
+SELECT doc_id, source,
+       octet_length(encode(text)) AS n_bytes,
+       substr(upper(md5(text)), 1, 8) AS content_key,
+       CAST(('0x' || substr(md5(text), 1, 4)) AS INT) % 1920 + 1 AS width,
+       CAST(('0x' || substr(md5(text), 5, 4)) AS INT) % 1080 + 1 AS height
+FROM documents
+""",
+    doc="Binary column + typed metadata, pure JVM path: payload size, content"
+    " key, and stub-decoded dimensions derived via the same md5 arithmetic"
+    " the pandas-UDF decoder uses (so the two paths are cross-checkable).",
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media_df(spark, sf_dir)
+    md5hex = F.md5("payload")
+    return m.select(
+        "doc_id",
+        "source",
+        F.octet_length("payload").alias("n_bytes"),
+        F.substring(F.upper(md5hex), 1, 8).alias("content_key"),
+        (F.conv(F.substring(md5hex, 1, 4), 16, 10).cast("int") % 1920 + 1).alias(
+            "width"
+        ),
+        (F.conv(F.substring(md5hex, 5, 4), 16, 10).cast("int") % 1080 + 1).alias(
+            "height"
+        ),
+    )
+
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("aspect_milli", T.IntegerType()),
+    ]
+)
+
+
+@register(
+    "mm_decode_features",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(('0x' || substr(md5(text), 1, 4)) AS INT) % 1920 + 1 AS width,
+       CAST(('0x' || substr(md5(text), 5, 4)) AS INT) % 1080 + 1 AS height,
+       CAST(('0x' || substr(md5(text), 9, 4)) AS INT) % 240 + 1 AS n_frames,
+       CAST((CAST(('0x' || substr(md5(text), 1, 4)) AS INT) % 1920 + 1) * 1000
+            // (CAST(('0x' || substr(md5(text), 5, 4)) AS INT) % 1080 + 1) AS INT)
+         AS aspect_milli
+FROM documents
+""",
+    doc="Decode + feature-extract through mapInPandas (Arrow batches): the"
+    " stub decoder yields width/height/frames; integer feature arithmetic"
+    " stays vectorized in pandas.  Oracle replays the same md5 arithmetic in"
+    " SQL — a full value check OF the Python UDF path.",
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media_df(spark, sf_dir)
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            props = pdf["payload"].map(_fake_decode_props)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "width": props.map(lambda p: p[0]).astype("int32"),
+                    "height": props.map(lambda p: p[1]).astype("int32"),
+                    "n_frames": props.map(lambda p: p[2]).astype("int32"),
+                }
+            )
+            out["aspect_milli"] = (out["width"] * 1000 // out["height"]).astype(
+                "int32"
+            )
+            yield out
+
+    return m.mapInPandas(decode_batches, schema=_FEATURES_SCHEMA)
+
+
+_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_key", T.StringType()),
+    ]
+)
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+SELECT d.doc_id,
+       CAST(f.frame_idx AS INT) AS frame_idx,
+       d.doc_id || ':' || f.frame_idx AS frame_key
+FROM documents d,
+     LATERAL (
+       SELECT UNNEST(range(0,
+         CAST(('0x' || substr(md5(d.text), 9, 4)) AS INT) % 240 + 1,
+         {FRAME_STEP})) AS frame_idx
+     ) f
+""",
+    doc="Video-frame sampling plumbing: 1 media row fans out to every"
+    f" {FRAME_STEP}th frame index inside the mapInPandas iterator — the"
+    " row-multiplying UDF shape used for video→frame-dataset extraction."
+    " Frame decode itself is the stub; the fan-out, schema, and keys are"
+    " real.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media_df(spark, sf_dir)
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, frame_idxs = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, n_frames = _fake_decode_props(payload)
+                for idx in range(0, n_frames, FRAME_STEP):
+                    doc_ids.append(doc_id)
+                    frame_idxs.append(idx)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(frame_idxs, dtype="int32"),
+                }
+            )
+            out["frame_key"] = (
+                out["doc_id"].astype(str) + ":" + out["frame_idx"].astype(str)
+            )
+            yield out
+
+    return m.mapInPandas(sample_frames, schema=_FRAMES_SCHEMA)

@@ -1,0 +1,214 @@
+"""Similarity search over the embedding column (``array<float>``, dim 64):
+brute-force cosine top-k (baseline), random-hyperplane LSH bucketing (the
+scale path), and threshold near-dup pair mining.
+
+Design for 100 TB:
+- the query vector is a one-row DataFrame joined with an explicit
+  ``broadcast()`` — the scan side streams, nothing shuffles;
+- cosine is a JVM higher-order fold (``zip_with`` + ``aggregate``), no
+  Python, no UDF — it runs inside whole-stage codegen;
+- top-k is ``orderBy().limit(k)`` → Spark's TakeOrderedAndProject:
+  per-partition bounded heaps + single merge, never a global sort;
+- the LSH variant reduces the scanned candidate set to one bucket
+  (~1/2^bits of the corpus): signatures are computed row-locally, and a
+  real deployment would write them as a partition/bucket column so queries
+  prune at the parquet level.
+
+Determinism: float32 components are cast to double *before* any arithmetic,
+folds run left-to-right in both engines (identical IEEE sequence), and
+scores are rounded to 6 dp before ordering/comparison.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql2all_spark.registry import register
+from sql2all_spark.tables import load_table
+
+# 6 sign bits → 64 buckets: sized so test-SF buckets are non-empty (~8
+# vectors per bucket at sf0.01).  At 100 TB you raise bits until bucket size
+# fits one task's memory — the plan shape is unchanged.
+N_PLANES = 6
+DIM = 64
+# Integer hyperplane components (deterministic seed): integer×double products
+# keep the two engines' dot products bit-identical; float literals would need
+# exact decimal→binary agreement in two SQL parsers.
+_HYPERPLANES: list[list[int]] = (
+    np.random.RandomState(42).randint(-9, 10, size=(N_PLANES, DIM)).tolist()
+)
+
+
+def _dbl(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {DIM} + 1),"
+        f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"{_dot_sql(a, b)} / "
+        f"(SQRT({_dot_sql(a, a)}) * SQRT({_dot_sql(b, b)}))"
+    )
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         ROUND({_cosine_sql("CAST(e.embedding AS DOUBLE[])", "q.qv")}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, label, cosine
+FROM scored
+ORDER BY cosine DESC NULLS LAST, vec_id ASC NULLS FIRST
+LIMIT 10
+""",
+    doc="Brute-force cosine top-10 for a query vector (vec_id 0): broadcast"
+    " 1-row query × streamed scan, JVM fold for the dot product,"
+    " TakeOrderedAndProject for the top-k.  The exact-search baseline every"
+    " ANN variant is measured against.",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(_dbl(F.col("embedding")).alias("qv"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine(_dbl(F.col("embedding")), F.col("qv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("vec_id").asc_nulls_first()
+    ).limit(10)
+
+
+def _bucket_spark(emb: Column) -> Column:
+    """Hyperplane-sign signature as a string like '0110...'."""
+    bits = [
+        F.when(
+            _dot(emb, F.array(*[F.lit(float(w)) for w in plane])) >= 0, "1"
+        ).otherwise("0")
+        for plane in _HYPERPLANES
+    ]
+    return F.concat(*bits)
+
+
+def _bucket_sql(emb: str) -> str:
+    bits = []
+    for plane in _HYPERPLANES:
+        lit = "[" + ",".join(f"{w}.0" for w in plane) + "]"
+        bits.append(
+            f"CASE WHEN {_dot_sql(emb, f'CAST({lit} AS DOUBLE[])')} >= 0"
+            " THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+@register(
+    "sim_lsh_ann",
+    oracle=f"""
+WITH sigs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+  FROM embeddings
+),
+q AS (SELECT v AS qv, bucket AS qbucket FROM sigs WHERE vec_id = 0)
+SELECT s.vec_id, s.label, s.bucket,
+       ROUND({_cosine_sql("s.v", "q.qv")}, 6) AS cosine
+FROM sigs s CROSS JOIN q
+WHERE s.bucket = q.qbucket AND s.vec_id <> 0
+ORDER BY cosine DESC NULLS LAST, vec_id ASC NULLS FIRST
+""",
+    doc="ANN via random-hyperplane LSH: 6 sign bits → bucket id; search"
+    " touches only the query's bucket (~corpus/2^6 expected) and ranks"
+    " exactly inside it.  Scale path: persist `bucket` as a partition column"
+    " so the parquet scan prunes to one bucket — the brute-force baseline"
+    " (sim_topk_bruteforce) is the recall yardstick.",
+)
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = e.select(
+        "vec_id",
+        "label",
+        _dbl(F.col("embedding")).alias("v"),
+        _bucket_spark(_dbl(F.col("embedding"))).alias("bucket"),
+    )
+    q = sigs.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        sigs.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc_nulls_last(), F.col("vec_id").asc_nulls_first())
+    )
+
+
+@register(
+    "sim_neardup_pairs",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       ROUND({_cosine_sql("a.v", "b.v")}, 6) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cosine_sql("a.v", "b.v")} > 0.3
+""",
+    doc="Embedding-cosine near-duplicate mining: all pairs above threshold"
+    " within the same label block.  The label equi-key bounds the pair space"
+    " (block-local O(n_b²) instead of corpus²) — at 100 TB the blocking key"
+    " would be an LSH bucket, same plan shape.",
+)
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", _dbl(F.col("embedding")).alias("v"))
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+    )
+    cos = _cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(cos > 0.3)
+        .select("vec_a", "vec_b", "label", F.round(cos, 6).alias("cosine"))
+    )

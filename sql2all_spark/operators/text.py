@@ -1,0 +1,206 @@
+"""Text analysis for training-data pipelines: language ID (stopword-marker
+heuristic), quality scoring (length/punct/stopword ratios), token counting
+(whitespace + regex word/punct tokenization), and document fingerprinting
+(normalized rolling hash).
+
+All row-local JVM expressions → embarrassingly parallel, no shuffle at any
+scale; each output row derives only from its input row.  This is the filter
+stage that runs *before* dedup/similarity in a 100 TB curation pipeline, so
+being shuffle-free matters most here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql2all_spark.registry import register
+from sql2all_spark.tables import load_table
+
+# Marker stopwords per language for the heuristic language-ID scorer.  (The
+# fixture's text is synthetic word-soup; accuracy vs the `lang` column is
+# not the point — the operator shape is: per-lang marker-hit scores → argmax.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+ENGLISH_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def _marker_hits(tokens: Column, markers: list[str]) -> Column:
+    """How many tokens are in the marker list (JVM array filter, no UDF)."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def _marker_hits_sql(markers: list[str]) -> str:
+    lit = "[" + ",".join(f"'{m}'" for m in markers) + "]"
+    return (
+        f"len(list_filter(string_split(text, ' '), t -> list_contains({lit}, t)))"
+    )
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang AS actual_lang,
+         {_marker_hits_sql(LANG_MARKERS["en"])} AS s_en,
+         {_marker_hits_sql(LANG_MARKERS["es"])} AS s_es,
+         {_marker_hits_sql(LANG_MARKERS["fr"])} AS s_fr,
+         {_marker_hits_sql(LANG_MARKERS["de"])} AS s_de,
+         {_marker_hits_sql(LANG_MARKERS["zh"])} AS s_zh
+  FROM documents
+)
+SELECT doc_id, actual_lang,
+       CASE GREATEST(s_en, s_es, s_fr, s_de, s_zh)
+         WHEN 0 THEN 'unknown'
+         WHEN s_en THEN 'en'
+         WHEN s_es THEN 'es'
+         WHEN s_fr THEN 'fr'
+         WHEN s_de THEN 'de'
+         ELSE 'zh' END AS predicted_lang,
+       GREATEST(s_en, s_es, s_fr, s_de, s_zh) AS marker_hits
+FROM scored
+""",
+    doc="Heuristic language ID: per-language stopword-marker hit counts →"
+    " argmax (ties broken by the fixed en>es>fr>de>zh order in both"
+    " engines).  Row-local; no shuffle.",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    langs = list(LANG_MARKERS)
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[
+            _marker_hits(toks, LANG_MARKERS[lg]).alias(f"s_{lg}")
+            for lg in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    pred = F.when(best == 0, "unknown")
+    for lg in langs:
+        pred = pred.when(F.col(f"s_{lg}") == best, lg)
+    return scored.select(
+        "doc_id",
+        "actual_lang",
+        pred.alias("predicted_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars_actual,
+       len(string_split(text, ' ')) AS n_tokens,
+       CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+         / LENGTH(text) AS punct_ratio,
+       CAST({_marker_hits_sql(ENGLISH_STOPWORDS)} AS DOUBLE)
+         / len(string_split(text, ' ')) AS stopword_ratio,
+       CAST(LENGTH(regexp_replace(text, '[^ ]', '', 'g')) + 1 AS DOUBLE) AS approx_words,
+       CASE WHEN LENGTH(text) BETWEEN 100 AND 20000
+             AND len(string_split(text, ' ')) >= 10
+            THEN 1 ELSE 0 END AS passes_length_gate
+FROM documents
+""",
+    doc="Quality scoring: char/token counts, punctuation ratio, stopword"
+    " ratio, and a length gate — the standard cheap pre-filter ahead of"
+    " dedup in a curation pipeline.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = _tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    punct_ratio = (
+        (n_chars - F.length(F.regexp_replace(text, "[^a-zA-Z ]", ""))).cast("double")
+        / n_chars
+    )
+    stop_ratio = _marker_hits(toks, ENGLISH_STOPWORDS).cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.length(F.regexp_replace(text, "[^ ]", "")) + 1)
+        .cast("double")
+        .alias("approx_words"),
+        F.when(n_chars.between(100, 20000) & (n_tokens >= 10), 1)
+        .otherwise(0)
+        .alias("passes_length_gate"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_ish_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+')) AS word_tokens,
+       CAST(LENGTH(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))
+         AS chars_per_token
+FROM documents
+WHERE LENGTH(text) > 0
+""",
+    doc="Token counting: whitespace tokens vs a BPE-ish regex tokenization"
+    " (word runs + single punctuation marks) — the standard budget estimator"
+    " for LLM corpora.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    text = F.col("text")
+    bpe_ish = F.regexp_count(text, F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"))
+    return d.select(
+        "doc_id",
+        F.size(_tokens(text)).alias("ws_tokens"),
+        bpe_ish.alias("bpe_ish_tokens"),
+        F.regexp_count(text, F.lit("[a-zA-Z]+")).alias("word_tokens"),
+        (F.length(text).cast("double") / bpe_ish).alias("chars_per_token"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 8)
+           AS shard_key
+  FROM documents
+)
+SELECT fingerprint, shard_key, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+FROM fp
+GROUP BY fingerprint, shard_key
+""",
+    doc="Document fingerprinting: whitespace-normalized md5 + an 8-hex-char"
+    " shard key (the partition key you would bucket a 100 TB dedup store"
+    " by), grouped to expose duplicate clusters.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = F.md5(normalized)
+    return (
+        d.select(
+            "doc_id",
+            fp.alias("fingerprint"),
+            F.substring(fp, 1, 8).alias("shard_key"),
+        )
+        .groupBy("fingerprint", "shard_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )

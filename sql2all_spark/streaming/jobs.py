@@ -1,0 +1,118 @@
+"""Structured Streaming jobs over the events table.
+
+Each job reads the events parquet as a *file stream* (``readStream`` with
+``maxFilesPerTrigger``), applies a watermark, and aggregates into an
+in-memory sink for tests (production would target kafka/delta/parquet
+sinks via ``writeStream``).  ``trigger(availableNow=True)`` drains all
+available input then stops — deterministic end-state, no timing races —
+and tests assert the end-state equals the batch twin from
+:mod:`sql2all_spark.streaming.batch_twins`.
+
+Scale notes: streaming aggregation state lives in the state store keyed by
+(window, group); the watermark bounds state size — without it, a 100 TB/day
+stream grows state monotonically.  Watermark delay (10 min) is the
+late-data tolerance; events later than that are dropped, which is the
+documented trade.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql2all_spark.functions.exact import dsum
+from sql2all_spark.streaming.batch_twins import SESSION_GAP_MIN
+from sql2all_spark.tables import load_table, table_path
+
+WATERMARK = "10 minutes"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a micro-batched file stream.
+
+    File streams need an explicit schema; reuse the batch loader's (which
+    already normalizes the nanos ts to a proper timestamp column).
+    """
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # FileStreamSource force-sets basePath to the source path when it is not
+    # a glob, and basePath must be a directory — so a single-file path always
+    # fails.  A glob (matching exactly events.parquet) skips that branch.
+    # Production would point at a landing *directory* of arriving files.
+    glob = table_path(sf_dir, "events").replace("events.parquet", "events*.parquet")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    assert stream.schema == batch.schema
+    return stream
+
+
+def tumbling_counts(stream: DataFrame) -> DataFrame:
+    """Watermarked tumbling 1-hour counts — streaming form of the
+    ``stream_tumbling_window`` batch twin."""
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").start.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+def session_values(stream: DataFrame) -> DataFrame:
+    """Watermarked session windows — streaming form of
+    ``stream_session_window``."""
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame) -> DataFrame:
+    """Streaming dedup on (user, type, minute) within the watermark —
+    streaming form of ``stream_dedup_watermark`` (state is dropped once the
+    watermark passes each key's minute)."""
+    keyed = stream.withColumn("minute", F.expr("unix_micros(ts) div 60000000"))
+    return (
+        keyed.withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+def run_to_memory(
+    df: DataFrame, output_mode: str = "append", name: str | None = None
+) -> tuple[str, object]:
+    """Drain all available input into an in-memory table and stop.
+
+    Returns (table_name, query).  ``availableNow`` processes every pending
+    file then terminates — the test harness then reads the memory table.
+    """
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name, q
