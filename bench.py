@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark harness: time every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is forced to full materialization with the noop sink (executes
+the whole plan, writes nothing, no driver-side collect bottleneck), which
+is how a cluster job would be measured.  One warmup of the flagship query
+absorbs JVM/codegen startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sql2all_spark import registry
+from sql2all_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.all_specs()
+
+    # Warmup: absorb JVM startup + first-parquet-footer costs.
+    _run(specs["q1_pricing_summary"].builder(spark, SF_DIR))
+
+    times: dict[str, float] = {}
+    for name in sorted(specs):
+        t0 = time.perf_counter()
+        _run(specs[name].builder(spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "total_query_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
