@@ -48,20 +48,35 @@ def _perm_hash(i: int):
     return lambda x: (A[i] * x + B[i]) % P
 
 
-def _shingles(text: Column) -> Column:
-    """Distinct 3-word shingles.  Row-local; callers must filter docs with
-    <3 words (engines disagree on null propagation in short-doc edge cases)."""
-    w = F.split(text, " ")
+def _shingles(words: Column) -> Column:
+    """Distinct 3-word shingles from an ALREADY-SPLIT words array.
+
+    Callers must project ``split(text)`` into a real column first: passing
+    ``F.split(text, " ")`` directly would inline the split into every
+    ``element_at`` (Catalyst only keeps a projection materialized when the
+    inlining would duplicate a non-cheap expression — which it can't see
+    through a fresh lambda), making shingling O(words²) per document.
+    Callers must also filter docs with <3 words (engines disagree on null
+    propagation in short-doc edge cases)."""
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
+            F.sequence(F.lit(1), F.size(words) - 2),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(w, i),
-                F.element_at(w, i + 1),
-                F.element_at(w, i + 2),
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
             ),
         )
+    )
+
+
+def _shingled_docs(d: DataFrame) -> DataFrame:
+    """documents → (doc_id, shingles), splitting text exactly once."""
+    return (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+        .filter(F.size(F.col("words")) >= 3)
+        .select("doc_id", _shingles(F.col("words")).alias("shingles"))
     )
 
 
@@ -153,17 +168,17 @@ JOIN docs db ON db.doc_id = p.doc_b
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    docs = (
-        d.filter(F.size(F.split(F.col("text"), " ")) >= 3)
-        .select("doc_id", _shingles(F.col("text")).alias("shingles"))
-    )
+    # Persisted because three consumers need it (band build + both sides of
+    # the verify join): at 100 TB this is "write the signature table once,
+    # then join against it" — recomputing the md5 pipeline per consumer
+    # would triple the dominant cost.
+    docs = _shingled_docs(d).persist()
     hashed = docs.withColumn(
         "hashes",
         F.transform(F.col("shingles"), lambda s: _base_hash(s) % P),
     )
     sig = hashed.select(
         "doc_id",
-        "shingles",
         # nb: a plain `lambda x, i=i` would make PySpark pass the array index
         # as the second lambda arg — build the closure through a factory
         *[
@@ -171,9 +186,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_BANDS * ROWS_PER_BAND)
         ],
     )
+    # Only (doc_id, band_key) flows through the exploded self-join — the
+    # shingle arrays (the heavy payload) never enter that shuffle; they are
+    # joined back onto the tiny candidate-pair set for exact verification.
+    # Slim (doc_id, band_key) rows; persisted so the band self-join's two
+    # sides don't each re-run the md5 signature computation.
     banded = sig.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -188,27 +207,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band_key"),
-    )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        "band_key",
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        "band_key",
-    )
+    ).persist()
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band_key")
     pairs = (
         a.join(b, "band_key")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = pairs.join(da, "doc_a").join(db, "doc_b")
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return pairs.select("doc_a", "doc_b", jaccard.alias("jaccard"))
+    return verified.select("doc_a", "doc_b", jaccard.alias("jaccard"))
 
 
 def _simhash_oracle() -> str:
@@ -244,29 +258,32 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # md5 each distinct token ONCE; then one pass over the hash array folds
+    # all 32 bit-votes at a time into a counter array (a naive per-bit
+    # formulation would recompute the md5 32× per token — 30× more hashing).
     tokens = F.array_distinct(F.split(F.col("text"), " "))
-    votes = lambda j: F.aggregate(  # noqa: E731
-        F.transform(
-            tokens,
-            lambda t: (
-                F.shiftright(_base_hash(t), SIMHASH_BITS - 1 - j).bitwiseAND(
-                    F.lit(1)
-                )
-            )
-            * 2
-            - 1,
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    bits = F.array(
+    hashes = F.transform(tokens, _base_hash)
+    # bit masks MSB-first, as a literal array zipped against the counters
+    masks = F.array(
         *[
-            F.when(votes(j) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            F.lit(1 << (SIMHASH_BITS - 1 - j)).cast("long")
             for j in range(SIMHASH_BITS)
         ]
     )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    bit_from_vote = lambda v: F.when(v >= 0, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
     simhash = F.aggregate(
-        bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+        votes,
+        F.lit(0).cast("long"),
+        lambda acc, v: acc * 2 + bit_from_vote(v).cast("long"),
     )
     sigs = d.select("doc_id", "lang", simhash.alias("simhash"))
     a = sigs.select(

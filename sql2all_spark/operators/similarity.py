@@ -197,18 +197,32 @@ WHERE {_cosine_sql("a.v", "b.v")} > 0.3
 )
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", "label", _dbl(F.col("embedding")).alias("v"))
+    # Precompute each vector's norm once before the join: the joined pair
+    # computes a single dot-product fold instead of three (sqrt(dot(a,a))
+    # and sqrt(dot(b,b)) would otherwise be re-folded for every pair).
+    emb = _dbl(F.col("embedding"))
+    v = e.select(
+        "vec_id",
+        "label",
+        emb.alias("v"),
+        F.sqrt(_dot(emb, emb)).alias("norm"),
+    )
     a = v.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("v").alias("va"),
+        F.col("norm").alias("norm_a"),
     )
     b = v.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("v").alias("vb"),
+        F.col("norm").alias("norm_b"),
     )
-    cos = _cosine(F.col("va"), F.col("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .filter(cos > 0.3)
-        .select("vec_a", "vec_b", "label", F.round(cos, 6).alias("cosine"))
+        .select("vec_a", "vec_b", "label", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") > 0.3)
+        .select("vec_a", "vec_b", "label", F.round("cos_raw", 6).alias("cosine"))
     )
