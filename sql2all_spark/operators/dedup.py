@@ -225,6 +225,83 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("doc_a", "doc_b", jaccard.alias("jaccard"))
 
 
+NGRAM_BUCKET_WIDTH = 16  # docs in the same (lang, n_words//16) block compare
+JACCARD_FLOOR = 0.05
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+b AS (
+  SELECT doc_id, lang, len(w) // {NGRAM_BUCKET_WIDTH} AS bucket,
+         list_distinct(list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM d
+)
+SELECT a.doc_id AS doc_a, a2.doc_id AS doc_b, a.lang,
+       CAST(len(list_intersect(a.bg, a2.bg)) AS DOUBLE)
+         / len(list_distinct(a.bg || a2.bg)) AS jaccard
+FROM b a
+JOIN b a2 ON a.lang = a2.lang AND a.bucket = a2.bucket
+         AND a.doc_id < a2.doc_id
+WHERE CAST(len(list_intersect(a.bg, a2.bg)) AS DOUBLE)
+        / len(list_distinct(a.bg || a2.bg)) >= {JACCARD_FLOOR}
+""",
+    doc="Exact word-bigram Jaccard near-dup pairs, blocked on"
+    " (lang, n_words//16): same-length-class docs compare, so the pair space"
+    " is block-local O(n_b²), not corpus².  A Jaccard>=t pair needs sizes"
+    " within a factor of t, so the length blocking loses only sub-threshold"
+    " pairs at block edges.  Complements MinHash-LSH: exact scores, no"
+    " probabilistic recall — the right tool below ~10M docs per block key.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b = (
+        d.select("doc_id", "lang", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size(F.col("w")) >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            (F.size(F.col("w")) / NGRAM_BUCKET_WIDTH).cast("int").alias("bucket"),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.col("w")) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+                    ),
+                )
+            ).alias("bg"),
+        )
+    )
+    a = b.select(
+        F.col("doc_id").alias("doc_a"), "lang", "bucket", F.col("bg").alias("bg_a")
+    )
+    a2 = b.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("bg").alias("bg_b"),
+    )
+    jac = F.size(F.array_intersect("bg_a", "bg_b")).cast("double") / F.size(
+        F.array_union("bg_a", "bg_b")
+    )
+    return (
+        a.join(
+            a2,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "lang", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_FLOOR)
+    )
+
+
 def _simhash_oracle() -> str:
     base = _base_hash_sql("t")
     return f"""

@@ -179,6 +179,90 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CENTROID_IDS = list(range(1, 9))  # deterministic "trained" centroids
+IVF_NPROBE = 2
+
+
+def _ivf_oracle() -> str:
+    cents = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    cos = _cosine_sql("v.v", "c.cv")
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id IN ({cents})
+),
+assign AS (
+  SELECT v.vec_id, v.label, v.v, c.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND({cos}, 6) DESC, c.cent_id ASC) AS rk
+  FROM vecs v CROSS JOIN cents c
+),
+probes AS (
+  SELECT cent_id FROM assign WHERE vec_id = 0 AND rk <= {IVF_NPROBE}
+),
+q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0)
+SELECT a.vec_id, a.label, a.cent_id,
+       ROUND({_cosine_sql("a.v", "q.qv")}, 6) AS cosine
+FROM assign a
+JOIN probes p ON a.cent_id = p.cent_id AND a.rk = 1
+CROSS JOIN q
+WHERE a.vec_id <> 0
+ORDER BY cosine DESC NULLS LAST, vec_id ASC NULLS FIRST
+LIMIT 10
+"""
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=_ivf_oracle(),
+    doc="IVF-style ANN: every vector is assigned to its nearest of 8 fixed"
+    " coarse centroids (argmax cosine, centroid-id tiebreak); the query"
+    " probes its nprobe=2 nearest centroid lists and ranks exactly within"
+    " them.  The centroid pass is a broadcast cross of 8 rows (no shuffle);"
+    " at 100 TB the assignment is a stored partition column, so a probe scan"
+    " prunes to nprobe/K of the corpus at the parquet level.",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label", _dbl(F.col("embedding")).alias("v"))
+    cents = (
+        e.filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
+        .select(F.col("vec_id").alias("cent_id"), _dbl(F.col("embedding")).alias("cv"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(
+            F.round(_cosine(F.col("v"), F.col("cv")), 6).desc(),
+            F.col("cent_id").asc(),
+        )
+    )
+    assign = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "v", "cent_id", rk.alias("rk")
+    )
+    probes = assign.filter(
+        (F.col("vec_id") == 0) & (F.col("rk") <= IVF_NPROBE)
+    ).select("cent_id")
+    q = vecs.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        assign.filter((F.col("rk") == 1) & (F.col("vec_id") != 0))
+        .join(F.broadcast(probes), "cent_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "cent_id",
+            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc_nulls_last(), F.col("vec_id").asc_nulls_first())
+        .limit(10)
+    )
+
+
 @register(
     "sim_neardup_pairs",
     oracle=f"""

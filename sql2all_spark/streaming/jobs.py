@@ -98,6 +98,56 @@ def dedup_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def sliding_counts(stream: DataFrame) -> DataFrame:
+    """Watermarked sliding 10-min/5-min windows — streaming form of the
+    ``stream_sliding_window`` batch twin (each event lands in 2 windows)."""
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").start.alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+    )
+
+
+def stateful_user_stats(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value total held in explicit state.
+
+    This is the escape hatch for stateful logic Spark's built-in windows
+    can't express (per-key models, custom eviction, cross-batch counters).
+    State is one (long, double) pair per user — bounded by key cardinality,
+    not stream length.  Emits the updated totals for each user seen in the
+    micro-batch (output mode: update).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     df: DataFrame, output_mode: str = "append", name: str | None = None
 ) -> tuple[str, object]:

@@ -35,6 +35,35 @@ def test_session_stream_matches_batch_twin(spark, sf_dir):
     assert _rows(got) == _rows(want)
 
 
+def test_sliding_stream_matches_batch_twin(spark, sf_dir):
+    stream = jobs.events_stream(spark, sf_dir)
+    name, q = jobs.run_to_memory(jobs.sliding_counts(stream), output_mode="complete")
+    # exact-distinct isn't streamable → compare the exact columns only
+    got = spark.table(name).select("window_start", "n_events")
+    from sql2all_spark.streaming.batch_twins import stream_sliding_window
+
+    want = stream_sliding_window(spark, sf_dir).select("window_start", "n_events")
+    assert _rows(got) == _rows(want)
+
+
+def test_stateful_operator_matches_batch_aggregate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    stream = jobs.events_stream(spark, sf_dir)
+    name, q = jobs.run_to_memory(
+        jobs.stateful_user_stats(stream), output_mode="update"
+    )
+    got = spark.table(name)
+    # single input file + availableNow ⇒ one micro-batch ⇒ one row per user
+    # carrying the converged totals
+    batch = jobs.load_table(spark, sf_dir, "events")
+    want = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    assert _rows(got) == _rows(want)
+
+
 def test_dedup_stream_matches_batch_twin(spark, sf_dir):
     stream = jobs.events_stream(spark, sf_dir)
     name, q = jobs.run_to_memory(jobs.dedup_stream(stream), output_mode="append")
