@@ -78,5 +78,14 @@ def write_output(
         return output
     for k, v in options.items():
         writer = writer.option(k, v)
-    writer.format(fmt).save(output)
+    try:
+        writer.format(fmt).save(output)
+    except Exception as e:  # pragma: no cover - depends on deployed jars
+        if fmt == "avro" and "Failed to find data source" in str(e):
+            raise ValueError(
+                "avro output needs the spark-avro package on the classpath "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+                "it is an external module since Spark 2.4"
+            ) from e
+        raise
     return output

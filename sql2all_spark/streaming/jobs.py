@@ -148,6 +148,35 @@ def stateful_user_stats(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_export(
+    df: DataFrame,
+    output: str,
+    checkpoint: str,
+    mode: str = "append",
+) -> object:
+    """Production file-sink path: drain the stream into the extension-
+    dispatched sink layer via ``foreachBatch``.
+
+    ``foreachBatch`` hands each micro-batch to the same ``write_output``
+    used by the batch ``export()`` API, so every sink format (parquet/csv/
+    ndjson/orc/arrow) is also a streaming sink.  The checkpoint directory
+    makes restarts exactly-once at the batch level (Spark replays the batch
+    id; an idempotent writer dedupes).  ``trigger(availableNow=True)``
+    drains pending input and stops — the batch-job-over-a-stream pattern.
+    """
+    from sql2all_spark.sinks import write_output
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_output(batch_df, output, mode=mode)
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(
     df: DataFrame, output_mode: str = "append", name: str | None = None
 ) -> tuple[str, object]:

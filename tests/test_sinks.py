@@ -1,0 +1,76 @@
+"""Sink round-trips: every output format writes and reads back the same
+rows.  Generalizes the reference's only executing test — a parquet read-back
+row count (``src/db/mysql.rs:159-176``) — to all formats with full value
+assertions, plus the error paths for bad scheme/extension.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from sql2all_spark.sinks import format_from_extension, write_output
+
+
+@pytest.fixture()
+def sample(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, -0.25), (3, "c", None)],
+        "id long, name string, score double",
+    )
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+@pytest.mark.parametrize("ext", ["parquet", "orc"])
+def test_roundtrip_binary_formats(spark, sample, tmp_path, ext):
+    out = str(tmp_path / f"out.{ext}")
+    write_output(sample, out)
+    got = spark.read.format(ext).load(out)
+    assert _rows(got) == _rows(sample)
+
+
+def test_roundtrip_csv_header(spark, sample, tmp_path):
+    out = str(tmp_path / "out.csv")
+    write_output(sample, out)
+    got = spark.read.option("header", "true").schema(sample.schema).csv(out)
+    assert _rows(got) == _rows(sample)
+
+
+def test_ndjson_explicit_nulls(spark, sample, tmp_path):
+    """Reference writes ``"k":null`` explicitly (with_explicit_nulls(true),
+    src/lib.rs:128); our JSON sink must keep null fields."""
+    out = str(tmp_path / "out.ndjson")
+    write_output(sample, out)
+    lines = [r.value for r in spark.read.text(out).collect()]
+    assert any('"name":null' in ln for ln in lines)
+    got = spark.read.schema(sample.schema).json(out)
+    assert _rows(got) == _rows(sample)
+
+
+def test_arrow_ipc_roundtrip(spark, sample, tmp_path):
+    """The reference declares Arrow output but panics on it (lib.rs:138);
+    we implement it."""
+    import pyarrow.ipc as ipc
+
+    out = str(tmp_path / "out.arrow")
+    write_output(sample, out)
+    with ipc.open_file(out) as reader:
+        tbl = reader.read_all()
+    assert tbl.num_rows == 3
+    assert tbl.column_names == ["id", "name", "score"]
+
+
+def test_bad_extension_raises():
+    with pytest.raises(ValueError, match="unsupported output format"):
+        format_from_extension("/tmp/out.xyz")
+
+
+def test_no_extension_raises():
+    with pytest.raises(ValueError, match="no extension"):
+        format_from_extension("/tmp/outfile")

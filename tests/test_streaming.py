@@ -64,6 +64,24 @@ def test_stateful_operator_matches_batch_aggregate(spark, sf_dir):
     assert _rows(got) == _rows(want)
 
 
+def test_stream_export_roundtrip(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    stream = jobs.events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "ts", "value")
+    out = str(tmp_path / "purchases.parquet")
+    q = jobs.stream_export(stream, out, checkpoint=str(tmp_path / "cp"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    want = (
+        jobs.load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    assert _rows(got) == _rows(want)
+
+
 def test_dedup_stream_matches_batch_twin(spark, sf_dir):
     stream = jobs.events_stream(spark, sf_dir)
     name, q = jobs.run_to_memory(jobs.dedup_stream(stream), output_mode="append")
