@@ -35,6 +35,7 @@ def write_output(
     mode: str = "overwrite",
     explicit_nulls: bool = True,
     single_file: bool = False,
+    partition_by: list[str] | None = None,
     **options: str,
 ) -> str:
     """Write ``df`` to ``output`` in the extension-implied format.
@@ -53,16 +54,30 @@ def write_output(
     fmt = format_from_extension(output)
     out = df.coalesce(1) if single_file else df
     writer = out.write.mode(mode)
+    if partition_by:
+        # Hive-style directory partitioning: the layout that lets downstream
+        # scans partition-prune at 100 TB (e.g. partition a corpus by lang).
+        if fmt in ("arrow",):
+            raise ValueError("partition_by is not supported for arrow output")
+        writer = writer.partitionBy(*partition_by)
     if fmt == "csv":
         writer = writer.option("header", "true")
     if fmt == "json" and explicit_nulls:
+        # partition columns live in the directory layout, not the payload
+        # (standard Hive-style behavior), so exclude them from the struct
+        pcols = list(partition_by or [])
+        payload = [c for c in out.columns if c not in pcols]
         text = out.select(
+            *pcols,
             F.to_json(
-                F.struct(*[F.col(c) for c in out.columns]),
+                F.struct(*[F.col(c) for c in payload]),
                 {"ignoreNullFields": "false"},
-            ).alias("value")
+            ).alias("value"),
         )
-        text.write.mode(mode).text(output)
+        tw = text.write.mode(mode)
+        if pcols:
+            tw = tw.partitionBy(*pcols)
+        tw.text(output)
         return output
     if fmt == "arrow":
         # Arrow IPC is unimplemented in the reference (lib.rs:138 panics);

@@ -74,3 +74,25 @@ def test_bad_extension_raises():
 def test_no_extension_raises():
     with pytest.raises(ValueError, match="no extension"):
         format_from_extension("/tmp/outfile")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    import os
+
+    df = spark.createDataFrame(
+        [(1, "en", "x"), (2, "en", "y"), (3, "fr", "z")],
+        "id long, lang string, text string",
+    )
+    out = str(tmp_path / "part.parquet")
+    write_output(df, out, partition_by=["lang"])
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("lang=")
+    ) == ["lang=en", "lang=fr"]
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    # partition filter must prune to one directory, visible in the scan
+    plan = (
+        got.filter(got.lang == "en")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(lang" in plan
