@@ -275,3 +275,56 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (l_linestatus), ())
         """
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events
+WHERE user_id < 30
+GROUP BY user_id
+""",
+    doc="PIVOT: long→wide event counts per user.  Spark's pivot with an"
+    " EXPLICIT value list compiles to one pass of conditional aggregates"
+    " (no second distinct-values job and no driver-side collect — always"
+    " pass the list at scale).",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "purchase", "view"])
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+SELECT o_orderkey, metric, val
+FROM (
+  SELECT o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS totalprice,
+         CAST(o_custkey AS DOUBLE) AS custkey_d
+  FROM orders WHERE o_orderkey < 500
+) UNPIVOT (val FOR metric IN (totalprice, custkey_d))
+""",
+    doc="UNPIVOT/melt: wide→long without a UNION-of-projections (one pass,"
+    " one Expand node).  The inverse of pivot, used to normalize metric"
+    " columns into (key, metric, value) event form.",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey_d"),
+    )
+    return wide.unpivot(
+        "o_orderkey", ["totalprice", "custkey_d"], "metric", "val"
+    )

@@ -263,6 +263,87 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle() -> str:
+    cents = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    cos = _cosine_sql("v.v", "c.cv")
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id IN ({cents})
+),
+assign AS (
+  SELECT v.vec_id, v.v, c.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND({cos}, 6) DESC, c.cent_id ASC) AS rk
+  FROM vecs v CROSS JOIN cents c
+),
+member AS (SELECT vec_id, v, cent_id FROM assign WHERE rk = 1),
+dims AS (
+  SELECT cent_id,
+         UNNEST(range(1, {DIM} + 1)) AS dim,
+         UNNEST(v) AS val
+  FROM member
+)
+SELECT cent_id, CAST(dim AS INT) AS dim,
+       ROUND(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_val,
+       COUNT(*) AS n_members
+FROM dims
+GROUP BY cent_id, dim
+"""
+
+
+@register(
+    "sim_kmeans_iteration",
+    oracle=_kmeans_oracle(),
+    doc="One k-means update step over embeddings: assign every vector to"
+    " its max-cosine centroid (8 seed centroids, id tiebreak), then"
+    " recompute each centroid as the member mean per dimension.  The"
+    " assign→recompute round-trip is the building block of distributed"
+    " iterative algorithms: broadcast the (tiny) centroid set, one shuffle"
+    " on (cent_id, dim) with partial aggregation, decimal-routed sums so"
+    " the means are order-independent.  Iterating = re-broadcasting the"
+    " output — the plan per step is identical at any corpus size.",
+)
+def sim_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", _dbl(F.col("embedding")).alias("v"))
+    cents = (
+        e.filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
+        .select(F.col("vec_id").alias("cent_id"), _dbl(F.col("embedding")).alias("cv"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(
+            F.round(_cosine(F.col("v"), F.col("cv")), 6).desc(),
+            F.col("cent_id").asc(),
+        )
+    )
+    member = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "cent_id")
+    )
+    dims = member.select(
+        "cent_id",
+        F.posexplode("v").alias("dim0", "val"),
+    ).select("cent_id", (F.col("dim0") + 1).alias("dim"), "val")
+    return dims.groupBy("cent_id", F.col("dim").cast("int").alias("dim")).agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_val"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
 @register(
     "sim_neardup_pairs",
     oracle=f"""

@@ -1,0 +1,127 @@
+"""Time-series rollup hierarchy — the hypertable / continuous-aggregate
+pattern: pre-aggregate at the finest granularity once, then derive every
+coarser granularity from the NEXT-FINER aggregate, never from raw data.
+
+At 100 TB of events this is the difference between one scan per dashboard
+granularity and one scan total: minute rows are ~1/sec-rate of raw, hour
+rows ~1/60 of that — each rollup step processes orders of magnitude fewer
+rows.  Correctness requires compose-able aggregates: COUNT and decimal SUM
+compose exactly (sum-of-sums); AVG is derived at read time from (sum,
+count); exact percentiles do NOT compose and would need sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql2all_spark.registry import register
+from sql2all_spark.tables import load_table
+
+
+@register(
+    "ts_rollup_hierarchy",
+    oracle="""
+SELECT date_trunc('day', ts) AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Day-level aggregate computed minute→hour→day: each level rolls up"
+    " the previous one (sum-of-sums over decimal — exact and associative,"
+    " so the staged result equals the direct day aggregate, which is what"
+    " the oracle computes).  avg derives from (sum, count) at the final"
+    " level only — averages never compose.",
+)
+def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # level 0 → 1: raw → minute (the only pass over raw data)
+    minute = (
+        e.groupBy(
+            F.date_trunc("minute", "ts").alias("minute"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+    )
+    # level 1 → 2: minute → hour (decimal sums compose exactly)
+    hour = (
+        minute.groupBy(
+            F.date_trunc("hour", "minute").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )
+    # level 2 → 3: hour → day; derive avg from (sum, count) here only
+    return (
+        hour.groupBy(
+            F.date_trunc("day", "hour").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            F.col("sum_value").cast("double").alias("total_value"),
+            (F.col("sum_value").cast("double") / F.col("n_events")).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
+@register(
+    "ts_gap_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+),
+actual AS (
+  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT g.day, COALESCE(a.n_events, 0) AS n_events,
+       CASE WHEN a.day IS NULL THEN 1 ELSE 0 END AS gap_filled
+FROM grid g LEFT JOIN actual a ON g.day = a.day
+""",
+    doc="Gap filling: a generated day spine left-joined to the actual"
+    " per-day aggregate, zero-filling missing days — the time-series"
+    " completeness operator dashboards need (missing ≠ zero only if you"
+    " make it so).  The spine generates from MIN/MAX bounds (two scalar"
+    " aggregates, broadcast), so no driver-side date math.",
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    actual = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return grid.join(actual, "day", "left").select(
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("gap_filled"),
+    )
