@@ -29,6 +29,7 @@ _FILE_SCHEMES = {
     "csv": "csv",
     "json": "json",
     "orc": "orc",
+    "arrow": "arrow",
     "file": None,  # format from extension
 }
 
@@ -79,12 +80,25 @@ def read_file_sql(
     ``table`` (default ``src``), runs ``query`` in Spark."""
     scheme, path = split_scheme(url)
     fmt = _FILE_SCHEMES.get(scheme) or _format_from_path(path)
+    if not path.startswith("/"):
+        path = "/" + path
+    if fmt == "arrow":
+        # Arrow IPC has no distributed Spark reader; load on the driver via
+        # pyarrow and parallelize (sink parity with sinks' .arrow writer —
+        # for anything large, the interchange format is parquet).
+        import pyarrow.ipc as ipc
+
+        with ipc.open_file(path) as r:
+            tbl = r.read_all()
+        df = spark.createDataFrame(tbl.to_pandas())
+        df.createOrReplaceTempView(table)
+        return spark.sql(query)
     reader = spark.read
     if fmt == "csv":
         reader = reader.option("header", "true").option("inferSchema", "true")
     for k, v in options.items():
         reader = reader.option(k, v)
-    df = reader.format(fmt).load(path if path.startswith("/") else "/" + path)
+    df = reader.format(fmt).load(path)
     df.createOrReplaceTempView(table)
     return spark.sql(query)
 

@@ -13,12 +13,12 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+from sql2all_spark.plans import physical_plan
 from sql2all_spark.registry import all_specs
 
 
 def _plan(spark, sf_dir, name: str) -> str:
-    df = all_specs()[name].builder(spark, sf_dir)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return physical_plan(all_specs()[name].builder(spark, sf_dir))
 
 
 def test_q1_filter_pushdown_and_column_pruning(spark, sf_dir):
