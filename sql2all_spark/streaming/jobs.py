@@ -148,6 +148,53 @@ def stateful_user_stats(stream: DataFrame) -> DataFrame:
     )
 
 
+def stateful_tws_user_max(stream: DataFrame) -> DataFrame:
+    """Per-user running (max value, event count) via transformWithState —
+    the Spark 4.x stateful-processor API (successor to
+    ``applyInPandasWithState``), with typed ValueState in RocksDB.
+
+    Compared to the legacy API: named state variables with schemas, timer
+    support, TTL on state — this job uses a single ValueState cell per user,
+    so state size is O(distinct users) regardless of stream length.
+
+    Environment note: the state-server protocol needs a working
+    ``google.protobuf``; where it's broken/absent the query fails at start
+    (the legacy ``stateful_user_stats`` above has no such dependency).
+    """
+    import pandas as pd_  # local: workers re-import this module
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "mx double, n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                mx, n = self._state.get()
+            else:
+                mx, n = float("-inf"), 0
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((mx, n))
+            yield pd_.DataFrame(
+                {"user_id": [key[0]], "max_value": [mx], "n_events": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserMax(),
+        outputStructType="user_id long, max_value double, n_events long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_export(
     df: DataFrame,
     output: str,

@@ -64,6 +64,36 @@ def test_stateful_operator_matches_batch_aggregate(spark, sf_dir):
     assert _rows(got) == _rows(want)
 
 
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    import pytest
+
+    # the transformWithState driver protocol needs a working protobuf;
+    # this container ships a broken one (descriptor import fails)
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import functions as F
+
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = jobs.events_stream(spark, sf_dir)
+        name, q = jobs.run_to_memory(
+            jobs.stateful_tws_user_max(stream), output_mode="update"
+        )
+        got = spark.table(name)
+        want = jobs.load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+            F.max("value").alias("max_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        assert _rows(got) == _rows(want)
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_stream_export_roundtrip(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
