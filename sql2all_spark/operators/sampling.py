@@ -1,0 +1,130 @@
+"""Deterministic sampling & dataset-mixing operators for training-data
+pipelines.
+
+``df.sample()`` is seed-dependent per partition-split and not reproducible
+across engines or re-runs with different partitioning — useless for a
+dataset you must be able to rebuild bit-for-bit.  Everything here samples by
+CONTENT HASH instead: membership is a pure function of the row's key, so
+the sample is stable under repartitioning, engine changes, incremental
+reruns, and late-arriving data (a new doc either is or isn't in the sample,
+existing members never flip).  This is how production corpus pipelines
+version their eval splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql2all_spark.registry import register
+from sql2all_spark.tables import load_table
+
+SAMPLE_BUCKETS = 100  # hash-mod space: 1% resolution
+
+
+def _hash_bucket(col: Column) -> Column:
+    """Stable bucket in [0, 100) from md5 — identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % SAMPLE_BUCKETS
+
+
+def _hash_bucket_sql(expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" % {SAMPLE_BUCKETS}"
+    )
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle=f"""
+SELECT doc_id, lang, n_chars,
+       {_hash_bucket_sql('doc_id')} AS bucket
+FROM documents
+WHERE {_hash_bucket_sql('doc_id')} < 10
+""",
+    doc="Deterministic 10% sample by content-hash bucket: membership is a"
+    " pure function of doc_id, so the sample survives repartitioning,"
+    " reruns, and incremental appends unchanged — unlike df.sample(seed),"
+    " whose output depends on the physical partition layout.  Row-local,"
+    " no shuffle; at 100 TB this is a free filter pushed into the scan"
+    " pipeline.",
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"))
+    return d.select("doc_id", "lang", "n_chars", bucket.alias("bucket")).filter(
+        bucket < 10
+    )
+
+
+STRATUM_CAP = 40
+
+
+@register(
+    "sample_stratified_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY {_hash_bucket_sql('doc_id')} ASC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars
+FROM ranked WHERE rk <= {STRATUM_CAP}
+""",
+    doc=f"Stratified cap: at most {STRATUM_CAP} docs per (lang, source)"
+    " stratum, chosen by hash order (deterministic, unbiased w.r.t."
+    " position in the file) — the rebalancing step that stops one dominant"
+    " source/language from swamping a training mix.  One shuffle on the"
+    " stratum key; row_number's per-partition heap keeps memory bounded.",
+)
+def sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        _hash_bucket(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATUM_CAP)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# per-lang keep-rates for the weighted mix (percent of hash space)
+MIX_RATES: dict[str, int] = {"en": 80, "zh": 50, "fr": 30, "de": 30, "es": 20}
+
+
+def _mix_rates_sql() -> str:
+    rows = ", ".join(f"('{k}', {v})" for k, v in MIX_RATES.items())
+    return f"(VALUES {rows}) AS r(lang, keep_pct)"
+
+
+@register(
+    "sample_weighted_mix",
+    oracle=f"""
+SELECT d.doc_id, d.lang, r.keep_pct
+FROM documents d
+JOIN {_mix_rates_sql()} ON d.lang = r.lang
+WHERE {_hash_bucket_sql('d.doc_id')} < r.keep_pct
+""",
+    doc="Weighted dataset mixing: each language keeps a configured share of"
+    " the hash space (en 80%, es 20%, ...), composing the corpus to a"
+    " target distribution in ONE deterministic pass — no per-source"
+    " sampling jobs, no unions.  The rate table broadcasts; the filter is"
+    " row-local.",
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        list(MIX_RATES.items()), "lang string, keep_pct int"
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(_hash_bucket(F.col("doc_id")) < F.col("keep_pct"))
+        .select("doc_id", "lang", "keep_pct")
+    )
