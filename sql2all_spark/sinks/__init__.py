@@ -36,6 +36,8 @@ def write_output(
     explicit_nulls: bool = True,
     single_file: bool = False,
     partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    cluster_partitions: int | None = None,
     **options: str,
 ) -> str:
     """Write ``df`` to ``output`` in the extension-implied format.
@@ -52,7 +54,21 @@ def write_output(
       reference always produces exactly one file); leave False at scale.
     """
     fmt = format_from_extension(output)
-    out = df.coalesce(1) if single_file else df
+    out = df
+    if cluster_by:
+        # Range-partition + sort on the cluster keys: files carry disjoint
+        # key ranges and row groups carry tight min/max stats, so readers
+        # skip whole files/row-groups on those predicates — the cheap
+        # z-order substitute for single-column clustering at 100 TB.
+        # explicit partition count bypasses AQE coalescing (which would fold
+        # small test datasets into one file); default sizes from shuffle conf
+        if cluster_partitions:
+            out = out.repartitionByRange(cluster_partitions, *cluster_by)
+        else:
+            out = out.repartitionByRange(*cluster_by)
+        out = out.sortWithinPartitions(*cluster_by)
+    if single_file:
+        out = out.coalesce(1)
     writer = out.write.mode(mode)
     if partition_by:
         # Hive-style directory partitioning: the layout that lets downstream

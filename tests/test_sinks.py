@@ -96,3 +96,23 @@ def test_partitioned_write_prunes(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_clustered_write_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    out = str(tmp_path / "clustered.parquet")
+    write_output(li, out, cluster_by=["l_shipdate"], cluster_partitions=4)
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+        .collect()
+    )
+    ranges = sorted((r.lo, r.hi) for r in per_file)
+    assert len(ranges) > 1, "expected multiple range-partitioned files"
+    for (_, prev_hi), (next_lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi <= next_lo, "file key ranges must be disjoint"
