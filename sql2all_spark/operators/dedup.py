@@ -228,10 +228,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_BUCKET_WIDTH = 16  # docs in the same (lang, n_words//16) block compare
 JACCARD_FLOOR = 0.05
 
-
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+# pair SQL shared by dedup_ngram_jaccard and graph.dedup_clusters' oracle
+NGRAM_PAIRS_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, lang, string_split(text, ' ') AS w
   FROM documents
@@ -256,7 +254,12 @@ SELECT doc_a, doc_b, lang,
        CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
 FROM p
 WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {JACCARD_FLOOR}
-""",
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=NGRAM_PAIRS_ORACLE,
     doc="Exact word-bigram Jaccard near-dup pairs over md5-HASHED bigram"
     " sets, blocked on (lang, n_words//16): same-length-class docs compare,"
     " so the pair space is block-local O(n_b²), not corpus².  Hashing each"
