@@ -148,6 +148,51 @@ def stateful_user_stats(stream: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_static(stream: DataFrame, profiles: DataFrame) -> DataFrame:
+    """Stream-static join: enrich each event with a batch-side dimension
+    (per-user signup profile).  The static side re-resolves per micro-batch
+    (so a dim refresh is picked up without restarting) and broadcasts when
+    small — no streaming state is needed at all for this join type."""
+    return stream.join(F.broadcast(profiles), "user_id").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        "first_seen",
+    )
+
+
+def stream_stream_attribution(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Stream-stream interval join: purchases matched to same-user clicks
+    within the preceding hour.
+
+    Both sides are watermarked and the join condition bounds the event-time
+    gap, so Spark can expire buffered rows once the watermark passes the
+    interval — without the time bound, both join buffers grow forever.
+    State per side ≈ one watermark-window of rows, independent of stream
+    length.
+    """
+    p = purchases.withWatermark("ts", WATERMARK).alias("p")
+    c = clicks.withWatermark("ts", WATERMARK).alias("c")
+    return p.join(
+        c,
+        F.expr(
+            """
+            p.user_id = c.user_id AND
+            c.ts >= p.ts - INTERVAL 1 HOUR AND
+            c.ts < p.ts
+            """
+        ),
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("c.value").alias("click_value"),
+    )
+
+
 def stateful_tws_user_max(stream: DataFrame) -> DataFrame:
     """Per-user running (max value, event count) via transformWithState —
     the Spark 4.x stateful-processor API (successor to

@@ -94,6 +94,54 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    batch = jobs.load_table(spark, sf_dir, "events")
+    profiles = (
+        batch.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_seen"))
+    )
+    stream = jobs.events_stream(spark, sf_dir)
+    name, q = jobs.run_to_memory(
+        jobs.enrich_with_static(stream, profiles), output_mode="append"
+    )
+    got = spark.table(name)
+    want = batch.join(profiles, "user_id").select(
+        "event_id", "user_id", "ts", "event_type", "value", "first_seen"
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    stream = jobs.events_stream(spark, sf_dir)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    clicks = stream.filter(F.col("event_type") == "click")
+    name, q = jobs.run_to_memory(
+        jobs.stream_stream_attribution(purchases, clicks), output_mode="append"
+    )
+    got = spark.table(name)
+    batch = jobs.load_table(spark, sf_dir, "events")
+    bp = batch.filter(F.col("event_type") == "purchase").alias("p")
+    bc = batch.filter(F.col("event_type") == "click").alias("c")
+    want = bp.join(
+        bc,
+        F.expr(
+            "p.user_id = c.user_id AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts"
+        ),
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("c.value").alias("click_value"),
+    )
+    assert _rows(got) == _rows(want)
+
+
 def test_stream_export_roundtrip(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
