@@ -236,3 +236,34 @@ def func_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("hi"),
         ).alias("hi_bound"),
     )
+
+
+@register(
+    "func_variant_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k_int,
+       CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+       CASE WHEN json_extract(props, '$.missing') IS NULL THEN 1 ELSE 0 END
+         AS missing_is_null
+FROM events
+WHERE event_id < 2000
+""",
+    doc="VariantType (Spark 4): parse_json once into a binary variant, then"
+    " typed path extraction with try_variant_get — the shredded-JSON path"
+    " that beats per-field get_json_object string re-parsing when many"
+    " fields are read from the same document.  try_* semantics: missing"
+    " paths yield NULL, never errors.",
+)
+def func_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return e.select(
+        "event_id",
+        k.alias("k_int"),
+        (k % 10).alias("k_bucket"),
+        F.when(F.try_variant_get(v, "$.missing", "string").isNull(), 1)
+        .otherwise(0)
+        .alias("missing_is_null"),
+    )
