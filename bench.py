@@ -52,6 +52,9 @@ def main() -> None:
         t0 = time.perf_counter()
         _run(specs[name].builder(spark, SF_DIR))
         times[name] = round(time.perf_counter() - t0, 3)
+        # several operators persist intermediates (signature tables, edge
+        # lists); drop them so queries are isolated and memory is bounded
+        spark.catalog.clearCache()
 
     out = {
         "metric": "total_query_sec",
