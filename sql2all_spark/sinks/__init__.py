@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-SUPPORTED = ("parquet", "csv", "json", "ndjson", "orc", "avro", "arrow")
+SUPPORTED = ("parquet", "csv", "json", "ndjson", "orc", "avro", "arrow", "lance")
 
 
 def format_from_extension(output: str) -> str:
@@ -94,6 +94,17 @@ def write_output(
         if pcols:
             tw = tw.partitionBy(*pcols)
         tw.text(output)
+        return output
+    if fmt == "lance":
+        # reference roadmap format (README.md:29-31); columnar+vector-index
+        # store — needs the optional `lance` package
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise ValueError(
+                "lance output needs the 'pylance' package (pip install pylance)"
+            ) from e
+        lance.write_dataset(out.toArrow(), output, mode="overwrite")
         return output
     if fmt == "arrow":
         # Arrow IPC is unimplemented in the reference (lib.rs:138 panics);

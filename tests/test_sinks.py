@@ -116,3 +116,21 @@ def test_clustered_write_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
     assert len(ranges) > 1, "expected multiple range-partitioned files"
     for (_, prev_hi), (next_lo, _) in zip(ranges, ranges[1:]):
         assert prev_hi <= next_lo, "file key ranges must be disjoint"
+
+
+def test_lance_gated_without_package(spark, sample, tmp_path):
+    try:
+        import lance  # noqa: F401
+
+        have_lance = True
+    except ImportError:
+        have_lance = False
+    out = str(tmp_path / "out.lance")
+    if have_lance:
+        write_output(sample, out)
+        import lance as l2
+
+        assert l2.dataset(out).count_rows() == 3
+    else:
+        with pytest.raises(ValueError, match="pylance"):
+            write_output(sample, out)
