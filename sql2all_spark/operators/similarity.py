@@ -391,3 +391,57 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") > 0.3)
         .select("vec_a", "vec_b", "label", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+@register(
+    "sim_doc_retrieval",
+    oracle=f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND({_cosine_sql("CAST(e.embedding AS DOUBLE[])", "q.qv")}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+),
+topk AS (
+  SELECT doc_id, cosine FROM scored
+  ORDER BY cosine DESC NULLS LAST, doc_id ASC NULLS FIRST
+  LIMIT 5
+)
+SELECT t.doc_id, t.cosine, d.lang, d.source, d.n_chars,
+       substr(d.text, 1, 40) AS preview
+FROM topk t JOIN documents d ON d.doc_id = t.doc_id
+""",
+    doc="RAG-style retrieval: embedding top-k for the query document, then"
+    " hydrate the winners with document metadata/preview.  The crucial"
+    " ordering: rank on the slim (id, score) set FIRST, join text LAST —"
+    " only k documents' text is ever read (at 100 TB, a broadcast join of"
+    " the k-row result against the corpus, with the text scan pruned to"
+    " matching files by the id predicate).",
+)
+def sim_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    q = e.filter(F.col("vec_id") == 0).select(_dbl(F.col("embedding")).alias("qv"))
+    topk = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(_cosine(_dbl(F.col("embedding")), F.col("qv")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc_nulls_last(), F.col("doc_id").asc_nulls_first())
+        .limit(5)
+    )
+    return F.broadcast(topk).join(d, "doc_id").select(
+        "doc_id",
+        "cosine",
+        "lang",
+        "source",
+        "n_chars",
+        F.substring("text", 1, 40).alias("preview"),
+    )
