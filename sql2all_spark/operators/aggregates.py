@@ -328,3 +328,28 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "o_orderkey", ["totalprice", "custkey_d"], "metric", "val"
     )
+
+
+@register(
+    "agg_hll_sketch_rollup",
+    oracle=None,  # sketch binaries are engine-specific — rows-only check
+    doc="Mergeable HLL sketches (Spark 3.5+ hll_sketch_agg/hll_union_agg):"
+    " per-day user sketches union into an exact-shape monthly rollup"
+    " WITHOUT re-touching raw data — the companion to ts_rollup_hierarchy"
+    " for the aggregates that don't compose exactly (distinct counts)."
+    " Estimates stay within HLL error of the exact count (asserted in"
+    " tests); constant sketch size per group regardless of cardinality.",
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.countDistinct("user_id").alias("exact_daily"),
+    )
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+            "monthly_users_estimate"
+        ),
+        F.sum("exact_daily").alias("sum_of_daily_exact"),  # > distinct (overlap)
+        F.count(F.lit(1)).alias("n_days"),
+    )

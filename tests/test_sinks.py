@@ -134,3 +134,29 @@ def test_lance_gated_without_package(spark, sample, tmp_path):
     else:
         with pytest.raises(ValueError, match="pylance"):
             write_output(sample, out)
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Appends with a widened schema must stay readable: mergeSchema
+    reconciles v1 (2 cols) and v2 (3 cols) footers into the superset."""
+    out = str(tmp_path / "evolving.parquet")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v2 = spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, name string, score double"
+    )
+    v1.write.mode("overwrite").parquet(out)
+    v2.write.mode("append").parquet(out)
+    got = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(got.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 0.5)}
+
+
+def test_hll_rollup_within_error(spark, sf_dir):
+    from sql2all_spark.registry import all_specs
+    from sql2all_spark.tables import load_table
+
+    row = all_specs()["agg_hll_sketch_rollup"].builder(spark, sf_dir).collect()[0]
+    exact = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert abs(row.monthly_users_estimate - exact) <= max(2, 0.05 * exact)
+    assert row.sum_of_daily_exact >= exact  # daily overlap double-counts
