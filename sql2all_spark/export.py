@@ -21,6 +21,10 @@ def export(
     url: str,
     query: str,
     output: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    single_file: bool = False,
     **options: str,
 ) -> DataFrame:
     """Execute ``query`` against the source at ``url`` and write the result
@@ -35,5 +39,13 @@ def export(
     analogue of the reference's public ``Database`` API, ``src/lib.rs:26``).
     """
     df = read_source(spark, url, query, **options)
-    write_output(df, output, **options)
+    write_output(
+        df,
+        output,
+        mode=mode,
+        partition_by=partition_by,
+        cluster_by=cluster_by,
+        single_file=single_file,
+        **options,
+    )
     return df

@@ -204,3 +204,49 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint", "shard_key")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
     )
+
+
+# PII patterns: Java and DuckDB regex dialects agree on this subset
+# (character classes, +, {n,m}, alternation — no lookbehind).
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+ID_RE = r"\b[0-9]{9,16}\b"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+           '{PHONE_RE}', '[PHONE]', 'g'),
+         '{ID_RE}', '[ID]', 'g') AS scrubbed,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones
+FROM documents
+WHERE doc_id < 200
+""",
+    doc="PII scrubbing: email/phone/long-numeric-id redaction via chained"
+    " regexp_replace — the compliance stage that must run before any"
+    " corpus leaves the pipeline.  Row-local JVM regex (no UDF); counts"
+    " emitted alongside so the scrub is auditable.  Patterns restricted to"
+    " the regex subset Java and DuckDB interpret identically.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]"),
+            PHONE_RE,
+            "[PHONE]",
+        ),
+        ID_RE,
+        "[ID]",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PHONE_RE)).alias("n_phones"),
+    )

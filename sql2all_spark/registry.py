@@ -31,6 +31,7 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.sampling",
     "sql2all_spark.operators.graph",
     "sql2all_spark.operators.incremental",
+    "sql2all_spark.operators.pipeline",
     "sql2all_spark.operators.dedup",
     "sql2all_spark.operators.similarity",
     "sql2all_spark.operators.text",
