@@ -116,7 +116,7 @@ WITH m AS (
   SELECT c_mktsegment,
          COUNT(c_acctbal) AS n,
          {dsum_sql('c_acctbal', 4)} AS s1,
-         {dsum_sql('c_acctbal * c_acctbal', 6)} AS s2
+         {dsum_sql('c_acctbal * c_acctbal', 2)} AS s2
   FROM customer
   GROUP BY c_mktsegment
 )
@@ -137,7 +137,7 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = c.groupBy("c_mktsegment").agg(
         F.count(bal).alias("n"),
         dsum(bal, 4).alias("s1"),
-        dsum(bal * bal, 6).alias("s2"),
+        dsum(bal * bal, 2).alias("s2"),
     )
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
     return m.select(
@@ -162,7 +162,8 @@ WITH m AS (
   FROM lineitem
 )
 SELECT n,
-       (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+       ROUND((n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 12)
          AS corr_qty_price
 FROM m
 """,
@@ -184,7 +185,7 @@ def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = (n * F.col("sxy") - sx * sy) / (
         F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
     )
-    return m.select("n", corr.alias("corr_qty_price"))
+    return m.select("n", F.round(corr, 12).alias("corr_qty_price"))
 
 
 @register(

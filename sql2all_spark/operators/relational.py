@@ -30,8 +30,8 @@ SELECT
   l_linestatus,
   {dsum_sql('l_quantity')} AS sum_qty,
   {dsum_sql('l_extendedprice')} AS sum_base_price,
-  {dsum_sql('l_extendedprice * (1 - l_discount)', 8)} AS sum_disc_price,
-  {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 8)} AS sum_charge,
+  ROUND({dsum_sql('l_extendedprice * (1 - l_discount)', 8)}, 2) AS sum_disc_price,
+  ROUND({dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 8)}, 2) AS sum_charge,
   {davg_sql('l_quantity')} AS avg_qty,
   {davg_sql('l_extendedprice')} AS avg_price,
   {davg_sql('l_discount', 4)} AS avg_disc,
@@ -54,8 +54,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),
             dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price, 8).alias("sum_disc_price"),
-            dsum(charge, 8).alias("sum_charge"),
+            F.round(dsum(disc_price, 8), 2).alias("sum_disc_price"),
+            F.round(dsum(charge, 8), 2).alias("sum_charge"),
             davg(F.col("l_quantity")).alias("avg_qty"),
             davg(F.col("l_extendedprice")).alias("avg_price"),
             davg(F.col("l_discount"), 4).alias("avg_disc"),
