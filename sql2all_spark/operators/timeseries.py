@@ -125,3 +125,54 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("gap_filled"),
     )
+
+
+@register(
+    "ts_funnel_conversion",
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT
+  COUNT(*) AS n_users,
+  CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS stage_signup,
+  CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+           THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+  CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+            AND t_purchase > t_click
+           THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+FROM stages
+""",
+    doc="Funnel conversion (signup → first later click → first later"
+    " purchase): per-user stage timestamps via conditional MIN in ONE"
+    " aggregation pass, then ordered-progression counts.  No sequence"
+    " scan, no self-joins — the single-shuffle funnel shape that holds at"
+    " any event volume.  (First-touch approximation: stage k must follow"
+    " the FIRST stage k-1 event — the standard funnel simplification.)",
+)
+def ts_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    t_of = lambda typ: F.min(  # noqa: E731
+        F.when(F.col("event_type") == typ, F.col("ts"))
+    )
+    stages = e.groupBy("user_id").agg(
+        t_of("signup").alias("t_signup"),
+        t_of("click").alias("t_click"),
+        t_of("purchase").alias("t_purchase"),
+    )
+    reached_signup = F.col("t_signup").isNotNull()
+    reached_click = reached_signup & (F.col("t_click") > F.col("t_signup"))
+    reached_purchase = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        flag(reached_signup).alias("stage_signup"),
+        flag(reached_click).alias("stage_click"),
+        flag(reached_purchase).alias("stage_purchase"),
+    )
