@@ -267,3 +267,31 @@ def func_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("missing_is_null"),
     )
+
+
+@register(
+    "func_regexp_family",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+ed\b')) AS n_past_ish,
+       regexp_extract(text, '([a-z]{8,})', 1) AS first_long_word,
+       CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END AS has_digit,
+       split_part(text, ' ', 3) AS third_word
+FROM documents
+WHERE doc_id < 300
+""",
+    doc="Regexp function family: extract-all counting, group extraction,"
+    " boolean match, and split_part — all JVM-side regex (no UDF),"
+    " restricted to the syntax subset Java and DuckDB regex dialects"
+    " interpret identically (classes, quantifiers, \\b, groups).",
+)
+def func_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_count(text, F.lit(r"[a-z]+ed\b")).alias("n_past_ish"),
+        F.regexp_extract(text, r"([a-z]{8,})", 1).alias("first_long_word"),
+        F.when(text.rlike("[0-9]"), 1).otherwise(0).alias("has_digit"),
+        F.split_part(text, F.lit(" "), F.lit(3)).alias("third_word"),
+    )

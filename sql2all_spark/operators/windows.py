@@ -183,3 +183,37 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
     )
+
+
+@register(
+    "window_distribution_ranks",
+    oracle="""
+SELECT s_suppkey, s_nationkey,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       NTH_VALUE(s_suppkey, 2) OVER (
+         PARTITION BY s_nationkey ORDER BY s_acctbal DESC NULLS LAST, s_suppkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_richest
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey
+             ORDER BY s_acctbal DESC NULLS LAST, s_suppkey)
+""",
+    doc="Distribution window functions: PERCENT_RANK / CUME_DIST over a"
+    " pinned deterministic order, plus NTH_VALUE with an explicit"
+    " full-partition frame (its default frame would stop at CURRENT ROW"
+    " and return nulls for the first row).  Rounded 6dp: the rank ratios"
+    " are double divisions.",
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    order = [F.col("s_acctbal").desc_nulls_last(), F.col("s_suppkey").asc()]
+    w = Window.partitionBy("s_nationkey").orderBy(*order)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("s_suppkey", 2).over(w_full).alias("second_richest"),
+    )
