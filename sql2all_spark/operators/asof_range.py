@@ -59,8 +59,9 @@ ASOF LEFT JOIN clicks c
 """,
     doc="As-of join (purchase attribution): each purchase matched to the"
     " same user's most recent strictly-earlier click, via the union+window"
-    " trick — one shuffle on user_id, no non-equi join, no row blowup."
-    " Clicks are pre-deduped per (user, ts) so the match is deterministic.",
+    " trick — two key-local shuffles (click pre-dedup, per-user window),"
+    " no non-equi join, no row blowup.  Clicks are pre-deduped per"
+    " (user, ts) so the match is deterministic.",
 )
 def join_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -78,3 +78,32 @@ def test_minhash_band_join_carries_slim_rows(spark, sf_dir):
         assert "shingles" not in seg and "sh_a" not in seg and "sh_b" not in seg
     # the signature pipeline is persisted, not recomputed per join side
     assert "InMemoryRelation" in plan
+
+
+def test_shuffle_budgets(spark, sf_dir):
+    """Pin each operator's shuffle count — the scale-limiting resource.
+    A refactor that silently adds an exchange fails here."""
+    from sql2all_spark.plans import shuffle_count
+
+    budgets = {
+        "sample_hash_deterministic": 0,  # row-local filter: NO shuffle
+        "join_asof_attribution": 2,  # click pre-dedup + per-user window
+        "ts_rollup_hierarchy": 3,  # one per rollup level (minute/hour/day)
+        "q1_pricing_summary": 2,  # partial->final agg + ordering
+    }
+    for name, budget in budgets.items():
+        df = all_specs()[name].builder(spark, sf_dir)
+        got = shuffle_count(df)
+        assert got <= budget, f"{name}: {got} shuffles, budget {budget}"
+
+
+def test_curation_pipeline_single_wide_shuffle(spark, sf_dir):
+    """The composed pipeline's dedup groupBy and final stats agg are its
+    only exchanges; the sample filter and gate must fuse into scan/join
+    stages, and the keeper join must broadcast."""
+    plan = _plan(spark, sf_dir, "pipeline_curation")
+    assert plan.count("BroadcastHashJoin") >= 1
+    from sql2all_spark.plans import shuffle_count
+
+    df = all_specs()["pipeline_curation"].builder(spark, sf_dir)
+    assert shuffle_count(df) <= 2
