@@ -83,12 +83,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # Only nodes that HAVE an edge participate in propagation: with a high
+    # similarity floor almost every doc is a singleton, so the loop runs
+    # over hundreds of rows, not the corpus.  Singletons rejoin at the end
+    # as their own keeper with cluster_size 1.
+    connected = edges.select(F.col("u").alias("doc_id")).distinct()
     # localCheckpoint each round: iterative plans grow multiplicatively in
     # lineage (round N references round N-1 twice), which blows up Catalyst
     # planning long before execution — truncating lineage per round keeps
     # every round's plan constant-size.  (On a cluster, checkpoint to a
     # reliable store instead if executor loss during the loop matters.)
-    labels = docs.select(
+    labels = connected.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
@@ -123,7 +128,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window
 
-    return labels.select(
+    # singletons (no edges) are their own keeper; union with the converged
+    # connected-component labels
+    singles = docs.join(connected, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    all_labels = labels.unionByName(singles)
+    return all_labels.select(
         "doc_id",
         "cluster_id",
         F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0).alias(
