@@ -74,3 +74,26 @@ def test_jdbc_url_assembly(spark):
         read_source(spark, "postgresql://localhost:1/nope", "SELECT 1").collect()
     msg = str(exc_info.value)
     assert "driver" in msg.lower() or "connection" in msg.lower()
+
+
+def test_cli_entry_parity(spark, sf_dir, tmp_path):
+    """Reference CLI parity (src/main.rs:10-22): -u/-q/-o flags through
+    python -m sql2all_spark.main() (reusing this process's session)."""
+    from sql2all_spark.__main__ import main
+
+    out = str(tmp_path / "cli_nation.ndjson")
+    rc = main(
+        [
+            "-u",
+            f"parquet://{sf_dir}/nation.parquet",
+            "-q",
+            "SELECT n_nationkey, n_name FROM src",
+            "-o",
+            out,
+        ]
+    )
+    assert rc == 0
+    assert spark.read.json(out).count() == 25
+    # url defaults to '' like the reference (main.rs:13) and fails dispatch
+    rc = main(["-q", "SELECT 1", "-o", str(tmp_path / "x.csv")])
+    assert rc == 1
