@@ -168,3 +168,26 @@ def test_dedup_stream_matches_batch_twin(spark, sf_dir):
     # single ordered input file + availableNow ⇒ stream keeps exactly the
     # batch twin's first-per-key rows
     assert _rows(got) == _rows(want)
+
+
+def test_stream_export_checkpoint_idempotent(spark, sf_dir, tmp_path):
+    """Restarting a checkpointed stream with no new input must write
+    nothing new — the exactly-once batch-level guarantee foreachBatch +
+    checkpoint provides (a restart replays offsets, not data)."""
+    from pyspark.sql import functions as F
+
+    def run_once():
+        stream = jobs.events_stream(spark, sf_dir).filter(
+            F.col("event_type") == "signup"
+        ).select("event_id", "user_id", "ts")
+        q = jobs.stream_export(
+            stream, out, checkpoint=str(tmp_path / "cp"), mode="append"
+        )
+        q.awaitTermination(120)
+
+    out = str(tmp_path / "signups.parquet")
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()  # same checkpoint, no new files → no new rows
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 > 0
