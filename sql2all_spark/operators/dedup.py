@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sql2all_spark.functions.hashing import base_hash, base_hash_sql
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
@@ -35,13 +36,10 @@ N_BANDS, ROWS_PER_BAND = 4, 2
 SIMHASH_BITS = 32
 
 
-def _base_hash(col: Column) -> Column:
-    """60-bit md5-derived hash, bit-identical in Spark and DuckDB."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-
-
-def _base_hash_sql(expr: str) -> str:
-    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+# canonical cross-engine hash lives in functions.hashing; aliased here
+# because every signature/band builder in this module uses it
+_base_hash = base_hash
+_base_hash_sql = base_hash_sql
 
 
 def _perm_hash(i: int):

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sql2all_spark.functions.hashing import hash_bucket, hash_bucket_sql
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
@@ -23,17 +24,12 @@ SAMPLE_BUCKETS = 100  # hash-mod space: 1% resolution
 
 
 def _hash_bucket(col: Column) -> Column:
-    """Stable bucket in [0, 100) from md5 — identical in Spark and DuckDB."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    ) % SAMPLE_BUCKETS
+    """Stable bucket in [0, 100) — see functions.hashing."""
+    return hash_bucket(col, SAMPLE_BUCKETS)
 
 
 def _hash_bucket_sql(expr: str) -> str:
-    return (
-        f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
-        f" % {SAMPLE_BUCKETS}"
-    )
+    return hash_bucket_sql(expr, SAMPLE_BUCKETS)
 
 
 @register(
