@@ -6,6 +6,11 @@ Prints ONE JSON line:
   {"metric": "total_query_sec", "value": N, "unit": "sec",
    "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
 
+The printed line carries only the HEADLINE query subset so it stays well
+under the driver's output-tail buffer (BENCH_r01 recorded "parsed": null
+because the full 85-query line was longer than the captured tail); the
+complete per-query map is written to bench_full.json alongside the repo.
+
 Each query is forced to full materialization with the noop sink (executes
 the whole plan, writes nothing, no driver-side collect bottleneck), which
 is how a cluster job would be measured.  One warmup of the flagship query
@@ -25,6 +30,29 @@ from sql2all_spark import registry
 from sql2all_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# One representative per operator family — keeps the printed JSON line short
+# (driver tail-buffer safe) while still covering every performance regime.
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_multiway_revenue",
+    "join_asof_attribution",
+    "join_range_interval",
+    "window_topk_per_group",
+    "setop_intersect_except_all",
+    "subquery_correlated_cte",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "sim_lsh_ann",
+    "sim_neardup_pairs",
+    "text_quality_score",
+    "mm_decode_features",
+    "ts_rollup_hierarchy",
+    "stream_session_window",
+]
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -56,14 +84,22 @@ def main() -> None:
         # lists); drop them so queries are isolated and memory is bounded
         spark.catalog.clearCache()
 
-    out = {
+    full = {
         "metric": "total_query_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
+        "n_queries": len(times),
         "queries": times,
         "sf": _sf_from_dir(SF_DIR),
     }
-    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    compact = dict(full)
+    compact["queries"] = {k: times[k] for k in HEADLINE if k in times}
+    spark.stop()  # flush the JVM so no late log lines trail the JSON line
+    sys.stdout.flush()
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
