@@ -25,10 +25,18 @@ def export(
     partition_by: list[str] | None = None,
     cluster_by: list[str] | None = None,
     single_file: bool = False,
-    **options: str,
+    read_options: dict[str, str] | None = None,
+    write_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Execute ``query`` against the source at ``url`` and write the result
     to ``output`` in the format implied by its extension.
+
+    ``read_options`` go only to the source reader and ``write_options`` only
+    to the sink writer — many option names are shared between Spark readers
+    and writers (``header``, ``sep``, ``nullValue``, ``compression``, ...),
+    so a single merged dict would silently reconfigure both layers (e.g. a
+    ``sep=';'`` meant for CSV *output* also changing how a CSV *source* is
+    parsed).
 
     Unlike the reference's single-cursor/single-writer pipeline
     (``src/db/sqlite.rs:84-96``: 1-row batches through an mpsc(100) channel),
@@ -38,7 +46,7 @@ def export(
     Returns the result DataFrame (also useful for embedded/library use, the
     analogue of the reference's public ``Database`` API, ``src/lib.rs:26``).
     """
-    df = read_source(spark, url, query, **options)
+    df = read_source(spark, url, query, **(read_options or {}))
     write_output(
         df,
         output,
@@ -46,6 +54,6 @@ def export(
         partition_by=partition_by,
         cluster_by=cluster_by,
         single_file=single_file,
-        **options,
+        **(write_options or {}),
     )
     return df

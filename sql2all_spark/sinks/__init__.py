@@ -91,10 +91,31 @@ def write_output(
             ).alias("value"),
         )
         tw = text.write.mode(mode)
+        for k, v in options.items():
+            tw = tw.option(k, v)
         if pcols:
             tw = tw.partitionBy(*pcols)
         tw.text(output)
         return output
+    if fmt in ("arrow", "lance"):
+        # Driver-side writers: honor the mode argument explicitly instead of
+        # silently clobbering (append has no meaning for a single IPC file /
+        # driver-side lance write — reject rather than surprise).
+        import os
+
+        if options:
+            raise ValueError(
+                f"{fmt} output does not accept writer options: "
+                f"{sorted(options)}"
+            )
+        if mode == "append":
+            raise ValueError(f"mode='append' is not supported for {fmt} output")
+        if os.path.exists(output):
+            if mode == "ignore":
+                return output
+            if mode in ("error", "errorifexists"):
+                raise ValueError(f"output path already exists: {output!r}")
+        # mode == "overwrite" falls through to the write below
     if fmt == "lance":
         # reference roadmap format (README.md:29-31); columnar+vector-index
         # store — needs the optional `lance` package

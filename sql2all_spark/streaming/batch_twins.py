@@ -89,7 +89,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle=f"""
 WITH ordered AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
               > {SESSION_GAP_MIN} * 60 * 1000000
@@ -98,8 +98,11 @@ WITH ordered AS (
   FROM events
 ),
 sessions AS (
+  -- event_id tiebreak keeps this cumulative sum's ordering identical to the
+  -- is_new_session window above: with ORDER BY ts alone, two same-timestamp
+  -- events at a session boundary make session assignment nondeterministic
   SELECT user_id, ts, value,
-         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_id
   FROM ordered
 )

@@ -244,22 +244,37 @@ def stream_export(
     df: DataFrame,
     output: str,
     checkpoint: str,
-    mode: str = "append",
 ) -> object:
     """Production file-sink path: drain the stream into the extension-
     dispatched sink layer via ``foreachBatch``.
 
     ``foreachBatch`` hands each micro-batch to the same ``write_output``
     used by the batch ``export()`` API, so every sink format (parquet/csv/
-    ndjson/orc/arrow) is also a streaming sink.  The checkpoint directory
-    makes restarts exactly-once at the batch level (Spark replays the batch
-    id; an idempotent writer dedupes).  ``trigger(availableNow=True)``
-    drains pending input and stops — the batch-job-over-a-stream pattern.
+    ndjson/orc) is also a streaming sink.  Exactly-once at the batch level:
+    each micro-batch writes to a DETERMINISTIC ``batch-<id>.<ext>``
+    subdirectory of ``output`` with overwrite semantics, so a batch
+    replayed after a mid-batch failure rewrites the same path instead of
+    appending duplicates (Spark replays the batch id from the checkpoint;
+    the keyed overwrite makes the writer idempotent).
+
+    Read the result back with
+    ``spark.read.option("recursiveFileLookup", "true").parquet(output)``
+    (or a ``output/batch-*.<ext>`` glob) — the per-batch subdirectories are
+    not a Hive partition layout, by design: a partition column would change
+    the payload schema versus the batch ``export()`` of the same query.
+
+    ``trigger(availableNow=True)`` drains pending input and stops — the
+    batch-job-over-a-stream pattern.
     """
-    from sql2all_spark.sinks import write_output
+    from sql2all_spark.sinks import format_from_extension, write_output
+
+    ext = output.rstrip("/").rsplit(".", 1)[-1].lower()
+    format_from_extension(output)  # fail fast on unsupported extensions
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        write_output(batch_df, output, mode=mode)
+        write_output(
+            batch_df, f"{output}/batch-{batch_id:010d}.{ext}", mode="overwrite"
+        )
 
     return (
         df.writeStream.foreachBatch(write_batch)
