@@ -33,7 +33,15 @@ P = 4294967311
 A = [522104677, 993163321, 146371657, 813928499, 76943, 1004987867, 588887509, 290135423]
 B = [86028157, 454880273, 299807347, 900157177, 631705609, 21433, 719913599, 57044843]
 N_BANDS, ROWS_PER_BAND = 4, 2
-SIMHASH_BITS = 32
+# SimHash (Manku/Jain/Sarma, WWW'07 shape): 60-bit signature (the full
+# base_hash width), Hamming radius 3, 4 bands of 15 bits.  With radius <
+# band count, any pair within the radius agrees EXACTLY on >= 1 band
+# (pigeonhole: 3 differing bits touch at most 3 of 4 bands), so band-key
+# candidate generation has perfect recall — no all-pairs join anywhere.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+SIMHASH_MAX_HAMMING = 3
 
 
 # canonical cross-engine hash lives in functions.hashing; aliased here
@@ -329,10 +337,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
+    # Blocking-agnostic formulation: DuckDB checks the SEMANTICS (every pair
+    # within the Hamming radius) with a plain all-pairs join — fine at the
+    # sf0.01 oracle scale.  The Spark side must produce the identical pair
+    # set through the banded plan, which is exactly the recall guarantee
+    # under test.
     base = _base_hash_sql("t")
     return f"""
 WITH sigs AS (
-  SELECT doc_id, lang,
+  SELECT doc_id,
     list_reduce(
       list_transform(range(0, {SIMHASH_BITS}), j ->
         CASE WHEN list_reduce(
@@ -342,22 +355,25 @@ WITH sigs AS (
       (acc, bit) -> acc * 2 + bit) AS simhash
   FROM documents
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM sigs a JOIN sigs b
-  ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
 @register(
     "dedup_simhash",
     oracle=_simhash_oracle(),
-    doc="SimHash near-dup: 32-bit signature from per-token hash-bit votes,"
-    " then Hamming-distance pairs within the same lang partition.  Signature"
-    " build is row-local; the pair join is bounded by the lang partitioning"
-    " (at 100 TB you'd band on simhash prefixes instead of a lang self-join"
-    " — the signature column itself is the reusable artifact).",
+    doc="SimHash near-dup, banded: 60-bit signature from per-token hash-bit"
+    f" votes, split into {SIMHASH_BANDS} bands of {SIMHASH_BAND_BITS} bits;"
+    " candidate pairs come from an EQUI-join on the band key (pairs within"
+    f" Hamming {SIMHASH_MAX_HAMMING} must agree on >=1 band — pigeonhole),"
+    " then exact Hamming verification on candidates only.  No all-pairs"
+    " join at any scale: shuffle volume is 4 slim (band_key, doc_id, sig)"
+    " rows per doc, and candidates scale with near-dup density, not"
+    " corpus².  The oracle is the blocking-agnostic all-pairs formulation,"
+    " so the driver check proves the banded plan loses no pairs.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -388,20 +404,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, v: acc * 2 + bit_from_vote(v).cast("long"),
     )
-    sigs = d.select("doc_id", "lang", simhash.alias("simhash"))
-    a = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        "lang",
-        F.col("simhash").alias("sim_a"),
+    sigs = d.select("doc_id", simhash.alias("simhash"))
+    # Band keys as a single long (band index in the high bits): integer keys
+    # shuffle/compare cheaper than strings.  The signature rides along (one
+    # long) so verification needs no join back to the signature table.
+    band_vals = [
+        (
+            F.shiftright(
+                F.col("simhash"),
+                SIMHASH_BAND_BITS * (SIMHASH_BANDS - 1 - j),
+            ).bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+            + F.lit(j << SIMHASH_BAND_BITS)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BANDS)
+    ]
+    banded = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*band_vals)).alias("band_key")
+    ).persist()
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band_key"
     )
-    b = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("simhash").alias("sim_b"),
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band_key"
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b", "lang", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= 10)
+        a.join(b, "band_key")  # EQUI-join: candidates, not all pairs
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        # a pair agreeing on k bands appears k times — dedup AFTER the
+        # Hamming filter so only true near-dups reach the distinct
+        .dropDuplicates(["doc_a", "doc_b"])
     )

@@ -344,41 +344,99 @@ def sim_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Near-dup mining blocks on LSH band keys: the 6 hyperplane sign bits split
+# into 2 bands of 3; a pair is a candidate if it agrees on EITHER band
+# (OR-amplification).  More/smaller bands raise recall at more candidates —
+# the standard LSH dial.  The oracle mirrors the banding exactly, so the
+# driver check proves the Spark plan finds precisely the banded pair set.
+N_NEARDUP_BANDS = 2
+PLANES_PER_BAND = N_PLANES // N_NEARDUP_BANDS  # 3
+
+
+def _neardup_oracle() -> str:
+    band_keys = ", ".join(
+        f"'{j}:' || substr(bucket, {j * PLANES_PER_BAND + 1}, {PLANES_PER_BAND})"
+        for j in range(N_NEARDUP_BANDS)
+    )
+    cos = _cosine_sql("va.v", "vb.v")
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+  FROM embeddings
+),
+banded AS (
+  SELECT vec_id, UNNEST([{band_keys}]) AS band_key FROM v
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT p.vec_a, p.vec_b, va.label AS label_a, vb.label AS label_b,
+       ROUND({cos}, 6) AS cosine
+FROM pairs p
+JOIN v va ON va.vec_id = p.vec_a
+JOIN v vb ON vb.vec_id = p.vec_b
+WHERE {cos} > 0.3
+"""
+
+
 @register(
     "sim_neardup_pairs",
-    oracle=f"""
-WITH v AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-       ROUND({_cosine_sql("a.v", "b.v")}, 6) AS cosine
-FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_cosine_sql("a.v", "b.v")} > 0.3
-""",
-    doc="Embedding-cosine near-duplicate mining: all pairs above threshold"
-    " within the same label block.  The label equi-key bounds the pair space"
-    " (block-local O(n_b²) instead of corpus²) — at 100 TB the blocking key"
-    " would be an LSH bucket, same plan shape.",
+    oracle=_neardup_oracle(),
+    doc="Embedding-cosine near-duplicate mining, LSH-blocked: candidates"
+    " come from an equi-join on hyperplane-sign band keys (2 bands × 3"
+    " bits, OR-amplified), then exact cosine verification on candidates"
+    " only.  Only slim (vec_id, band_key) rows enter the candidate join;"
+    " vectors and norms join back onto the candidate set afterwards.  The"
+    " blocking key is derived from the vectors themselves — labels are"
+    " payload, so the pair space is bucket-local at any corpus size"
+    " (the round-1 version blocked on a fixture label: corpus²-in-the-"
+    "largest-label at scale).",
 )
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    # Precompute each vector's norm once before the join: the joined pair
-    # computes a single dot-product fold instead of three (sqrt(dot(a,a))
-    # and sqrt(dot(b,b)) would otherwise be re-folded for every pair).
+    # Norm precomputed once per vector: each verified pair folds a single
+    # dot product instead of three.  Persisted because three consumers read
+    # it (band build + both hydration sides of the verify join).
     emb = _dbl(F.col("embedding"))
     v = e.select(
         "vec_id",
         "label",
         emb.alias("v"),
         F.sqrt(_dot(emb, emb)).alias("norm"),
+        _bucket_spark(emb).alias("bucket"),
+    ).persist()
+    banded = v.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{j}:"),
+                        F.substring("bucket", j * PLANES_PER_BAND + 1, PLANES_PER_BAND),
+                    )
+                    for j in range(N_NEARDUP_BANDS)
+                ]
+            )
+        ).alias("band_key"),
     )
-    a = v.select(
+    a = banded.select(F.col("vec_id").alias("vec_a"), "band_key")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "band_key")
+    pairs = (
+        a.join(b, "band_key")  # equi-join on the derived bucket, not label
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = v.select(
         F.col("vec_id").alias("vec_a"),
-        "label",
+        F.col("label").alias("label_a"),
         F.col("v").alias("va"),
         F.col("norm").alias("norm_a"),
     )
-    b = v.select(
+    vb = v.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("v").alias("vb"),
@@ -386,10 +444,17 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
     return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b", "label", cos.alias("cos_raw"))
+        pairs.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", "label_a", "label_b", cos.alias("cos_raw"))
         .filter(F.col("cos_raw") > 0.3)
-        .select("vec_a", "vec_b", "label", F.round("cos_raw", 6).alias("cosine"))
+        .select(
+            "vec_a",
+            "vec_b",
+            "label_a",
+            "label_b",
+            F.round("cos_raw", 6).alias("cosine"),
+        )
     )
 
 

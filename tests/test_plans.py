@@ -80,6 +80,26 @@ def test_minhash_band_join_carries_slim_rows(spark, sf_dir):
     assert "InMemoryRelation" in plan
 
 
+def test_simhash_join_is_banded_equi_not_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_simhash")
+    # candidate generation must be an equi-join on band_key — never a
+    # cartesian/BNLJ over doc pairs (the round-1 per-lang all-pairs shape)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_key" in plan
+    # banded signature table computed once, reused on both join sides
+    assert "InMemoryRelation" in plan
+
+
+def test_neardup_pairs_join_is_bucketed_equi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sim_neardup_pairs")
+    # blocking key must be the LSH band bucket, not a fixture label, and the
+    # candidate join must be an equi-join on it
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_key" in plan
+
+
 def test_shuffle_budgets(spark, sf_dir):
     """Pin each operator's shuffle count — the scale-limiting resource.
     A refactor that silently adds an exchange fails here."""
