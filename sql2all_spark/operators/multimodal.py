@@ -146,15 +146,6 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.mapInPandas(decode_batches, schema=_FEATURES_SCHEMA)
 
 
-_FRAMES_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("frame_idx", T.IntegerType()),
-        T.StructField("frame_key", T.StringType()),
-    ]
-)
-
-
 @register(
     "mm_frame_sample",
     oracle=f"""
@@ -168,32 +159,39 @@ FROM documents d,
          {FRAME_STEP})) AS frame_idx
      ) f
 """,
-    doc="Video-frame sampling plumbing: 1 media row fans out to every"
-    f" {FRAME_STEP}th frame index inside the mapInPandas iterator — the"
-    " row-multiplying UDF shape used for video→frame-dataset extraction."
-    " Frame decode itself is the stub; the fan-out, schema, and keys are"
-    " real.",
+    doc="Video-frame sampling plumbing: Python touches each media row ONCE"
+    " (the stub decode yields n_frames, 1 row in → 1 row out through"
+    " mapInPandas); the row-multiplying fan-out to every"
+    f" {FRAME_STEP}th frame index is JVM-side explode(sequence(...)) inside"
+    " whole-stage codegen.  That split — decode in Arrow-batched Python,"
+    " multiplication in the engine — is the shape that scales: the Python"
+    " boundary moves O(docs) rows, never O(frames).",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _media_df(spark, sf_dir)
 
-    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode_nframes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            doc_ids, frame_idxs = [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                _, _, n_frames = _fake_decode_props(payload)
-                for idx in range(0, n_frames, FRAME_STEP):
-                    doc_ids.append(doc_id)
-                    frame_idxs.append(idx)
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(doc_ids, dtype="int64"),
-                    "frame_idx": pd.Series(frame_idxs, dtype="int32"),
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": pdf["payload"]
+                    .map(lambda p: _fake_decode_props(p)[2])
+                    .astype("int32"),
                 }
             )
-            out["frame_key"] = (
-                out["doc_id"].astype(str) + ":" + out["frame_idx"].astype(str)
-            )
-            yield out
 
-    return m.mapInPandas(sample_frames, schema=_FRAMES_SCHEMA)
+    counted = m.mapInPandas(decode_nframes, schema="doc_id long, n_frames int")
+    # sequence() stop is inclusive, so n_frames - 1 reproduces the
+    # exclusive-stop range(0, n_frames, step) of the oracle (n_frames >= 1
+    # always: the stub decoder maps into [1, 240])
+    return counted.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(FRAME_STEP))
+        ).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.concat_ws(":", "doc_id", "frame_idx").alias("frame_key"),
+    )

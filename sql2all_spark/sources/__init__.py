@@ -51,6 +51,57 @@ def _format_from_path(path: str) -> str:
     raise ValueError(f"cannot infer source format from path {path!r}")
 
 
+def _jvm_has_class(spark: SparkSession, cls: str) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(cls)  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def read_sqlite_local(
+    spark: SparkSession, url: str, query: str, **options: str
+) -> DataFrame:
+    """SQLite scan via the stdlib driver — the reference's core path
+    (``src/db/sqlite.rs:67-101``: open file DB, prepare query, stream rows)
+    without needing a JDBC jar on the Spark classpath.
+
+    The SQL executes INSIDE SQLite exactly as in the reference (whole-query
+    pushdown, ``sqlite.rs:79`` ``conn.prepare(query)``); only result rows
+    cross into Spark, via one Arrow table built on the driver.  That is the
+    honest scale contract for this source: a SQLite file is a single-machine
+    artifact (seed/dimension data), so a driver-side read is not the
+    bottleneck — the 100 TB path is the partitioned JDBC read
+    (``read_jdbc``) against a server database, used automatically when a
+    ``org.sqlite.JDBC`` driver jar is deployed.
+
+    Types follow the reference's inference-from-values semantics
+    (``src/db/conversion.rs:54-68``: INTEGER→Int64, TEXT→Utf8, REAL→Float64,
+    BLOB→Binary), with every column nullable; columns that are entirely NULL
+    in the result become Utf8 (the reference maps declared-NULL to Arrow
+    Null, which Spark has no writable equivalent for).
+    """
+    import sqlite3
+
+    import pyarrow as pa
+
+    _, rest = split_scheme(url)
+    path = "/" + rest if not rest.startswith("/") else rest
+    with sqlite3.connect(f"file:{path}?mode=ro", uri=True) as conn:
+        cur = conn.execute(query)
+        names = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+    cols = list(zip(*rows)) if rows else [[] for _ in names]
+    arrays = []
+    for vals in cols:
+        arr = pa.array(vals)
+        if pa.types.is_null(arr.type):
+            arr = arr.cast(pa.string())
+        arrays.append(arr)
+    tbl = pa.Table.from_arrays(arrays, names=names)
+    return spark.createDataFrame(tbl)
+
+
 def read_jdbc(
     spark: SparkSession, url: str, query: str, **options: str
 ) -> DataFrame:
@@ -108,6 +159,10 @@ def read_source(
 ) -> DataFrame:
     """Scheme dispatch (reference ``src/lib.rs:47-65``)."""
     scheme, _ = split_scheme(url)
+    if scheme == "sqlite" and not _jvm_has_class(spark, "org.sqlite.JDBC"):
+        # no sqlite JDBC driver on the classpath → stdlib fallback (still
+        # whole-query pushdown into SQLite; see read_sqlite_local docstring)
+        return read_sqlite_local(spark, url, query, **options)
     if scheme in _JDBC_SCHEMES:
         return read_jdbc(spark, url, query, **options)
     if scheme in _FILE_SCHEMES:
