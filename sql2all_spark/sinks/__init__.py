@@ -143,12 +143,24 @@ def write_output(
         writer = writer.option(k, v)
     try:
         writer.format(fmt).save(output)
-    except Exception as e:  # pragma: no cover - depends on deployed jars
+    except Exception as e:
         if fmt == "avro" and "Failed to find data source" in str(e):
-            raise ValueError(
-                "avro output needs the spark-avro package on the classpath "
-                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
-                "it is an external module since Spark 2.4"
-            ) from e
+            # spark-avro is an external jar; without it, fall back to the
+            # self-contained driver-side container-file writer (same
+            # interchange-only contract as the arrow path above)
+            from sql2all_spark.sinks.avro_io import write_output_avro
+
+            if options:
+                raise ValueError(
+                    "driver-side avro fallback does not accept writer "
+                    f"options: {sorted(options)} (deploy spark-avro for "
+                    "the distributed writer)"
+                ) from e
+            if partition_by:
+                raise ValueError(
+                    "partition_by for avro needs the spark-avro package "
+                    "(distributed writer)"
+                ) from e
+            return write_output_avro(out, output, mode)
         raise
     return output

@@ -1,0 +1,321 @@
+"""Self-contained Avro object-container-file writer/reader (no external
+package, no JVM module).
+
+Why this exists: Avro is on the reference's roadmap (``README.md:26-31``)
+but Spark's avro module is an external jar (not deployable in an offline
+container), so ``write_output`` would otherwise only ever raise an
+actionable error for ``.avro`` outputs.  The container format is small and
+fully public (Apache Avro spec, "Object Container Files"): a header with
+the JSON schema and a sync marker, then blocks of
+``<count><byte-size><records><sync>`` with zigzag-varint primitives.
+
+Scope and the honest scale contract: this is a DRIVER-SIDE interchange
+writer, exactly like the arrow IPC path next to it in ``sinks`` — one
+process, one file, sized for dimension/seed/result exports.  When a
+``spark-avro`` jar is on the classpath the distributed
+``writer.format("avro")`` path in ``write_output`` is used instead; this
+module is the fallback, not the 100 TB path (that is parquet/orc).
+
+Type coverage mirrors the engine's sink surface: boolean, int/long,
+float/double, string, binary, date (int/date logical), timestamp
+(long/timestamp-micros logical), decimal (bytes/decimal logical),
+arrays, and nullable unions of all of the above.
+"""
+
+from __future__ import annotations
+
+import decimal
+import io
+import json
+import os
+import struct
+from datetime import date, datetime, timedelta, timezone
+
+MAGIC = b"Obj\x01"
+SYNC = bytes(range(16))  # deterministic marker: reproducible output files
+BLOCK_RECORDS = 4096
+
+_EPOCH_DATE = date(1970, 1, 1)
+_EPOCH_TS = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+# ---------------------------------------------------------------- encoding
+
+def _zigzag(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_zigzag(buf: io.BytesIO) -> int:
+    shift, u = 0, 0
+    while True:
+        (b,) = buf.read(1)
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1)
+
+
+def _spark_to_avro_type(dt) -> object:
+    """Spark DataType -> Avro schema fragment (JSON-serializable)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+        return "int"
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    if isinstance(dt, T.ArrayType):
+        item = _spark_to_avro_type(dt.elementType)
+        if dt.containsNull:
+            item = ["null", item]
+        return {"type": "array", "items": item}
+    raise ValueError(f"avro writer does not support Spark type {dt!r}")
+
+
+def schema_json(spark_schema) -> str:
+    fields = [
+        {"name": f.name, "type": ["null", _spark_to_avro_type(f.dataType)]
+         if f.nullable else _spark_to_avro_type(f.dataType)}
+        for f in spark_schema.fields
+    ]
+    return json.dumps(
+        {"type": "record", "name": "topLevelRecord", "fields": fields}
+    )
+
+
+def _encode_value(out: bytearray, typ, v) -> None:
+    """typ is the (parsed) avro schema fragment; v a plain-Python value."""
+    if isinstance(typ, list):  # union — index 0 is always "null" here
+        if v is None:
+            out += _zigzag(0)
+            return
+        out += _zigzag(1)
+        typ = typ[1]
+    name = typ["type"] if isinstance(typ, dict) else typ
+    logical = typ.get("logicalType") if isinstance(typ, dict) else None
+    if name == "boolean":
+        out.append(1 if v else 0)
+    elif name == "int":
+        if logical == "date":
+            v = (v - _EPOCH_DATE).days
+        out += _zigzag(int(v))
+    elif name == "long":
+        if logical == "timestamp-micros":
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=timezone.utc)
+            v = round((v - _EPOCH_TS).total_seconds() * 1_000_000)
+        out += _zigzag(int(v))
+    elif name == "float":
+        out += struct.pack("<f", float(v))
+    elif name == "double":
+        out += struct.pack("<d", float(v))
+    elif name == "string":
+        raw = str(v).encode("utf-8")
+        out += _zigzag(len(raw)) + raw
+    elif name == "bytes":
+        if logical == "decimal":
+            unscaled = int(
+                decimal.Decimal(v).scaleb(typ["scale"]).to_integral_value()
+            )
+            nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+            raw = unscaled.to_bytes(nbytes, "big", signed=True)
+        else:
+            raw = bytes(v)
+        out += _zigzag(len(raw)) + raw
+    elif name == "array":
+        v = list(v)
+        if v:
+            out += _zigzag(len(v))
+            for item in v:
+                _encode_value(out, typ["items"], item)
+        out += _zigzag(0)
+    else:
+        raise ValueError(f"avro writer: unsupported type {typ!r}")
+
+
+def _decode_value(buf: io.BytesIO, typ):
+    if isinstance(typ, list):
+        if _read_zigzag(buf) == 0:
+            return None
+        typ = typ[1]
+    name = typ["type"] if isinstance(typ, dict) else typ
+    logical = typ.get("logicalType") if isinstance(typ, dict) else None
+    if name == "boolean":
+        return buf.read(1) == b"\x01"
+    if name == "int":
+        v = _read_zigzag(buf)
+        return _EPOCH_DATE + timedelta(days=v) if logical == "date" else v
+    if name == "long":
+        v = _read_zigzag(buf)
+        if logical == "timestamp-micros":
+            return _EPOCH_TS + timedelta(microseconds=v)
+        return v
+    if name == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if name == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if name in ("string", "bytes"):
+        raw = buf.read(_read_zigzag(buf))
+        if name == "string":
+            return raw.decode("utf-8")
+        if logical == "decimal":
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return decimal.Decimal(unscaled).scaleb(-typ["scale"])
+        return raw
+    if name == "array":
+        items = []
+        while True:
+            n = _read_zigzag(buf)
+            if n == 0:
+                return items
+            if n < 0:  # block with byte-size prefix
+                _read_zigzag(buf)
+                n = -n
+            for _ in range(n):
+                items.append(_decode_value(buf, typ["items"]))
+    raise ValueError(f"avro reader: unsupported type {typ!r}")
+
+
+# ------------------------------------------------------------ file layer
+
+def write_avro(df, path: str) -> str:
+    """Collect ``df`` on the driver and write one Avro container file."""
+    schema = schema_json(df.schema)
+    parsed = json.loads(schema)
+    field_types = [f["type"] for f in parsed["fields"]]
+    rows = df.collect()
+
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        meta = {"avro.schema": schema.encode(), "avro.codec": b"null"}
+        body = bytearray()
+        body += _zigzag(len(meta))
+        for k, v in meta.items():
+            kk = k.encode()
+            body += _zigzag(len(kk)) + kk + _zigzag(len(v)) + v
+        body += _zigzag(0)
+        f.write(body)
+        f.write(SYNC)
+        for start in range(0, len(rows), BLOCK_RECORDS):
+            block = rows[start : start + BLOCK_RECORDS]
+            out = bytearray()
+            for row in block:
+                for typ, v in zip(field_types, row):
+                    _encode_value(out, typ, v)
+            f.write(_zigzag(len(block)) + _zigzag(len(out)))
+            f.write(out)
+            f.write(SYNC)
+    return path
+
+
+def read_avro(spark, path: str):
+    """Read an Avro container file (codec null) into a DataFrame.
+
+    Driver-side like the writer; schema comes from the embedded JSON (field
+    order and nullability preserved), values land via an in-memory list —
+    the read twin that makes the writer round-trip-testable offline.
+    """
+    with open(path, "rb") as f:
+        raw = f.read()
+    buf = io.BytesIO(raw)
+    assert buf.read(4) == MAGIC, f"not an avro container file: {path!r}"
+    meta: dict[str, bytes] = {}
+    n = _read_zigzag(buf)
+    while n:
+        for _ in range(abs(n)):
+            k = buf.read(_read_zigzag(buf)).decode()
+            meta[k] = buf.read(_read_zigzag(buf))
+        n = _read_zigzag(buf)
+    assert meta.get("avro.codec", b"null") == b"null"
+    parsed = json.loads(meta["avro.schema"])
+    field_types = [f["type"] for f in parsed["fields"]]
+    sync = buf.read(16)
+    records = []
+    while buf.tell() < len(raw):
+        count = _read_zigzag(buf)
+        _read_zigzag(buf)  # byte size (unused: codec null)
+        for _ in range(count):
+            records.append(
+                tuple(_decode_value(buf, t) for t in field_types)
+            )
+        assert buf.read(16) == sync
+    return spark.createDataFrame(records, _reader_spark_schema(parsed))
+
+
+def _reader_spark_schema(parsed: dict):
+    from pyspark.sql import types as T
+
+    def to_spark(typ):
+        nullable = isinstance(typ, list)
+        if nullable:
+            typ = typ[1]
+        name = typ["type"] if isinstance(typ, dict) else typ
+        logical = typ.get("logicalType") if isinstance(typ, dict) else None
+        if logical == "date":
+            dt = T.DateType()
+        elif logical == "timestamp-micros":
+            dt = T.TimestampType()
+        elif logical == "decimal":
+            dt = T.DecimalType(typ["precision"], typ["scale"])
+        elif name == "array":
+            inner, inner_null = to_spark(typ["items"])
+            dt = T.ArrayType(inner, inner_null)
+        else:
+            dt = {
+                "boolean": T.BooleanType(),
+                "int": T.IntegerType(),
+                "long": T.LongType(),
+                "float": T.FloatType(),
+                "double": T.DoubleType(),
+                "string": T.StringType(),
+                "bytes": T.BinaryType(),
+            }[name]
+        return dt, nullable
+
+    fields = []
+    for f in parsed["fields"]:
+        dt, nullable = to_spark(f["type"])
+        fields.append(T.StructField(f["name"], dt, nullable))
+    return T.StructType(fields)
+
+
+def write_output_avro(df, output: str, mode: str) -> str:
+    """Mode-honoring driver-side Avro write (mirrors the arrow path)."""
+    if mode == "append":
+        raise ValueError("mode='append' is not supported for avro output")
+    if os.path.exists(output):
+        if mode == "ignore":
+            return output
+        if mode in ("error", "errorifexists"):
+            raise ValueError(f"output path already exists: {output!r}")
+    return write_avro(df, output)

@@ -160,3 +160,68 @@ def test_hll_rollup_within_error(spark, sf_dir):
     exact = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     assert abs(row.monthly_users_estimate - exact) <= max(2, 0.05 * exact)
     assert row.sum_of_daily_exact >= exact  # daily overlap double-counts
+
+
+def test_avro_roundtrip_rich_types(spark, tmp_path):
+    """Avro is roadmap in the reference (README.md:26-31) and an external
+    jar in Spark; the self-contained container-file writer makes `.avro`
+    outputs real offline.  Round-trips every supported type incl. nulls,
+    logical date/timestamp-micros/decimal, and arrays."""
+    import datetime
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                7,
+                "hello",
+                1.5,
+                2.25,
+                True,
+                b"\x00\xff",
+                datetime.date(2024, 2, 29),
+                datetime.datetime(2024, 2, 29, 12, 34, 56, 789012),
+                Decimal("12345.67"),
+                [1, 2, None],
+            ),
+            (2, None, None, None, None, None, None, None, None, None, None),
+        ],
+        "id long, n int, s string, d double, f float, b boolean,"
+        " raw binary, dt date, ts timestamp, dec decimal(10,2),"
+        " arr array<int>",
+    )
+    out = str(tmp_path / "out.avro")
+    write_output(df, out)
+    from sql2all_spark.sinks.avro_io import read_avro
+
+    got = read_avro(spark, out)
+    assert got.schema == df.schema
+    a, b_ = sorted(got.collect()), sorted(df.collect())
+    assert a == b_
+
+
+def test_avro_mode_honored(spark, sample, tmp_path):
+    out = str(tmp_path / "m.avro")
+    write_output(sample, out)
+    with pytest.raises(ValueError, match="append"):
+        write_output(sample, out, mode="append")
+    with pytest.raises(ValueError, match="already exists"):
+        write_output(sample, out, mode="error")
+    write_output(sample, out, mode="ignore")  # no-op, no error
+    write_output(sample, out, mode="overwrite")
+
+
+def test_avro_export_from_testdata(spark, sf_dir, tmp_path):
+    from sql2all_spark.export import export
+    from sql2all_spark.sinks.avro_io import read_avro
+
+    out = str(tmp_path / "nations.avro")
+    df = export(
+        spark,
+        f"parquet://{sf_dir}/nation.parquet",
+        "SELECT n_nationkey, n_name FROM src",
+        out,
+    )
+    got = read_avro(spark, out)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
