@@ -250,3 +250,37 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).alias("n_emails"),
         F.regexp_count(F.col("text"), F.lit(PHONE_RE)).alias("n_phones"),
     )
+
+
+@register(
+    "text_heavy_hitters",
+    oracle="""
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS n
+FROM toks
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC NULLS LAST, token ASC NULLS FIRST
+LIMIT 25
+""",
+    doc="Vocabulary-head extraction: exact top-25 most frequent tokens."
+    " The scalable two-phase shape: explode → map-side partial counts →"
+    " one shuffle of (token, partial_count) → final counts →"
+    " TakeOrderedAndProject (per-partition bounded heaps, single merge —"
+    " never a global sort).  Raw text never shuffles, only token/count"
+    " pairs; at 100 TB the shuffle volume is the distinct-token set per"
+    " partition, not the corpus.  Deterministic tiebreak on the token.",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_tokens(F.col("text"))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc_nulls_last(), F.col("token").asc_nulls_first())
+        .limit(25)
+    )

@@ -44,6 +44,8 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.windows",
     "sql2all_spark.operators.setops",
     "sql2all_spark.operators.asof_range",
+    # round-2 additions: behind the window this round, rotate forward next
+    "sql2all_spark.operators.profiling",
 ]
 
 
