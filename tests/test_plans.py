@@ -100,6 +100,15 @@ def test_neardup_pairs_join_is_bucketed_equi(spark, sf_dir):
     assert "band_key" in plan
 
 
+def test_heavy_hitters_two_phase_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_heavy_hitters")
+    # partial->final count around one exchange, then bounded-heap top-k —
+    # never a global sort of the vocabulary
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
 def test_shuffle_budgets(spark, sf_dir):
     """Pin each operator's shuffle count — the scale-limiting resource.
     A refactor that silently adds an exchange fails here."""

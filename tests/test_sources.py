@@ -207,3 +207,26 @@ def test_sqlite_empty_result(spark, payment_sqlite, tmp_path):
         "amount",
         "account_name",
     ]
+
+
+def test_export_option_split_read_vs_write(spark, tmp_path):
+    """A writer option must not reconfigure the reader: sep=';' meant for
+    the CSV *output* previously leaked into the CSV *source* parse (shared
+    **options dict) and broke column splitting."""
+    src = str(tmp_path / "in.csv")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, name string"
+    ).coalesce(1).write.option("header", "true").csv(src)
+    out = str(tmp_path / "out.csv")
+    df = export(
+        spark,
+        f"csv://{src}",
+        "SELECT id, name FROM src ORDER BY id NULLS FIRST",
+        out,
+        write_options={"sep": ";"},
+    )
+    assert df.count() == 2  # comma-parsed source: 2 columns survived
+    lines = sorted(
+        r.value for r in spark.read.text(out).collect() if not r.value.startswith("id")
+    )
+    assert lines == ["1;a", "2;b"]  # semicolon applied to the output only
