@@ -510,3 +510,59 @@ def sim_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.substring("text", 1, 40).alias("preview"),
     )
+
+
+@register(
+    "sim_embed_quantize",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, label, v,
+         list_reduce(list_transform(v, x -> abs(x)),
+                     (a, b) -> GREATEST(a, b)) AS scale
+  FROM v
+)
+SELECT vec_id, label,
+       ROUND(scale, 6) AS scale,
+       array_to_string(list_transform(v, x ->
+         CAST(FLOOR(x * 127 / scale + 0.5) AS INT)), ',') AS q8,
+       CAST(len(list_filter(v, x -> ABS(x) * 127 / scale < 0.5)) AS INT)
+         AS n_zeros
+FROM s
+WHERE scale > 0
+""",
+    doc="Symmetric int8 quantization per embedding (q = round(x*127/max|x|))"
+    " — the storage-compression step that shrinks a vector corpus 4x before"
+    " ANN indexing.  Row-local JVM higher-order folds, no shuffle, no UDF;"
+    " rounding is floor(x+0.5) SPELLED OUT in both engines because round()"
+    " half-case semantics differ across engines.  Quantized vectors are"
+    " serialized to CSV strings (driver hashing cannot canonicalize raw"
+    " array cells).",
+)
+def sim_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = _dbl(F.col("embedding"))
+    s = e.select(
+        "vec_id",
+        "label",
+        emb.alias("v"),
+        F.aggregate(emb, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))).alias(
+            "scale"
+        ),
+    ).filter(F.col("scale") > 0)
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x * 127 / F.col("scale") + 0.5).cast("int").cast("string"),
+    )
+    zeroish = F.filter(
+        F.col("v"), lambda x: F.abs(x) * 127 / F.col("scale") < 0.5
+    )
+    return s.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("scale"),
+        F.array_join(q, ",").alias("q8"),
+        F.size(zeroish).alias("n_zeros"),
+    )

@@ -284,3 +284,52 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc_nulls_last(), F.col("token").asc_nulls_first())
         .limit(25)
     )
+
+
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30  # 10-token overlap between consecutive chunks
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+s AS (
+  SELECT doc_id, w,
+         UNNEST(range(1, GREATEST(len(w), 1) + 1, {CHUNK_STRIDE})) AS start
+  FROM d
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+       CAST(start AS INT) AS chunk_start,
+       CAST(len(w[start:start + {CHUNK_TOKENS - 1}]) AS INT) AS n_chunk_tokens,
+       array_to_string(w[start:start + {CHUNK_TOKENS - 1}], ' ') AS chunk_text
+FROM s
+""",
+    doc=f"Sliding-window document chunking ({CHUNK_TOKENS}-token windows,"
+    f" stride {CHUNK_STRIDE}): the LLM-ingestion step that splits long"
+    " documents into overlapping context-window-sized pieces.  The window"
+    " fan-out is explode(sequence(...)) + slice — all JVM, inside"
+    " whole-stage codegen, no shuffle; output rows carry stable"
+    " (doc_id, chunk_id) keys so downstream dedup/embedding stages can"
+    " reference chunks deterministically.",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", _tokens(F.col("text")).alias("w"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunk = F.slice(F.col("w"), F.col("chunk_start"), CHUNK_TOKENS)
+    return (
+        w.select("doc_id", "w", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            ((F.col("chunk_start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )
