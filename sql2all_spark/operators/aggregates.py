@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql2all_spark.functions.exact import davg, davg_sql, dsum, dsum_sql
+from sql2all_spark.functions.exact import dsum, dsum_sql
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
