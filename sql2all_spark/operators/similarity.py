@@ -544,25 +544,31 @@ WHERE scale > 0
 def sim_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     emb = _dbl(F.col("embedding"))
+    # the raw scale gets an internal name distinct from the rounded output
+    # column: Spark's LATERAL COLUMN ALIAS resolution would otherwise bind
+    # the `scale` reference inside the quantize lambda to the *rounded*
+    # alias earlier in the same select list — flipping floor half-cases
     s = e.select(
         "vec_id",
         "label",
         emb.alias("v"),
         F.aggregate(emb, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))).alias(
-            "scale"
+            "scale_raw"
         ),
-    ).filter(F.col("scale") > 0)
+    ).filter(F.col("scale_raw") > 0)
     q = F.transform(
         F.col("v"),
-        lambda x: F.floor(x * 127 / F.col("scale") + 0.5).cast("int").cast("string"),
+        lambda x: F.floor(x * 127 / F.col("scale_raw") + 0.5)
+        .cast("int")
+        .cast("string"),
     )
     zeroish = F.filter(
-        F.col("v"), lambda x: F.abs(x) * 127 / F.col("scale") < 0.5
+        F.col("v"), lambda x: F.abs(x) * 127 / F.col("scale_raw") < 0.5
     )
     return s.select(
         "vec_id",
         "label",
-        F.round("scale", 6).alias("scale"),
+        F.round("scale_raw", 6).alias("scale"),
         F.array_join(q, ",").alias("q8"),
         F.size(zeroish).alias("n_zeros"),
     )
