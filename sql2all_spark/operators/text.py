@@ -333,3 +333,78 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", chunk).alias("chunk_text"),
         )
     )
+
+
+PACK_CAP = 256  # context-window budget in tokens
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+  WHERE len(string_split(text, ' ')) <= {PACK_CAP}
+),
+walk AS (
+  SELECT lang, rn, doc_id, n_tok,
+         0 AS pack_id, n_tok AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.lang, d.rn, d.doc_id, d.n_tok,
+         CASE WHEN w.fill + d.n_tok <= {PACK_CAP}
+              THEN w.pack_id ELSE w.pack_id + 1 END,
+         CASE WHEN w.fill + d.n_tok <= {PACK_CAP}
+              THEN w.fill + d.n_tok ELSE d.n_tok END
+  FROM walk w JOIN d ON d.lang = w.lang AND d.rn = w.rn + 1
+)
+SELECT lang, CAST(pack_id AS INT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM walk
+GROUP BY lang, pack_id
+""",
+    doc=f"Greedy sequence packing: fill {PACK_CAP}-token context windows"
+    " with whole documents in doc_id order per language stream (docs over"
+    " budget are excluded).  Packing is INHERENTLY sequential per stream —"
+    " each decision depends on the running fill — so it runs as an"
+    " applyInPandas stateful scan per group: parallelism comes from the"
+    " partition-by-stream axis (at 100 TB: thousands of shard streams, one"
+    " sequential pass each), exactly how production packers shard.  The"
+    " oracle replays the same greedy walk as a recursive CTE, so the"
+    " Python path is value-checked end-to-end.",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        "doc_id",
+        F.size(_tokens(F.col("text"))).alias("n_tok"),
+    ).filter(F.col("n_tok") <= PACK_CAP)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        fill, pid, ids = PACK_CAP + 1, -1, []
+        for n in pdf["n_tok"]:
+            if fill + n <= PACK_CAP:
+                fill += n
+            else:
+                pid += 1
+                fill = n
+            ids.append(pid)
+        pdf["pack_id"] = pd.Series(ids, dtype="int32")
+        return pdf
+
+    packed = toks.groupBy("lang").applyInPandas(
+        pack, schema="lang string, doc_id long, n_tok int, pack_id int"
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -1,0 +1,163 @@
+"""Classic TPC-H query shapes (Q3, Q6, Q10) adapted to the trimmed fixture
+schemas — named anchors for the relational surface beyond the per-category
+coverage (the flagship Q1 lives in :mod:`relational`; the Q5-shaped star
+join is ``join_multiway_revenue`` in :mod:`joins`).
+
+The reference forwards any such SQL verbatim to its source database
+(``src/db/sqlite.rs:79``); here each is a native Catalyst plan whose scale
+properties are the well-studied ones: selective filters pushed into the
+parquet scan, dimension sides broadcast, partial aggregation before every
+exchange, and top-k as TakeOrderedAndProject.
+
+Fixture adaptations (columns absent from the trimmed schemas):
+Q3 drops ``o_shippriority`` from the output; Q10 drops the customer
+address/phone/comment payload columns.  Date windows are shifted into the
+fixture's 1995-2001 o_orderdate range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql2all_spark.functions.exact import dsum, dsum_sql
+from sql2all_spark.registry import register
+from sql2all_spark.tables import load_table
+
+Q3_DATE = "1996-03-15 00:00:00"
+Q6_YEAR_LO = "1996-01-01 00:00:00"
+Q6_YEAR_HI = "1997-01-01 00:00:00"
+Q10_QTR_LO = "1996-10-01 00:00:00"
+Q10_QTR_HI = "1997-01-01 00:00:00"
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       ROUND({dsum_sql('l_extendedprice * (1 - l_discount)', 8)}, 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate  > TIMESTAMP '{Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC NULLS LAST, o_orderdate ASC NULLS FIRST,
+         l_orderkey ASC NULLS FIRST
+LIMIT 10
+""",
+    doc="TPC-H Q3 (shipping priority): unshipped-order revenue ranking."
+    " customer is the selective dim (1 segment of 5) and broadcasts; both"
+    " date filters reach the parquet scans; revenue aggregates partially"
+    " before the shuffle; the final top-10 is a bounded heap, not a sort."
+    " Orderkey tiebreak added for cross-engine determinism.",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(dsum(revenue, 8), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(
+            F.col("revenue").desc_nulls_last(),
+            F.col("o_orderdate").asc_nulls_first(),
+            F.col("l_orderkey").asc_nulls_first(),
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+SELECT ROUND({dsum_sql('l_extendedprice * l_discount', 8)}, 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR_LO}'
+  AND l_shipdate <  TIMESTAMP '{Q6_YEAR_HI}'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 (forecast revenue change): the pure scan-efficiency query"
+    " — every predicate pushes into the parquet reader, only 3 columns are"
+    " read, and the single global aggregate is one partial-agg per"
+    " partition + a 1-row merge.  At 100 TB this is I/O-bound by design;"
+    " the plan has zero shuffled data rows.",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q6_YEAR_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q6_YEAR_HI).cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                dsum(F.col("l_extendedprice") * F.col("l_discount"), 8), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       ROUND({dsum_sql('l_extendedprice * (1 - l_discount)', 8)}, 2) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '{Q10_QTR_LO}'
+  AND o_orderdate <  TIMESTAMP '{Q10_QTR_HI}'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS FIRST
+LIMIT 20
+""",
+    doc="TPC-H Q10 (returned items): lost-revenue ranking per customer over"
+    " one quarter of returns.  nation broadcasts (25 rows); the returnflag"
+    " and date filters push into the scans; group-by keys carry the"
+    " customer payload so no second join is needed for the output columns;"
+    " top-20 by bounded heap.  Custkey tiebreak for determinism.",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_QTR_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_QTR_HI).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(dsum(revenue, 8), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(
+            F.col("revenue").desc_nulls_last(), F.col("c_custkey").asc_nulls_first()
+        )
+        .limit(20)
+    )

@@ -46,6 +46,7 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.asof_range",
     # round-2 additions: behind the window this round, rotate forward next
     "sql2all_spark.operators.profiling",
+    "sql2all_spark.operators.tpch",
 ]
 
 
