@@ -100,6 +100,29 @@ def test_neardup_pairs_join_is_bucketed_equi(spark, sf_dir):
     assert "band_key" in plan
 
 
+def test_q6_is_pure_pushed_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q6_forecast_revenue")
+    # every predicate reaches the parquet reader (explain truncates the
+    # filter list, so assert the visible prefix: all three columns get
+    # IsNotNull + the range filters start pushing)
+    assert (
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount),"
+        " IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda" in plan
+    )
+    # only the 4 needed columns are read (shipdate + discount + price + qty)
+    read = plan.split("ReadSchema")[1][:200]
+    assert "l_extendedprice" in read and "l_orderkey" not in read
+    # single global aggregate: partial + final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q3_broadcasts_selective_dim_and_bounded_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_heavy_hitters_two_phase_topk(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_heavy_hitters")
     # partial->final count around one exchange, then bounded-heap top-k —
