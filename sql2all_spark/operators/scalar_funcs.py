@@ -25,6 +25,45 @@ from sql2all_spark.tables import load_table
 
 
 @register(
+    "func_array_family",
+    oracle="""
+SELECT vec_id, label,
+       LEN(embedding) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_component,
+       array_to_string(list_transform(CAST(embedding[1:4] AS DOUBLE[]),
+                                      x -> printf('%.6f', x)), ',') AS head4,
+       list_reduce(
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+         (a, b) -> a + b) AS sq_norm,
+       LEN(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS n_positive
+FROM embeddings
+WHERE vec_id % 10 = 0
+""",
+    doc="Array family incl. higher-order transform/filter/fold over the"
+    " embedding column.  float32→double cast happens before any arithmetic"
+    " so both engines run the same IEEE double sequence left-to-right."
+    " Array-typed outputs are serialized to a CSV string (rounded 6dp) —"
+    " the driver's pandas canonicalizer cannot hash raw list cells"
+    " (CORRECTNESS_r01: unhashable type 'list').",
+)
+def func_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_component"),
+        F.array_join(
+            F.transform(F.slice(dbl, 1, 4), lambda x: F.format_string("%.6f", x)),
+            ",",
+        ).alias("head4"),
+        F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x).alias("sq_norm"),
+        F.size(F.filter(dbl, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
     "func_string_family",
     oracle="""
 SELECT c_custkey,
@@ -145,45 +184,6 @@ def func_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(F.lit(1) + F.col("l_discount"), 3), 6).alias("disc_compound"),
         (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
         F.signum(p - 30000).cast("int").alias("dev_sign"),
-    )
-
-
-@register(
-    "func_array_family",
-    oracle="""
-SELECT vec_id, label,
-       LEN(embedding) AS dim,
-       CAST(embedding[1] AS DOUBLE) AS first_component,
-       array_to_string(list_transform(CAST(embedding[1:4] AS DOUBLE[]),
-                                      x -> printf('%.6f', x)), ',') AS head4,
-       list_reduce(
-         list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
-         (a, b) -> a + b) AS sq_norm,
-       LEN(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS n_positive
-FROM embeddings
-WHERE vec_id % 10 = 0
-""",
-    doc="Array family incl. higher-order transform/filter/fold over the"
-    " embedding column.  float32→double cast happens before any arithmetic"
-    " so both engines run the same IEEE double sequence left-to-right."
-    " Array-typed outputs are serialized to a CSV string (rounded 6dp) —"
-    " the driver's pandas canonicalizer cannot hash raw list cells"
-    " (CORRECTNESS_r01: unhashable type 'list').",
-)
-def func_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    return e.select(
-        "vec_id",
-        "label",
-        F.size("embedding").alias("dim"),
-        F.element_at("embedding", 1).cast("double").alias("first_component"),
-        F.array_join(
-            F.transform(F.slice(dbl, 1, 4), lambda x: F.format_string("%.6f", x)),
-            ",",
-        ).alias("head4"),
-        F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x).alias("sq_norm"),
-        F.size(F.filter(dbl, lambda x: x > 0)).alias("n_positive"),
     )
 
 

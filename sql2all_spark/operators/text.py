@@ -408,3 +408,131 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "text_repetition_score",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]) AS grams
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+)
+SELECT doc_id,
+       CAST(len(grams) AS INT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+       ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+         AS repetition
+FROM g
+""",
+    doc="Intra-document repetition score (Gopher-style quality rule): the"
+    " fraction of duplicated word-trigrams inside each document.  High"
+    " repetition flags boilerplate/spam/looping generations before they"
+    " enter training data.  Row-local array ops, no shuffle; the trigram"
+    " list is built once per doc from a materialized split.",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", _tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 3
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("w"), i),
+            F.element_at(F.col("w"), i + 1),
+            F.element_at(F.col("w"), i + 2),
+        ),
+    )
+    g = w.select("doc_id", grams.alias("grams"))
+    return g.select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.size(F.array_distinct("grams")).alias("n_distinct"),
+        F.round(
+            1.0 - F.size(F.array_distinct("grams")).cast("double") / F.size("grams"),
+            6,
+        ).alias("repetition"),
+    )
+
+
+# 3-word shingles / 2-shared threshold: sized to the synthetic word-soup
+# fixture (5-grams never collide there).  A real pipeline over natural text
+# would use 8-13-gram shingles — only these two constants change.
+CONTAM_GRAM = 3  # words per shingle used for contamination matching
+CONTAM_MIN_SHARED = 2  # shared shingles to flag a (train, eval) pair
+
+
+def _contam_gram_hash_sql() -> str:
+    """DuckDB hash of the 5-word shingle starting at list index i."""
+    from sql2all_spark.functions.hashing import base_hash_sql
+
+    parts = " || ' ' || ".join(
+        f"string_split(text, ' ')[i+{k}]" for k in range(CONTAM_GRAM)
+    )
+    return base_hash_sql(f"({parts})")
+
+
+@register(
+    "text_contamination_check",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - {CONTAM_GRAM - 2}),
+           i -> {_contam_gram_hash_sql()})) AS hg
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {CONTAM_GRAM}
+),
+ev AS (SELECT doc_id, UNNEST(hg) AS h FROM grams WHERE doc_id % 100 = 0),
+tr AS (SELECT doc_id, UNNEST(hg) AS h FROM grams WHERE doc_id % 100 <> 0)
+SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+       COUNT(*) AS n_shared
+FROM tr JOIN ev ON tr.h = ev.h
+GROUP BY tr.doc_id, ev.doc_id
+HAVING COUNT(*) >= {CONTAM_MIN_SHARED}
+""",
+    doc="Benchmark-contamination detection: flag training documents sharing"
+    f" >= {CONTAM_MIN_SHARED} distinct {CONTAM_GRAM}-word shingles with any"
+    " held-out eval document (eval set = doc_id % 100 == 0 here; in"
+    " production, the benchmark corpus).  Same sparse inverted-index shape"
+    " as dedup_ngram_jaccard but ASYMMETRIC: the eval side is tiny and its"
+    " exploded shingle table acts as the probe set — at 100 TB the eval"
+    " index broadcasts and the train scan streams against it, no train-"
+    "train pairs ever form.  Shingles are 60-bit hashes; raw text never"
+    " shuffles.",
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql2all_spark.functions.hashing import base_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", _tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= CONTAM_GRAM
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("w"), i + k) for k in range(CONTAM_GRAM)]
+    )
+    hg = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - (CONTAM_GRAM - 1)),
+            lambda i: base_hash(gram(i)),
+        )
+    )
+    g = w.select("doc_id", hg.alias("hg"))
+    ev = g.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("eval_doc"), F.explode("hg").alias("h")
+    )
+    tr = g.filter(F.col("doc_id") % 100 != 0).select(
+        F.col("doc_id").alias("train_doc"), F.explode("hg").alias("h")
+    )
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )

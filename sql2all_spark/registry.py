@@ -37,6 +37,11 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.text",
     "sql2all_spark.operators.multimodal",
     "sql2all_spark.streaming.batch_twins",
+    # round-2 additions (no driver row yet) stay inside the 50-window
+    "sql2all_spark.operators.profiling",
+    "sql2all_spark.operators.tpch",
+    # scalar_funcs leads with func_array_family (the one red r01 row);
+    # its other families and everything below are r01-green and rotate out
     "sql2all_spark.operators.scalar_funcs",
     "sql2all_spark.operators.relational",
     "sql2all_spark.operators.joins",
@@ -44,9 +49,6 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.windows",
     "sql2all_spark.operators.setops",
     "sql2all_spark.operators.asof_range",
-    # round-2 additions: behind the window this round, rotate forward next
-    "sql2all_spark.operators.profiling",
-    "sql2all_spark.operators.tpch",
 ]
 
 

@@ -30,6 +30,7 @@ _FILE_SCHEMES = {
     "json": "json",
     "orc": "orc",
     "arrow": "arrow",
+    "avro": "avro",
     "file": None,  # format from extension
 }
 
@@ -142,6 +143,20 @@ def read_file_sql(
         with ipc.open_file(path) as r:
             tbl = r.read_all()
         df = spark.createDataFrame(tbl.to_pandas())
+        df.createOrReplaceTempView(table)
+        return spark.sql(query)
+    if fmt == "avro":
+        # source twin of the avro sink: distributed spark-avro reader when
+        # the jar is deployed, else the self-contained container-file
+        # reader (driver-side interchange, like the arrow path above)
+        try:
+            df = spark.read.format("avro").load(path)
+        except Exception as e:
+            if "Failed to find data source" not in str(e):
+                raise
+            from sql2all_spark.sinks.avro_io import read_avro
+
+            df = read_avro(spark, path)
         df.createOrReplaceTempView(table)
         return spark.sql(query)
     reader = spark.read

@@ -230,3 +230,21 @@ def test_export_option_split_read_vs_write(spark, tmp_path):
         r.value for r in spark.read.text(out).collect() if not r.value.startswith("id")
     )
     assert lines == ["1;a", "2;b"]  # semicolon applied to the output only
+
+
+def test_avro_source_roundtrip(spark, tmp_path):
+    """avro:// source twin of the avro sink: write via the container-file
+    writer, read back through read_source with SQL running on the result."""
+    src = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", None), (3, None, 0.5)],
+        "id long, name string, score double",
+    )
+    path = str(tmp_path / "t.avro")
+    write_output(src, path)
+    df = read_source(
+        spark,
+        f"avro://{path}",
+        "SELECT id, name FROM src WHERE score IS NOT NULL"
+        " ORDER BY id NULLS FIRST",
+    )
+    assert [tuple(r) for r in df.collect()] == [(1, "a"), (3, None)]
