@@ -195,3 +195,71 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.concat_ws(":", "doc_id", "frame_idx").alias("frame_key"),
     )
+
+
+RESIZE_BOX = 224  # fit-within target (e.g. vision-encoder input)
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+        T.StructField("scale_milli", T.IntegerType()),
+    ]
+)
+
+
+@register(
+    "mm_resize",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 4)) AS INT) % 1920 + 1 AS width,
+         CAST(('0x' || substr(md5(text), 5, 4)) AS INT) % 1080 + 1 AS height
+  FROM documents
+),
+scaled AS (
+  SELECT *, LEAST(CAST({RESIZE_BOX} AS DOUBLE) / width,
+                  CAST({RESIZE_BOX} AS DOUBLE) / height, 1.0) AS s
+  FROM dims
+)
+SELECT doc_id, width, height,
+       CAST(GREATEST(CAST(FLOOR(width * s + 0.5) AS INT), 1) AS INT) AS new_width,
+       CAST(GREATEST(CAST(FLOOR(height * s + 0.5) AS INT), 1) AS INT) AS new_height,
+       CAST(FLOOR(s * 1000 + 0.5) AS INT) AS scale_milli
+FROM scaled
+""",
+    doc=f"Image resize planning (fit-within {RESIZE_BOX}px box, aspect"
+    " preserved, never upscale): the mapInPandas stage a vision pipeline"
+    " runs before encoder ingestion.  The decode is the stub"
+    " (md5-derived dims); the batch shape, schema, and scaling arithmetic"
+    " are real — swap _fake_decode_props for PIL and add the resized"
+    " bytes column without touching the Spark plumbing.  floor(x+0.5)"
+    " rounding spelled out for cross-engine half-case agreement.",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media_df(spark, sf_dir)
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            props = pdf["payload"].map(_fake_decode_props)
+            w = props.map(lambda p: p[0]).astype("int32")
+            h = props.map(lambda p: p[1]).astype("int32")
+            s = (RESIZE_BOX / w).combine(RESIZE_BOX / h, min).combine(
+                pd.Series(1.0, index=w.index), min
+            )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "new_width": (w * s + 0.5).map(int).clip(lower=1).astype("int32"),
+                    "new_height": (h * s + 0.5).map(int).clip(lower=1).astype("int32"),
+                    "scale_milli": (s * 1000 + 0.5).map(int).astype("int32"),
+                }
+            )
+            yield out
+
+    return m.mapInPandas(resize_batches, schema=_RESIZE_SCHEMA)

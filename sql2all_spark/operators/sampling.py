@@ -124,3 +124,37 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_hash_bucket(F.col("doc_id")) < F.col("keep_pct"))
         .select("doc_id", "lang", "keep_pct")
     )
+
+
+SPLIT_TRAIN, SPLIT_VAL = 80, 90  # bucket boundaries: 80/10/10
+
+
+@register(
+    "sample_split_assign",
+    oracle=f"""
+SELECT doc_id, lang,
+       {_hash_bucket_sql('doc_id')} AS bucket,
+       CASE WHEN {_hash_bucket_sql('doc_id')} < {SPLIT_TRAIN} THEN 'train'
+            WHEN {_hash_bucket_sql('doc_id')} < {SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    doc="Deterministic train/val/test assignment (80/10/10 by hash bucket):"
+    " every row gets a split label that is a pure function of its key, so"
+    " the same document lands in the same split across reruns, engines,"
+    " repartitioning, and incremental corpus growth — the property that"
+    " prevents silent eval-set leakage over a dataset's lifetime."
+    "  Complements sample_hash_deterministic (rate threshold): this is a"
+    " total partition of the corpus, not a subset.  Row-local, no shuffle.",
+)
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return d.select(
+        "doc_id", "lang", bucket.alias("bucket"), split.alias("split")
+    )
