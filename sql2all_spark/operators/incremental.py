@@ -159,3 +159,88 @@ def change_capture_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_price",
         )
     )
+
+
+SCD2_EFFECTIVE = "2002-01-01 00:00:00"  # batch effective date (after fixture max)
+
+
+@register(
+    "scd2_apply_changes",
+    oracle=f"""
+WITH updates AS ({_UPDATE_BATCH_SQL}),
+base AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderdate AS valid_from
+  FROM orders
+),
+changed AS (
+  SELECT u.o_orderkey, u.o_totalprice, u.o_orderstatus
+  FROM updates u JOIN base b ON b.o_orderkey = u.o_orderkey
+  WHERE u.o_totalprice <> b.o_totalprice
+),
+inserted AS (
+  SELECT u.o_orderkey, u.o_totalprice, u.o_orderstatus
+  FROM updates u LEFT JOIN base b ON b.o_orderkey = u.o_orderkey
+  WHERE b.o_orderkey IS NULL
+)
+SELECT b.o_orderkey, b.o_totalprice, b.o_orderstatus, b.valid_from,
+       CASE WHEN c.o_orderkey IS NULL THEN NULL
+            ELSE TIMESTAMP '{SCD2_EFFECTIVE}' END AS valid_to,
+       c.o_orderkey IS NULL AS is_current
+FROM base b LEFT JOIN changed c ON b.o_orderkey = c.o_orderkey
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderstatus,
+       TIMESTAMP '{SCD2_EFFECTIVE}', NULL, TRUE
+FROM changed
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderstatus,
+       TIMESTAMP '{SCD2_EFFECTIVE}', NULL, TRUE
+FROM inserted
+""",
+    doc="Slowly-changing-dimension Type 2: apply an update batch to a"
+    " versioned dimension — changed keys get their current row CLOSED"
+    " (valid_to = effective date) plus a new current row; brand-new keys"
+    " insert; unchanged rows pass through untouched.  History is never"
+    " rewritten, only appended — the warehouse pattern that keeps every"
+    " join-as-of-date answerable.  Two hash joins on the key (the update"
+    " batch side broadcasts at any realistic dim/batch ratio); at scale"
+    " the rewrite prunes to partitions holding touched keys, exactly like"
+    " merge_upsert.",
+)
+def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    eff = F.lit(SCD2_EFFECTIVE).cast("timestamp")
+    base = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+    )
+    updates = _update_batch(o)
+    changed = (
+        updates.alias("u")
+        .join(base.alias("b"), "o_orderkey")
+        .filter(F.col("u.o_totalprice") != F.col("b.o_totalprice"))
+        .select("o_orderkey", "u.o_totalprice", "u.o_orderstatus")
+    )
+    inserted = updates.join(base.select("o_orderkey"), "o_orderkey", "left_anti")
+    changed_keys = F.broadcast(changed.select("o_orderkey", F.lit(1).alias("chg")))
+    hist = (
+        base.join(changed_keys, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderstatus",
+            "valid_from",
+            F.when(F.col("chg").isNotNull(), eff).alias("valid_to"),
+            F.col("chg").isNull().alias("is_current"),
+        )
+    )
+    fresh = changed.unionByName(inserted).select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        eff.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return hist.unionByName(fresh)

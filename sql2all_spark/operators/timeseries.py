@@ -176,3 +176,70 @@ def ts_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag(reached_click).alias("stage_click"),
         flag(reached_purchase).alias("stage_purchase"),
     )
+
+
+DECIMATE_BUCKET_US = 15 * 60 * 1_000_000  # 15-minute buckets
+
+
+@register(
+    "ts_minmax_decimate",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT event_id, ts, value,
+         make_timestamp((epoch_us(ts) // {DECIMATE_BUCKET_US})
+                        * {DECIMATE_BUCKET_US}) AS bucket_start,
+         ROW_NUMBER() OVER (
+           PARTITION BY epoch_us(ts) // {DECIMATE_BUCKET_US}
+           ORDER BY value ASC,  ts ASC, event_id ASC) AS rn_min,
+         ROW_NUMBER() OVER (
+           PARTITION BY epoch_us(ts) // {DECIMATE_BUCKET_US}
+           ORDER BY value DESC, ts ASC, event_id ASC) AS rn_max
+  FROM events
+)
+SELECT bucket_start, kind, ts, value, event_id
+FROM (
+  SELECT bucket_start, 'min' AS kind, ts, value, event_id
+  FROM bucketed WHERE rn_min = 1
+  UNION ALL
+  SELECT bucket_start, 'max' AS kind, ts, value, event_id
+  FROM bucketed WHERE rn_max = 1
+)
+""",
+    doc="Min/max envelope decimation (15-min buckets): keep exactly the"
+    " extreme points per bucket — the downsampling monitoring systems use"
+    " because it preserves spikes that averaging erases.  One shuffle on"
+    " the bucket key computes both ranks in a single window pass;"
+    " deterministic (ts, event_id) tiebreaks.  A single-point bucket"
+    " yields the same event as both its min and max row, by design.",
+)
+def ts_minmax_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    bucket_us = F.expr(f"unix_micros(ts) div {DECIMATE_BUCKET_US}")
+    b = e.select(
+        "event_id",
+        "ts",
+        "value",
+        F.expr(
+            f"timestamp_micros((unix_micros(ts) div {DECIMATE_BUCKET_US})"
+            f" * {DECIMATE_BUCKET_US})"
+        ).alias("bucket_start"),
+        bucket_us.alias("bucket_key"),
+    )
+    w_min = Window.partitionBy("bucket_key").orderBy(
+        F.col("value").asc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_max = Window.partitionBy("bucket_key").orderBy(
+        F.col("value").desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ranked = b.withColumn("rn_min", F.row_number().over(w_min)).withColumn(
+        "rn_max", F.row_number().over(w_max)
+    )
+    mins = ranked.filter(F.col("rn_min") == 1).select(
+        "bucket_start", F.lit("min").alias("kind"), "ts", "value", "event_id"
+    )
+    maxs = ranked.filter(F.col("rn_max") == 1).select(
+        "bucket_start", F.lit("max").alias("kind"), "ts", "value", "event_id"
+    )
+    return mins.unionByName(maxs)

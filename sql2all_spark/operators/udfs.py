@@ -24,38 +24,6 @@ from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
 
-def _readability_fn(text: pd.Series) -> pd.Series:
-    """Chars per sentence, vectorized over an Arrow batch."""
-    sentences = text.str.count(r"\. ") + 1
-    return text.str.len() / sentences
-
-
-# nb: the @pandas_udf decorator must NOT run at module import time — Spark
-# workers re-import this module to unpickle the grouped-map function, and
-# the decorator's DDL parse needs a live SparkSession (absent on workers).
-
-
-@register(
-    "udf_pandas_readability",
-    oracle="""
-SELECT doc_id,
-       ROUND(CAST(LENGTH(text) AS DOUBLE)
-             / (len(regexp_extract_all(text, '\\. ')) + 1), 6) AS chars_per_sentence
-FROM documents
-""",
-    doc="Vectorized scalar pandas UDF (Arrow-batched): chars-per-sentence"
-    " readability proxy.  Row-local, no shuffle; ~10-100x the throughput of"
-    " a row-at-a-time Python UDF because each call processes a whole Arrow"
-    " batch with pandas str kernels.",
-)
-def udf_pandas_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    readability = pandas_udf(_readability_fn, "double")
-    return d.select(
-        "doc_id", F.round(readability(F.col("text")), 6).alias("chars_per_sentence")
-    )
-
-
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-group z-score of n_chars (two-pass mean/std, ddof=1)."""
     mu = pdf["n_chars"].mean()

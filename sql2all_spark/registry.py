@@ -49,6 +49,7 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.windows",
     "sql2all_spark.operators.setops",
     "sql2all_spark.operators.asof_range",
+    "sql2all_spark.operators.udf_scalar",  # r01-green; split out of udfs
 ]
 
 
