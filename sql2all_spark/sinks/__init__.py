@@ -76,6 +76,32 @@ def write_output(
         if fmt in ("arrow",):
             raise ValueError("partition_by is not supported for arrow output")
         writer = writer.partitionBy(*partition_by)
+    if fmt == "arrow" and not single_file:
+        # Distributed Arrow IPC writer (reference declares arrow output but
+        # panics, lib.rs:138): one IPC file per partition written FROM THE
+        # EXECUTORS via mapInArrow — no driver materialization, scales with
+        # the cluster like any file sink.  single_file=True keeps the exact
+        # one-file layout of the reference's other sinks (driver-side).
+        import os
+        import shutil
+
+        if options:
+            raise ValueError(
+                f"arrow output does not accept writer options: {sorted(options)}"
+            )
+        if mode == "append":
+            raise ValueError("mode='append' is not supported for arrow output")
+        if os.path.exists(output):
+            if mode == "ignore":
+                return output
+            if mode in ("error", "errorifexists"):
+                raise ValueError(f"output path already exists: {output!r}")
+            # overwrite: clear stale part files from any previous write
+            if os.path.isdir(output):
+                shutil.rmtree(output)
+            else:
+                os.remove(output)
+        return _write_arrow_ipc_dir(out, output)
     if fmt == "csv":
         writer = writer.option("header", "true")
     if fmt == "json" and explicit_nulls:
@@ -128,10 +154,8 @@ def write_output(
         lance.write_dataset(out.toArrow(), output, mode="overwrite")
         return output
     if fmt == "arrow":
-        # Arrow IPC is unimplemented in the reference (lib.rs:138 panics);
-        # we implement it for real via mapInArrow → one IPC stream file per
-        # partition is not a standard Spark sink, so collect via toArrow for
-        # driver-side export.  Scale path: write parquet (Arrow-compatible).
+        # single_file=True path: exactly one IPC file, reference-style
+        # (the distributed per-partition writer above is the default).
         import pyarrow as pa
         import pyarrow.ipc as ipc
 
@@ -163,4 +187,75 @@ def write_output(
                 ) from e
             return write_output_avro(out, output, mode)
         raise
+    return output
+
+
+def _write_arrow_ipc_dir(df: DataFrame, output: str) -> str:
+    """Distributed Arrow IPC sink: every partition writes its own
+    ``part-<pid>.arrow`` IPC file from the executor (``mapInArrow`` — Arrow
+    batches never leave the JVM→worker boundary in row form), then the
+    driver records a ``_manifest.json`` of (file, rows) from the 1-row-per-
+    partition summary.  Partition 0 always writes a file, even when empty,
+    so the schema survives empty results (reference parity: schema-only
+    output files, ``tests/test_sinks.py::test_sqlite_empty_result``).
+    Task retries rewrite the same deterministic per-partition path, so the
+    layout is idempotent under replay.
+    """
+    import json
+    import os
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    os.makedirs(output, exist_ok=True)
+    # Serialize the Arrow schema driver-side so empty partitions can still
+    # emit a schema-carrying file without having seen a batch.
+    schema_hex = bytes(to_arrow_schema(df.schema).serialize()).hex()
+
+    def write_part(batches):
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        schema = ipc.read_schema(pa.py_buffer(bytes.fromhex(schema_hex)))
+        path = os.path.join(output, f"part-{pid:05d}.arrow")
+        n_rows = 0
+        writer = None
+        sink = None
+        try:
+            for batch in batches:
+                if writer is None:
+                    sink = pa.OSFile(path, "wb")
+                    writer = ipc.new_file(sink, schema)
+                writer.write_batch(batch)
+                n_rows += batch.num_rows
+            if writer is None and pid == 0:
+                sink = pa.OSFile(path, "wb")
+                writer = ipc.new_file(sink, schema)  # schema-only file
+        finally:
+            if writer is not None:
+                writer.close()
+                sink.close()
+        if writer is None:
+            return  # empty non-zero partition: no file, no summary row
+        yield pa.record_batch(
+            [pa.array([os.path.basename(path)]), pa.array([n_rows], pa.int64())],
+            names=["file", "n_rows"],
+        )
+
+    summary = df.mapInArrow(write_part, "file string, n_rows long").collect()
+    manifest = {
+        "format": "arrow-ipc-file",
+        "files": sorted(
+            ({"file": r.file, "n_rows": r.n_rows} for r in summary),
+            key=lambda d: d["file"],
+        ),
+        "total_rows": sum(r.n_rows for r in summary),
+        "schema": [
+            {"name": f.name, "type": f.dataType.simpleString()}
+            for f in df.schema.fields
+        ],
+    }
+    with open(os.path.join(output, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
     return output

@@ -137,11 +137,25 @@ def read_file_sql(
     if fmt == "arrow":
         # Arrow IPC has no distributed Spark reader; load on the driver via
         # pyarrow and parallelize (sink parity with sinks' .arrow writer —
-        # for anything large, the interchange format is parquet).
+        # for anything large, the interchange format is parquet).  Handles
+        # both sink layouts: a single IPC file (single_file=True) and the
+        # distributed per-partition directory of part-*.arrow files.
+        import glob
+        import os
+
+        import pyarrow as pa
         import pyarrow.ipc as ipc
 
-        with ipc.open_file(path) as r:
-            tbl = r.read_all()
+        if os.path.isdir(path):
+            parts = sorted(glob.glob(os.path.join(path, "part-*.arrow")))
+            if not parts:
+                raise ValueError(f"no part-*.arrow files under {path!r}")
+            tbl = pa.concat_tables(
+                [ipc.open_file(p).read_all() for p in parts]
+            )
+        else:
+            with ipc.open_file(path) as r:
+                tbl = r.read_all()
         df = spark.createDataFrame(tbl.to_pandas())
         df.createOrReplaceTempView(table)
         return spark.sql(query)

@@ -55,11 +55,55 @@ def test_ndjson_explicit_nulls(spark, sample, tmp_path):
 
 def test_arrow_ipc_roundtrip(spark, sample, tmp_path):
     """The reference declares Arrow output but panics on it (lib.rs:138);
-    we implement it."""
+    we implement it — distributed per-partition writer by default."""
+    import glob
+    import json
+
+    import pyarrow as pa
     import pyarrow.ipc as ipc
 
     out = str(tmp_path / "out.arrow")
     write_output(sample, out)
+    parts = sorted(glob.glob(out + "/part-*.arrow"))
+    assert parts, "distributed writer must produce part files"
+    tbl = pa.concat_tables([ipc.open_file(p).read_all() for p in parts])
+    assert tbl.num_rows == 3
+    assert sorted(tbl.column_names) == ["id", "name", "score"]
+    manifest = json.load(open(out + "/_manifest.json"))
+    assert manifest["total_rows"] == 3
+    assert [c["name"] for c in manifest["schema"]] == ["id", "name", "score"]
+
+
+def test_arrow_ipc_distributed_multifile(spark, tmp_path):
+    """Multi-partition frames write one IPC file per partition from the
+    executors (no driver materialization); empty frames still produce a
+    schema-carrying partition-0 file."""
+    import glob
+
+    import pyarrow.ipc as ipc
+
+    out = str(tmp_path / "multi.arrow")
+    df = spark.range(0, 1000).repartition(4)
+    write_output(df, out)
+    parts = sorted(glob.glob(out + "/part-*.arrow"))
+    assert len(parts) == 4
+    total = sum(ipc.open_file(p).read_all().num_rows for p in parts)
+    assert total == 1000
+
+    empty_out = str(tmp_path / "empty.arrow")
+    write_output(df.filter("id < 0"), empty_out)
+    eparts = glob.glob(empty_out + "/part-*.arrow")
+    assert len(eparts) == 1  # schema-only partition-0 file
+    etbl = ipc.open_file(eparts[0]).read_all()
+    assert etbl.num_rows == 0 and etbl.column_names == ["id"]
+
+
+def test_arrow_ipc_single_file(spark, sample, tmp_path):
+    """single_file=True keeps the reference-style one-file layout."""
+    import pyarrow.ipc as ipc
+
+    out = str(tmp_path / "single.arrow")
+    write_output(sample, out, single_file=True)
     with ipc.open_file(out) as reader:
         tbl = reader.read_all()
     assert tbl.num_rows == 3
