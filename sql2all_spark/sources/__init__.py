@@ -104,7 +104,11 @@ def read_sqlite_local(
 
 
 def read_jdbc(
-    spark: SparkSession, url: str, query: str, **options: str
+    spark: SparkSession,
+    url: str,
+    query: str,
+    db_column_types: dict[str, str] | None = None,
+    **options: str,
 ) -> DataFrame:
     """Whole-query JDBC pushdown — the reference's core design
     (``src/db/mysql.rs:91`` ``conn.query_iter(query)``) with Spark's
@@ -112,8 +116,20 @@ def read_jdbc(
 
     Pass ``partitionColumn``/``lowerBound``/``upperBound``/``numPartitions``
     to parallelize the read (reference reads on exactly one connection,
-    ``src/db/mysql.rs:85-86``)."""
+    ``src/db/mysql.rs:85-86``).
+
+    ``db_column_types={'id': 'INT4', ...}`` pins result column types via the
+    reference's exact per-type mapping tables (``src/db/conversion.rs:9-52``,
+    see :mod:`sql2all_spark.sources.type_maps`) instead of relying on the
+    JDBC dialect's inference — compiled into Spark's ``customSchema``."""
     scheme, _ = split_scheme(url)
+    if db_column_types:
+        from sql2all_spark.sources.type_maps import custom_schema
+
+        options = {
+            **options,
+            "customSchema": custom_schema(scheme, db_column_types),
+        }
     jdbc_url = url if url.startswith("jdbc:") else f"jdbc:{url}"
     reader = (
         spark.read.format("jdbc")

@@ -248,3 +248,88 @@ def test_avro_source_roundtrip(spark, tmp_path):
         " ORDER BY id NULLS FIRST",
     )
     assert [tuple(r) for r in df.collect()] == [(1, "a"), (3, None)]
+
+
+# --- conversion.rs type-mapping parity (src/db/conversion.rs:9-52) ---------
+# Every row of the reference's two MapArrowType impls, enumerated so a table
+# drift fails a named test.  Expected Spark DDL → expected reference Arrow
+# type noted inline; TIME/TIMESTAMP divergences documented in type_maps.py.
+
+PG_ROWS = [
+    ("BOOL", "BOOLEAN"),        # Arrow Boolean        (conversion.rs:12)
+    ("INT2", "SMALLINT"),       # Arrow Int16          (conversion.rs:13)
+    ("INT4", "INT"),            # Arrow Int32          (conversion.rs:14)
+    ("FLOAT4", "FLOAT"),        # Arrow Float32        (conversion.rs:15)
+    ("FLOAT8", "DOUBLE"),       # Arrow Float64        (conversion.rs:16)
+    ("BIT", "BINARY"),          # Arrow Binary         (conversion.rs:17)
+    ("NUMERIC", "DOUBLE"),      # Arrow Float64        (conversion.rs:18)
+    ("DATE", "DATE"),           # Arrow Date32         (conversion.rs:19)
+    ("TIME", "TIMESTAMP"),      # Arrow Time32(s)      (conversion.rs:20)
+    ("VARCHAR", "STRING"),      # Arrow Utf8           (conversion.rs:21)
+    ("TIMESTAMP", "TIMESTAMP"), # Arrow Timestamp(ms)  (conversion.rs:22)
+]
+
+MYSQL_ROWS = [
+    ("MYSQL_TYPE_INT24", "INT"),           # Arrow Int32          (:34)
+    ("MYSQL_TYPE_LONG", "INT"),            # Arrow Int32          (:35)
+    ("MYSQL_TYPE_FLOAT", "DOUBLE"),        # Arrow Float64        (:36-38)
+    ("MYSQL_TYPE_NEWDECIMAL", "DOUBLE"),   # Arrow Float64        (:39)
+    ("MYSQL_TYPE_TIMESTAMP", "TIMESTAMP"), # Arrow Timestamp(ms)  (:40-42)
+    ("MYSQL_TYPE_VARCHAR", "STRING"),      # Arrow Utf8           (:43)
+    ("MYSQL_TYPE_VAR_STRING", "STRING"),   # Arrow Utf8           (:44)
+    ("MYSQL_TYPE_BLOB", "STRING"),         # Arrow Utf8           (:45)
+]
+
+
+@pytest.mark.parametrize("db_type,spark_type", PG_ROWS)
+def test_pg_type_map_row(db_type, spark_type):
+    from pyspark.sql.types import StructType
+
+    from sql2all_spark.sources.type_maps import map_db_type
+
+    assert map_db_type("postgresql", db_type) == spark_type
+    assert map_db_type("postgres", db_type.lower()) == spark_type
+    StructType.fromDDL(f"c {spark_type}")  # every mapping is valid Spark DDL
+
+
+@pytest.mark.parametrize("db_type,spark_type", MYSQL_ROWS)
+def test_mysql_type_map_row(db_type, spark_type):
+    from pyspark.sql.types import StructType
+
+    from sql2all_spark.sources.type_maps import map_db_type
+
+    assert map_db_type("mysql", db_type) == spark_type
+    StructType.fromDDL(f"c {spark_type}")
+
+
+def test_type_map_tables_complete():
+    """Table size pins: adding/removing a reference row must touch both the
+    module table and the enumerated test rows."""
+    from sql2all_spark.sources.type_maps import MYSQL_TYPE_MAP, PG_TYPE_MAP
+
+    assert len(PG_TYPE_MAP) == len(PG_ROWS) == 11
+    assert len(MYSQL_TYPE_MAP) == len(MYSQL_ROWS) == 8
+
+
+def test_type_map_unknown_raises():
+    """Unsupported types fail loudly — the reference's unimplemented! arm
+    (conversion.rs:24,48)."""
+    from sql2all_spark.sources.type_maps import custom_schema, map_db_type
+
+    with pytest.raises(ValueError, match="not supported for column"):
+        map_db_type("postgresql", "JSONB")
+    with pytest.raises(ValueError, match="not supported for column"):
+        map_db_type("mysql", "MYSQL_TYPE_GEOMETRY")
+    with pytest.raises(ValueError, match="no type-mapping table"):
+        custom_schema("sqlite", {"a": "INTEGER"})
+
+
+def test_custom_schema_assembly():
+    from sql2all_spark.sources.type_maps import custom_schema
+
+    got = custom_schema(
+        "postgresql", {"id": "INT4", "name": "VARCHAR", "score": "FLOAT8"}
+    )
+    assert got == "id INT, name STRING, score DOUBLE"
+    got = custom_schema("mysql", {"n": "MYSQL_TYPE_NEWDECIMAL"})
+    assert got == "n DOUBLE"
