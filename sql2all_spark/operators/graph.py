@@ -144,3 +144,139 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("cluster_id"))
         .alias("cluster_size"),
     )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): every node connects its STRICTLY LARGER neighbors to the
+    minimum of its neighborhood (incl. itself).  Output edges are directed
+    (larger, smaller); no self-loops possible since min ≤ u < v."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node connects ALL its smaller-or-equal
+    neighbors (and itself) to the minimum among them."""
+    d = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        d.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(m.select("u", F.col("m").alias("v")))
+    )
+    return out.distinct()
+
+
+def star_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components: converges in
+    O(log d) rounds (d = component diameter) versus min-label propagation's
+    O(d) — the scale-safe variant when clusters can be deep chains.
+
+    ``edges``: (u, v) pair DataFrame (direction irrelevant).  Returns
+    ``(labels, n_rounds)`` where labels is (doc_id, cluster_id) for every
+    node that appears in an edge, cluster_id = min node id of its component.
+
+    Convergence detection: the edge set only moves "downhill" (every round
+    replaces edges with edges to smaller targets), so an unchanged
+    (count, hash-sum) signature ⇔ a fixpoint — two scalar aggregates per
+    round, no data collect (same discipline as dedup_clusters)."""
+    e = edges.select("u", "v").localCheckpoint()
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        rounds += 1
+        # bit_xor, not sum: xor of 64-bit hashes cannot overflow under ANSI
+        # mode, and the edge set is distinct so xor-of-set detects change
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        sig = (sig.n, sig.h)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:  # pragma: no cover - log2(diameter) ≪ max_rounds
+        raise RuntimeError(f"star rounds did not converge in {max_rounds}")
+    # Fixpoint edge set is a star forest: (member, center) for every
+    # non-center member.  Centers label themselves.
+    members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    centers = e.select(F.col("v").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    return members.unionByName(centers).distinct(), rounds
+
+
+@register(
+    "dedup_clusters_star",
+    oracle=f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT * FROM ({NGRAM_PAIRS_ORACLE}) all_pairs
+  WHERE jaccard >= {CLUSTER_JACCARD_FLOOR}
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u
+),
+comp AS (
+  SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_keeper,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+""",
+    doc="Connected components over the same near-dup graph as dedup_clusters"
+    " but via alternating large-star/small-star (Kiveris et al.) — O(log d)"
+    " rounds instead of O(d), the variant to reach for when dup clusters can"
+    " be long chains (e.g. drifted successive revisions).  Same oracle, same"
+    " fixpoint; a pytest proves the round bound on a deliberately deep"
+    " chain.",
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= CLUSTER_JACCARD_FLOOR)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    labels, _ = star_components(pairs)
+    singles = docs.join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("cluster_id"))
+    all_labels = labels.unionByName(singles)
+    return all_labels.select(
+        "doc_id",
+        "cluster_id",
+        F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0).alias(
+            "is_keeper"
+        ),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
+    )
