@@ -134,9 +134,10 @@ def _bucket_sql(emb: str) -> str:
     return " || ".join(bits)
 
 
-@register(
-    "sim_lsh_ann",
-    oracle=f"""
+# Shared by sim_lsh_ann (computes signatures at query time) and
+# sim_lsh_ann_indexed (reads them back from a bucket-partitioned store):
+# same buckets, same exact in-bucket ranking, same fixpoint.
+LSH_ANN_ORACLE = f"""
 WITH sigs AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
          {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
@@ -148,7 +149,12 @@ SELECT s.vec_id, s.label, s.bucket,
 FROM sigs s CROSS JOIN q
 WHERE s.bucket = q.qbucket AND s.vec_id <> 0
 ORDER BY cosine DESC NULLS LAST, vec_id ASC NULLS FIRST
-""",
+"""
+
+
+@register(
+    "sim_lsh_ann",
+    oracle=LSH_ANN_ORACLE,
     doc="ANN via random-hyperplane LSH: 6 sign bits → bucket id; search"
     " touches only the query's bucket (~corpus/2^6 expected) and ranks"
     " exactly inside it.  Scale path: persist `bucket` as a partition column"
@@ -176,6 +182,75 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc_nulls_last(), F.col("vec_id").asc_nulls_first())
+    )
+
+
+ANN_INDEX_ROOT = "/tmp/sql2all_spark_ann_index"
+
+# Explicit read schema for the index: partition-column TYPE INFERENCE would
+# otherwise parse a bit-string like '010110' as the integer 10110 (leading
+# zero dropped) and corrupt the bucket keys.
+ANN_INDEX_SCHEMA = "vec_id bigint, label int, v array<double>, bucket string"
+
+
+def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the LSH signature table bucket-partitioned on disk —
+    the storage layout the sim_lsh_ann docstring promises at scale: one
+    Hive-style ``bucket=<sig>`` directory per signature, so a query's scan
+    partition-prunes to 1/2^bits of the corpus at the parquet level."""
+    from sql2all_spark.sinks import write_output
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = e.select(
+        "vec_id",
+        "label",
+        _dbl(F.col("embedding")).alias("v"),
+        _bucket_spark(_dbl(F.col("embedding"))).alias("bucket"),
+    )
+    path = f"{ANN_INDEX_ROOT}/{sf_dir.strip('/').replace('/', '_')}.parquet"
+    write_output(sigs, path, partition_by=["bucket"])
+    return path
+
+
+@register(
+    "sim_lsh_ann_indexed",
+    oracle=LSH_ANN_ORACLE,
+    doc="The stored-index form of sim_lsh_ann: signatures are materialized"
+    " ONCE as a bucket-partitioned parquet dataset (build_ann_index), and"
+    " the query reads back ONLY the matching bucket=<sig> partition — the"
+    " scan shows PartitionFilters and touches 1/2^bits of the files"
+    " (asserted in tests/test_plans.py).  The query's own bucket is a"
+    " driver-side scalar (one 1-row lookup, same class as the kmeans"
+    " convergence scalars), which makes the pruning STATIC — no join, no"
+    " DPP dependency.  Same oracle as sim_lsh_ann: storing the index must"
+    " not change a single result row.",
+)
+def sim_lsh_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = build_ann_index(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    qrow = (
+        e.filter(F.col("vec_id") == 0)
+        .select(
+            _dbl(F.col("embedding")).alias("qv"),
+            _bucket_spark(_dbl(F.col("embedding"))).alias("qbucket"),
+        )
+        .collect()[0]
+    )
+    qv = F.array(*[F.lit(float(x)) for x in qrow.qv])
+    idx = spark.read.schema(ANN_INDEX_SCHEMA).parquet(path)
+    return (
+        idx.filter(
+            (F.col("bucket") == qrow.qbucket) & (F.col("vec_id") != 0)
+        )
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(_cosine(F.col("v"), qv), 6).alias("cosine"),
+        )
+        .orderBy(
+            F.col("cosine").desc_nulls_last(), F.col("vec_id").asc_nulls_first()
+        )
     )
 
 

@@ -159,3 +159,31 @@ def test_curation_pipeline_single_wide_shuffle(spark, sf_dir):
 
     df = all_specs()["pipeline_curation"].builder(spark, sf_dir)
     assert shuffle_count(df) <= 2
+
+
+def test_ann_indexed_scan_partition_prunes(spark, sf_dir):
+    """The stored-LSH-index query must read ONLY the query vector's
+    bucket=<sig> partition: the scan carries a PartitionFilters entry on
+    the bucket column, and the file count actually read is a fraction of
+    the index's partition directories (pruning happened at planning time,
+    not as a post-scan filter)."""
+    import glob
+    import re
+
+    from sql2all_spark.operators.similarity import ANN_INDEX_ROOT
+    from sql2all_spark.plans import physical_plan
+
+    # build ONCE: each build rewrites the index dir (overwrite), which
+    # invalidates any earlier DataFrame's cached file listing
+    df = all_specs()["sim_lsh_ann_indexed"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    # static partition pruning on the bucket partition column
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "bucket" in m.group(1) and "=" in m.group(1), m.group(1)
+    # the index has many bucket dirs; the query touches exactly one
+    buckets = glob.glob(f"{ANN_INDEX_ROOT}/*/bucket=*")
+    assert len(buckets) > 10  # 64 possible signatures, most non-empty
+    rows = df.collect()
+    assert len(rows) > 0
+    assert len({r.bucket for r in rows}) == 1
