@@ -317,7 +317,14 @@ FROM s
     " reference chunks deterministically.",
 )
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return chunk_windows(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_windows(d: DataFrame) -> DataFrame:
+    """The chunking transformation itself, usable on any (doc_id, text)
+    frame — including an UNBOUNDED one: every expression is stateless and
+    row-local, so the same plan runs as a streaming stage (see
+    ``streaming/jobs.py:chunk_stream`` and the stream≡twin pytest)."""
     w = d.select("doc_id", _tokens(F.col("text")).alias("w"))
     starts = F.sequence(
         F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(CHUNK_STRIDE)

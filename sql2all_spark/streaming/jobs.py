@@ -240,6 +240,34 @@ def stateful_tws_user_max(stream: DataFrame) -> DataFrame:
     )
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a micro-batched file stream — the ingestion
+    shape of a continuously-landing document corpus (crawler output
+    arriving as files).  Same glob workaround as ``events_stream``."""
+    raw_schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    glob = table_path(sf_dir, "documents").replace(
+        "documents.parquet", "documents*.parquet"
+    )
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob)
+    )
+
+
+def chunk_stream(stream: DataFrame) -> DataFrame:
+    """Streaming document chunking: the stateless row-local
+    ``chunk_windows`` transformation applied to an unbounded document
+    stream — no watermark or state store needed (nothing aggregates), so
+    each arriving document emits its chunks in the same micro-batch.
+    Pair with ``stream_export`` for the continuous chunk-ingestion
+    pipeline: land docs → chunk → batch-keyed parquet subdirs, exactly-once
+    at the batch level."""
+    from sql2all_spark.operators.text import chunk_windows
+
+    return chunk_windows(stream)
+
+
 def stream_export(
     df: DataFrame,
     output: str,

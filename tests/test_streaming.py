@@ -216,3 +216,19 @@ def test_stream_export_batch_replay_idempotent(spark, sf_dir, tmp_path):
     run(str(tmp_path / "cp2"))  # fresh checkpoint: batch ids replay from 0
     n2 = spark.read.option("recursiveFileLookup", "true").parquet(out).count()
     assert n1 == n2 > 0
+
+
+def test_chunk_stream_pipeline_matches_batch_twin(spark, sf_dir, tmp_path):
+    """The full streaming chunk-ingestion pipeline: documents land as a
+    file stream, chunk row-locally, export through the batch-keyed
+    foreachBatch sink — the end state equals the registered
+    text_chunk_windows batch twin exactly."""
+    from sql2all_spark.registry import all_specs
+
+    stream = jobs.chunk_stream(jobs.documents_stream(spark, sf_dir))
+    out = str(tmp_path / "chunks.parquet")
+    q = jobs.stream_export(stream, out, checkpoint=str(tmp_path / "cp"))
+    q.awaitTermination(120)
+    got = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    want = all_specs()["text_chunk_windows"].builder(spark, sf_dir)
+    assert _rows(got) == _rows(want)
