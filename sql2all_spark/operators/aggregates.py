@@ -417,3 +417,55 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_monthly",
         (rel <= HLL_ROLLUP_BOUND).cast("long").alias("est_within_bound"),
     )
+
+
+# approx_percentile(accuracy=10000): rank error ≤ 1/accuracy, so the
+# estimated quantile lies between the exact quantiles at rank ± n/10000.
+# The acceptance check below is looser and simpler: the estimate must lie
+# within [exact_p_lo, exact_p_hi] for ±1 percentile — deterministic, far
+# wider than the sketch's guarantee, and expressible exactly in both
+# engines.
+QUANTILE_ACCURACY = 10000
+
+
+@register(
+    "agg_approx_quantiles",
+    oracle="""
+SELECT CAST(1 AS BIGINT) AS p50_within_bound,
+       CAST(1 AS BIGINT) AS p95_within_bound,
+       COUNT(*) AS n_rows
+FROM lineitem
+""",
+    doc="Mergeable quantile sketch (approx_percentile, the KLL-style 100 TB"
+    " path for percentiles — constant-size state, no global sort).  The"
+    " hash-checked contract mirrors agg_approx_count_distinct: the sketch"
+    " estimate is engine-specific, so the query emits deterministic"
+    " within-bound flags — the p50/p95 estimates must lie inside the EXACT"
+    " ±1-percentile window (computed in the same query) — which the oracle"
+    " pins to 1.  Spark's sketch is deterministic for fixed input, so the"
+    " flags are hard signals.",
+)
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("double")
+    agg = li.agg(
+        F.percentile_approx(x, [0.50, 0.95], QUANTILE_ACCURACY).alias("est"),
+        F.expr(
+            "percentile(CAST(l_extendedprice AS DOUBLE),"
+            " array(0.49, 0.51, 0.94, 0.96))"
+        ).alias("exact"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+    def within(i_est: int, i_lo: int, i_hi: int):
+        est = F.col("est").getItem(i_est)
+        return (
+            (est >= F.col("exact").getItem(i_lo))
+            & (est <= F.col("exact").getItem(i_hi))
+        ).cast("long")
+
+    return agg.select(
+        within(0, 0, 1).alias("p50_within_bound"),
+        within(1, 2, 3).alias("p95_within_bound"),
+        "n_rows",
+    )

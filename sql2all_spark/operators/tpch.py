@@ -161,3 +161,114 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+Q4_QTR_LO = "1996-07-01 00:00:00"
+Q4_QTR_HI = "1996-10-01 00:00:00"
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_QTR_LO}'
+  AND o_orderdate <  TIMESTAMP '{Q4_QTR_HI}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority ASC NULLS FIRST
+""",
+    doc="TPC-H Q4 (order priority checking), fixture-adapted: the trimmed"
+    " lineitem has no commit/receipt dates, so the EXISTS predicate is"
+    " 'shipped after the order date' — the plan shape is the point and is"
+    " unchanged: a LEFT-SEMI join (EXISTS never duplicates orders rows),"
+    " date filters pushed into the orders scan, lineitem pruned to two"
+    " columns, partial-agg before the 5-group exchange."
+    "  Reference would forward this verbatim (src/db/sqlite.rs:79).",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q4_QTR_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_QTR_HI).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy(F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+Q18_QTY_THRESHOLD = 150
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         > {Q18_QTY_THRESHOLD}
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN big      ON big.l_orderkey = o_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC NULLS LAST, o_orderdate ASC NULLS FIRST,
+         o_orderkey ASC NULLS FIRST
+LIMIT 100
+""",
+    doc="TPC-H Q18 (large-volume customers): orders whose total quantity"
+    f" exceeds {Q18_QTY_THRESHOLD}.  The HAVING subquery reduces on"
+    " l_orderkey FIRST (partial agg, slim 1-column shuffle), and only the"
+    " few surviving orderkeys join back — a LEFT-SEMI via the `big` CTE —"
+    " so the wide customer/orders payload never joins the full lineitem."
+    " Quantity sums ride decimals for cross-engine exactness; top-100 is a"
+    " bounded heap.",
+)
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty = dsum(F.col("l_quantity"), 2)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(qty.alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+        .select("l_orderkey", "total_qty")
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc_nulls_last(),
+            F.col("o_orderdate").asc_nulls_first(),
+            F.col("o_orderkey").asc_nulls_first(),
+        )
+        .limit(100)
+    )
