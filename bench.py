@@ -47,7 +47,9 @@ HEADLINE = [
     "dedup_simhash",
     "sim_topk_bruteforce",
     "sim_lsh_ann",
+    "sim_lsh_ann_indexed",
     "sim_neardup_pairs",
+    "text_bm25_retrieval",
     "text_quality_score",
     "mm_decode_features",
     "ts_rollup_hierarchy",

@@ -25,27 +25,35 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # round-1-green joins/aggregates/windows/setops/asof_range rotate behind
 # (their green rows are on record; tools/check.py still covers them locally).
 _QUERY_MODULES = [
+    # Round-3 front window: every query that is NEW or CHANGED this round
+    # sits inside the first 50 registrations.  Targets: aggregates
+    # (agg_approx_count_distinct #9, agg_hll_sketch_rollup #13,
+    # agg_approx_quantiles #14), text (bm25 #11, tfidf #12), similarity
+    # (sim_lsh_ann_indexed #3), tpch (q4 #4, q18 #5), graph
+    # (dedup_clusters_star #2).  NOTE: importing graph pulls in dedup
+    # first, so dedup's 4 queries register before graph's 2 — positions:
+    # 1-14 aggregates, 15-26 text, 27-34 similarity, 35-39 tpch,
+    # 40-43 dedup, 44-45 graph, 46-49 multimodal, 50 = udaf_zscore_group.
+    # Everything at 51+ has a driver-green row in r01 or r02 and is
+    # re-verified by the committed CHECK_FULL_r3 artifact.
+    "sql2all_spark.operators.aggregates",
+    "sql2all_spark.operators.text",
+    "sql2all_spark.operators.similarity",
+    "sql2all_spark.operators.tpch",
+    "sql2all_spark.operators.graph",
+    "sql2all_spark.operators.dedup",
+    "sql2all_spark.operators.multimodal",
     "sql2all_spark.operators.udfs",
     "sql2all_spark.operators.skew",
     "sql2all_spark.operators.timeseries",
     "sql2all_spark.operators.sampling",
-    "sql2all_spark.operators.graph",
     "sql2all_spark.operators.incremental",
     "sql2all_spark.operators.pipeline",
-    "sql2all_spark.operators.dedup",
-    "sql2all_spark.operators.similarity",
-    "sql2all_spark.operators.text",
-    "sql2all_spark.operators.multimodal",
     "sql2all_spark.streaming.batch_twins",
-    # round-2 additions (no driver row yet) stay inside the 50-window
     "sql2all_spark.operators.profiling",
-    "sql2all_spark.operators.tpch",
-    # scalar_funcs leads with func_array_family (the one red r01 row);
-    # its other families and everything below are r01-green and rotate out
     "sql2all_spark.operators.scalar_funcs",
     "sql2all_spark.operators.relational",
     "sql2all_spark.operators.joins",
-    "sql2all_spark.operators.aggregates",
     "sql2all_spark.operators.windows",
     "sql2all_spark.operators.setops",
     "sql2all_spark.operators.asof_range",

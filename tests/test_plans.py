@@ -187,3 +187,13 @@ def test_ann_indexed_scan_partition_prunes(spark, sf_dir):
     rows = df.collect()
     assert len(rows) > 0
     assert len({r.bucket for r in rows}) == 1
+
+
+def test_bm25_bounded_topk_and_broadcast_stats(spark, sf_dir):
+    """BM25's scale shape: term document-frequencies and corpus stats
+    arrive via broadcast (never a shuffle), and the final top-k is a
+    bounded heap, not a global sort."""
+    plan = _plan(spark, sf_dir, "text_bm25_retrieval")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1  # df(t) stats join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

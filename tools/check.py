@@ -84,6 +84,12 @@ def run_one(spark, con, name, builder, oracle, sf_dir) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--json-out",
+        help="also write the per-query results as a JSON artifact "
+        "(the round's committed full-coverage record, e.g. "
+        "CHECK_FULL_r3.json)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -103,6 +109,7 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     names = args.names or list(qs)
     failures = 0
+    results = []
     for name in names:
         if name not in qs:
             print(f"{name}: UNKNOWN")
@@ -114,8 +121,23 @@ def main() -> int:
             res = {"name": name, "status": "ERROR", "error": f"{type(exc).__name__}: {exc}"}
         ok = res["status"] in ("OK", "ROWS_ONLY")
         failures += 0 if ok else 1
+        results.append(res)
         print(res)
     print(f"\n{len(names) - failures}/{len(names)} passed")
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": args.sf_dir,
+                    "n_queries": len(names),
+                    "n_passed": len(names) - failures,
+                    "results": {r["name"]: r for r in results},
+                },
+                f,
+                indent=1,
+            )
     return 1 if failures else 0
 
 
