@@ -257,19 +257,29 @@ FROM lineitem
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
-    # One single-distinct aggregate per column: Spark plans each as a
-    # two-phase partial distinct (map-side dedup, no Expand).  Putting both
-    # countDistincts in ONE agg would instead Expand every input row ×2 —
-    # measured 3.5× slower at sf0.1.  The 1-row results broadcast-join free.
-    def one(col: str, approx: str, exact: str) -> DataFrame:
-        return li.select(col).agg(
-            F.approx_count_distinct(col, APPROX_RSD).alias(approx),
-            F.countDistinct(col).alias(exact),
+    # Keep every aggregate pass Expand-free: BOTH sketches ride one plain
+    # agg (no distinct → no Expand), and each exact count is an explicit
+    # two-phase distinct (partial dedup map-side, then count).  Mixing a
+    # countDistinct with any other aggregate in one agg makes Spark Expand
+    # every input row per distinct group — measured 3× slower at sf0.1.
+    # The three 1-row results broadcast-join for free.
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey", APPROX_RSD).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", APPROX_RSD).alias(
+            "approx_orders"
+        ),
+    )
+
+    def exact(col: str, alias: str) -> DataFrame:
+        return (
+            li.select(col)
+            .distinct()
+            .agg(F.count(F.lit(1)).alias(alias))
         )
 
-    agg = one("l_partkey", "approx_parts", "exact_parts").crossJoin(
-        F.broadcast(one("l_orderkey", "approx_orders", "exact_orders"))
-    )
+    agg = approx.crossJoin(
+        F.broadcast(exact("l_partkey", "exact_parts"))
+    ).crossJoin(F.broadcast(exact("l_orderkey", "exact_orders")))
 
     def within(approx: str, exact: str):
         rel = F.abs(F.col(approx) - F.col(exact)) / F.col(exact)

@@ -263,3 +263,82 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return m.mapInPandas(resize_batches, schema=_RESIZE_SCHEMA)
+
+
+AUDIO_WINDOW_MOD = 24  # stub decode: 1-24 RMS windows per clip
+SILENCE_MILLI = 100  # energy_milli below this ⇒ silence
+
+
+def _fake_audio_props(payload: bytes) -> tuple[int, int]:
+    """STUB audio decoder: (sample_rate, n_windows) from md5(payload) —
+    stands in for an ffmpeg/soundfile probe (not in this container), same
+    contract as :func:`_fake_decode_props`: deterministic so the pipeline
+    stays oracle-checkable; swap for a real decoder without touching the
+    Spark plumbing."""
+    h = hashlib.md5(payload).hexdigest()
+    sample_rate = int(h[0:4], 16) % 32000 + 8000
+    n_windows = int(h[4:8], 16) % AUDIO_WINDOW_MOD + 1
+    return sample_rate, n_windows
+
+
+@register(
+    "mm_audio_energy",
+    oracle=f"""
+SELECT d.doc_id,
+       CAST(('0x' || substr(md5(d.text), 1, 4)) AS INT) % 32000 + 8000
+         AS sample_rate,
+       CAST(w.window_idx AS INT) AS window_idx,
+       CAST(CAST(('0x' || substr(md5(d.doc_id || ':' || w.window_idx), 1, 4))
+                 AS INT) % 1000 AS INT) AS energy_milli,
+       CASE WHEN CAST(('0x' || substr(md5(d.doc_id || ':' || w.window_idx), 1, 4))
+                      AS INT) % 1000 < {SILENCE_MILLI}
+            THEN 1 ELSE 0 END AS is_silence
+FROM documents d,
+     LATERAL (
+       SELECT UNNEST(range(0,
+         CAST(('0x' || substr(md5(d.text), 5, 4)) AS INT)
+           % {AUDIO_WINDOW_MOD} + 1)) AS window_idx
+     ) w
+""",
+    doc="Audio-clip energy profiling — the audio leg of the multimodal"
+    " surface (image=mm_decode_features/mm_resize, video=mm_frame_sample)."
+    " Python touches each clip ONCE (stub probe yields sample_rate +"
+    " window count through mapInPandas); the per-window fan-out and the"
+    " RMS-energy derivation (md5-hex arithmetic standing in for real PCM"
+    " windows) run JVM-side in whole-stage codegen.  Silence flagging at"
+    f" energy < {SILENCE_MILLI}/1000 is the standard pre-filter that drops"
+    " dead air before transcription at 100 TB.",
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media_df(spark, sf_dir)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            props = pdf["payload"].map(_fake_audio_props)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": props.map(lambda p: p[0]).astype("int32"),
+                    "n_windows": props.map(lambda p: p[1]).astype("int32"),
+                }
+            )
+
+    probed = m.mapInPandas(
+        probe, schema="doc_id long, sample_rate int, n_windows int"
+    )
+    fanned = probed.select(
+        "doc_id",
+        "sample_rate",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_windows") - 1)
+        ).alias("window_idx"),
+    )
+    whash = F.md5(F.concat_ws(":", "doc_id", "window_idx"))
+    energy = (F.conv(F.substring(whash, 1, 4), 16, 10).cast("int") % 1000)
+    return fanned.select(
+        "doc_id",
+        "sample_rate",
+        F.col("window_idx").cast("int").alias("window_idx"),
+        energy.cast("int").alias("energy_milli"),
+        F.when(energy < SILENCE_MILLI, 1).otherwise(0).alias("is_silence"),
+    )

@@ -243,3 +243,77 @@ def ts_minmax_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_start", F.lit("max").alias("kind"), "ts", "value", "event_id"
     )
     return mins.unionByName(maxs)
+
+
+ZSCORE_LOOKBACK = 10  # trailing window (rows), excludes the current row
+ZSCORE_MIN_N = 5  # need this many trailing points before scoring
+ZSCORE_FLAG = 3.0  # |z| above this ⇒ anomaly
+
+
+@register(
+    "ts_anomaly_zscore",
+    oracle=f"""
+WITH w AS (
+  SELECT user_id, event_id, ts, value,
+         COUNT(value) OVER win AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER win AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+              OVER win AS DOUBLE) AS s2
+  FROM events
+  WINDOW win AS (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT user_id, event_id, ts, value, n,
+         ROUND((value - s1 / n)
+               / SQRT((s2 - s1 * s1 / n) / (n - 1) + 1e-9), 6) AS z
+  FROM w WHERE n >= {ZSCORE_MIN_N}
+)
+SELECT user_id, event_id, ts, value, n, z,
+       CASE WHEN ABS(z) > {ZSCORE_FLAG} THEN 1 ELSE 0 END AS is_anomaly
+FROM scored
+""",
+    doc=f"Rolling z-score anomaly detection: each event scored against the"
+    f" trailing {ZSCORE_LOOKBACK} events of its own user stream (current"
+    " row excluded — no self-contamination).  Engine-deterministic on"
+    " purpose: the trailing mean/std come from EXACT decimal window sums"
+    " (s1, s2 moments), never from avg/stddev over doubles, whose sliding-"
+    "window accumulation order differs per engine (DuckDB segment trees vs"
+    " Spark running frames).  One shuffle on user_id; state per frame is"
+    " O(lookback).  The epsilon guards zero-variance windows.",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    w = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.count("value").over(win).alias("n"),
+        F.sum(dec).over(win).cast("double").alias("s1"),
+        F.sum(dec * dec).over(win).cast("double").alias("s2"),
+    ).filter(F.col("n") >= ZSCORE_MIN_N)
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    z = F.round(
+        (F.col("value") - s1 / n)
+        / F.sqrt((s2 - s1 * s1 / n) / (n - 1) + F.lit(1e-9)),
+        6,
+    )
+    return w.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        "n",
+        z.alias("z"),
+        F.when(F.abs(z) > ZSCORE_FLAG, 1).otherwise(0).alias("is_anomaly"),
+    )

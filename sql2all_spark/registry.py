@@ -33,9 +33,12 @@ _QUERY_MODULES = [
     # (dedup_clusters_star #2).  NOTE: importing graph pulls in dedup
     # first, so dedup's 4 queries register before graph's 2 — positions:
     # 1-14 aggregates, 15-26 text, 27-34 similarity, 35-39 tpch,
-    # 40-43 dedup, 44-45 graph, 46-49 multimodal, 50 = udaf_zscore_group.
-    # Everything at 51+ has a driver-green row in r01 or r02 and is
-    # re-verified by the committed CHECK_FULL_r3 artifact.
+    # 40-43 dedup, 44-45 graph, 46-50 multimodal (mm_audio_energy at
+    # exactly 50).  Everything at 51+ has a driver-green row in r01/r02
+    # and is re-verified by the committed CHECK_FULL_r3 artifacts — except
+    # ts_anomaly_zscore (position 58, added after the window filled):
+    # artifact-green at both SFs this round, rotate it into the window
+    # next round.
     "sql2all_spark.operators.aggregates",
     "sql2all_spark.operators.text",
     "sql2all_spark.operators.similarity",
