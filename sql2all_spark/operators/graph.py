@@ -280,3 +280,104 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("cluster_id"))
         .alias("cluster_size"),
     )
+
+
+PR_SCALE = 1_000_000_000  # ranks as scaled integers → exact in both engines
+PR_ITERS = 3
+PR_TOP = 20
+
+
+@register(
+    "graph_pagerank_suppliers",
+    oracle=f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM deg),
+r1 AS (
+  SELECT e.dst AS node,
+         CAST({15 * PR_SCALE // 100} + 85 * SUM(r0.rank // d.outdeg) // 100 AS BIGINT) AS rank
+  FROM e JOIN r0 ON e.src = r0.node JOIN deg d ON d.node = e.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT e.dst AS node,
+         CAST({15 * PR_SCALE // 100} + 85 * SUM(r1.rank // d.outdeg) // 100 AS BIGINT) AS rank
+  FROM e JOIN r1 ON e.src = r1.node JOIN deg d ON d.node = e.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT e.dst AS node,
+         CAST({15 * PR_SCALE // 100} + 85 * SUM(r2.rank // d.outdeg) // 100 AS BIGINT) AS rank
+  FROM e JOIN r2 ON e.src = r2.node JOIN deg d ON d.node = e.src
+  GROUP BY e.dst
+)
+SELECT CAST((node - 1) // 2 AS BIGINT) AS suppkey, rank
+FROM r3 WHERE node % 2 = 1
+ORDER BY rank DESC NULLS LAST, suppkey ASC NULLS FIRST
+LIMIT {PR_TOP}
+""",
+    doc=f"PageRank ({PR_ITERS} fixed iterations, damping 0.85) over the"
+    " bipartite customer↔supplier purchase graph — graph centrality on"
+    " relational data, the second iterative-algorithm shape next to"
+    " sim_kmeans_iteration.  Cross-engine EXACT by construction: ranks are"
+    f" scaled integers (×{PR_SCALE}) and every step is integer"
+    " multiply/divide (floor semantics identical in both engines), so no"
+    " float summation order can differ.  Each iteration is one slim"
+    " (node, rank) join + partial-aggregated shuffle; edges and degrees"
+    " are computed once and persisted.  The oracle unrolls the same"
+    " iterations as chained CTEs.",
+)
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    # The edge list is slim (two longs/row) and iterated 3×: pre-partition
+    # it ONCE on the join key at a width matched to its size, and fold the
+    # degree in as a column — each iteration is then exactly one co-
+    # partitioned join + one partial-aggregated shuffle, with no extra
+    # exchange for degrees.  (At cluster scale raise the width or drop the
+    # explicit repartition and let the shuffle conf govern; the plan shape
+    # is unchanged.)
+    e = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(8, "src")
+        .persist()
+    )
+    ed = e.join(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src"
+    ).persist()
+    ranks = (
+        ed.select("src").distinct().select("src", F.lit(PR_SCALE).cast("long").alias("rank"))
+    )
+    base = 15 * PR_SCALE // 100
+    for _ in range(PR_ITERS):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("src", "node"), ed.src == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank div outdeg")).alias("c"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("src"),
+            (F.lit(base) + F.expr("85 * c div 100")).alias("rank"),
+        )
+    return (
+        ranks.filter(F.col("src") % 2 == 1)
+        .select(
+            ((F.col("src") - 1) / 2).cast("long").alias("suppkey"), "rank"
+        )
+        .orderBy(F.col("rank").desc_nulls_last(), F.col("suppkey").asc_nulls_first())
+        .limit(PR_TOP)
+    )

@@ -244,3 +244,67 @@ def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return hist.unionByName(fresh)
+
+
+COMPACT_TARGET_BYTES = 50_000  # group small files up to ~this many bytes
+
+
+@register(
+    "incremental_file_compaction",
+    oracle=f"""
+WITH files AS (
+  SELECT lang, doc_id AS file_id, n_chars AS size_bytes,
+         SUM(n_chars) OVER (
+           PARTITION BY lang ORDER BY doc_id ASC
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+),
+planned AS (
+  SELECT lang, file_id, size_bytes,
+         CAST((cum - size_bytes) // {COMPACT_TARGET_BYTES} AS INT)
+           AS compaction_group
+  FROM files
+)
+SELECT lang, compaction_group,
+       COUNT(*) AS n_files,
+       CAST(SUM(size_bytes) AS BIGINT) AS group_bytes,
+       MIN(file_id) AS first_file, MAX(file_id) AS last_file
+FROM planned
+GROUP BY lang, compaction_group
+""",
+    doc="Small-file compaction planning — the table-maintenance operator"
+    " every incremental sink eventually needs (streaming/CDC writers leave"
+    f" many small files; readers want ~{COMPACT_TARGET_BYTES}-byte"
+    " groups).  Files are binned by the RUNNING SIZE within each partition"
+    " (cumulative-sum // target — the associative approximation of greedy"
+    " first-fit that compactors actually use, because it needs only one"
+    " window pass, no sequential state).  Output is the group manifest a"
+    " rewrite job would execute.  All-integer arithmetic → engine-exact.",
+)
+def incremental_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    win = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = d.select(
+        "lang",
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").alias("size_bytes"),
+        F.expr(
+            f"(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id ASC"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            f" - n_chars) div {COMPACT_TARGET_BYTES}"
+        )
+        .cast("int")
+        .alias("compaction_group"),
+    )
+    return planned.groupBy("lang", "compaction_group").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("size_bytes").alias("group_bytes"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+    )
