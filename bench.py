@@ -47,7 +47,8 @@ HEADLINE = [
     "dedup_simhash",
     "sim_topk_bruteforce",
     "sim_lsh_ann",
-    "sim_lsh_ann_indexed",
+    "sim_lsh_ann_index_build",
+    "sim_lsh_ann_indexed_query",
     "sim_neardup_pairs",
     "text_bm25_retrieval",
     "text_quality_score",
@@ -79,6 +80,27 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in sorted(specs):
+        if name == "sim_lsh_ann_indexed":
+            # Report the one-time index write and the pruned-bucket query
+            # separately: amortized over queries the build vanishes, and
+            # summing them into one number misread as a 7s "query" in r3.
+            from sql2all_spark.operators.similarity import (
+                build_ann_index,
+                query_ann_index,
+            )
+
+            t0 = time.perf_counter()
+            path = build_ann_index(spark, SF_DIR)
+            times["sim_lsh_ann_index_build"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            _run(query_ann_index(spark, SF_DIR, path))
+            times["sim_lsh_ann_indexed_query"] = round(
+                time.perf_counter() - t0, 3
+            )
+            spark.catalog.clearCache()
+            continue
         t0 = time.perf_counter()
         _run(specs[name].builder(spark, SF_DIR))
         times[name] = round(time.perf_counter() - t0, 3)

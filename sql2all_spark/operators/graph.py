@@ -373,7 +373,7 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("src"),
             (F.lit(base) + F.expr("85 * c div 100")).alias("rank"),
         )
-    return (
+    result = (
         ranks.filter(F.col("src") % 2 == 1)
         .select(
             ((F.col("src") - 1) / 2).cast("long").alias("suppkey"), "rank"
@@ -381,3 +381,11 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc_nulls_last(), F.col("suppkey").asc_nulls_first())
         .limit(PR_TOP)
     )
+    # Materialize the (tiny, PR_TOP-row) result eagerly so the cached edge
+    # blocks can be freed NOW: without this, repeated invocations in one
+    # session accumulate e/ed blocks in the BlockManager for the life of the
+    # session ("block already exists" warnings on re-run).
+    result = result.localCheckpoint(eager=True)
+    ed.unpersist()
+    e.unpersist()
+    return result

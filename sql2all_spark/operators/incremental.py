@@ -282,14 +282,7 @@ GROUP BY lang, compaction_group
     " rewrite job would execute.  All-integer arithmetic → engine-exact.",
 )
 def incremental_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents")
-    win = (
-        Window.partitionBy("lang")
-        .orderBy(F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     planned = d.select(
         "lang",
         F.col("doc_id").alias("file_id"),

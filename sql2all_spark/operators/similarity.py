@@ -71,9 +71,7 @@ def _cosine_sql(a: str, b: str) -> str:
     )
 
 
-@register(
-    "sim_topk_bruteforce",
-    oracle=f"""
+BRUTE_TOPK_ORACLE = f"""
 WITH q AS (
   SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
 ),
@@ -87,7 +85,12 @@ SELECT vec_id, label, cosine
 FROM scored
 ORDER BY cosine DESC NULLS LAST, vec_id ASC NULLS FIRST
 LIMIT 10
-""",
+"""
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=BRUTE_TOPK_ORACLE,
     doc="Brute-force cosine top-10 for a query vector (vec_id 0): broadcast"
     " 1-row query × streamed scan, JVM fold for the dot product,"
     " TakeOrderedAndProject for the top-k.  The exact-search baseline every"
@@ -227,6 +230,15 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
 )
 def sim_lsh_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = build_ann_index(spark, sf_dir)
+    return query_ann_index(spark, sf_dir, path)
+
+
+def query_ann_index(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """The read-only leg of sim_lsh_ann_indexed: rank inside the query's
+    bucket of an ALREADY-BUILT index.  Split out so bench.py can report
+    build vs query separately — the build is a one-time cost amortized over
+    every query, and folding it into the query latency made the round-3
+    bench read as if the pruned scan cost 7s (VERDICT r3 perf audit)."""
     e = load_table(spark, sf_dir, "embeddings")
     qrow = (
         e.filter(F.col("vec_id") == 0)
@@ -646,4 +658,66 @@ def sim_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale_raw", 6).alias("scale"),
         F.array_join(q, ",").alias("q8"),
         F.size(zeroish).alias("n_zeros"),
+    )
+
+
+def _ann_recall_oracle() -> str:
+    return f"""
+WITH brute AS ({BRUTE_TOPK_ORACLE}),
+lsh10 AS (
+  SELECT vec_id FROM ({LSH_ANN_ORACLE}) t
+  ORDER BY cosine DESC NULLS LAST, vec_id ASC NULLS FIRST
+  LIMIT 10
+),
+ivf10 AS (SELECT vec_id FROM ({_ivf_oracle()}) t)
+SELECT method, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / 10.0, 6) AS recall_at_10
+FROM (
+  SELECT 'ivf' AS method, COUNT(*) AS n_hits FROM ivf10
+  WHERE vec_id IN (SELECT vec_id FROM brute)
+  UNION ALL
+  SELECT 'lsh' AS method, COUNT(*) AS n_hits FROM lsh10
+  WHERE vec_id IN (SELECT vec_id FROM brute)
+)
+ORDER BY method ASC NULLS FIRST
+"""
+
+
+@register(
+    "sim_ann_recall",
+    oracle=_ann_recall_oracle(),
+    doc="Recall@10 of the two ANN paths against the exact brute-force"
+    " baseline — the number that justifies (or indicts) an approximate"
+    " index.  Both sides are fully deterministic (fixed hyperplanes,"
+    " fixed centroids, exact in-candidate ranking), so recall is an"
+    " oracle-checkable VALUE, not a statistic: each ANN top-10 left-semi"
+    " joins the broadcast 10-row exact top-10 and counts survivors."
+    "  sim_lsh_ann_indexed shares sim_lsh_ann's oracle (same rows by"
+    " construction), so its recall is the lsh row.  At 100 TB the ANN"
+    " legs scan one bucket / nprobe lists while brute force scans the"
+    " corpus — this query is how you check the cheap path is good"
+    " enough before switching retrieval over to it.",
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute_ids = sim_topk_bruteforce(spark, sf_dir).select("vec_id")
+    lsh10 = sim_lsh_ann(spark, sf_dir).limit(10).select("vec_id")
+    ivf10 = sim_ivf_topk(spark, sf_dir).select("vec_id")
+
+    def leg(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(brute_ids), "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(name).alias("method"),
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double") / F.lit(10.0), 6
+                ).alias("recall_at_10"),
+            )
+        )
+
+    return (
+        leg(ivf10, "ivf")
+        .unionByName(leg(lsh10, "lsh"))
+        .orderBy(F.col("method").asc_nulls_first())
     )

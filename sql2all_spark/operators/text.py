@@ -570,12 +570,14 @@ tf AS (
 ),
 dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
 SELECT doc_id,
-       ROUND(SUM(
-         ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)
-            + 1.0)
-         * tf * 2.2
-         / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
-       ), 6) AS bm25
+       ROUND(CAST(SUM(
+         CAST(ROUND(
+           ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+              + 1.0)
+           * tf * 2.2
+           / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+         , 6) AS DECIMAL(18,6))
+       ) AS DOUBLE), 6) AS bm25
 FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN corpus
 GROUP BY doc_id
 ORDER BY bm25 DESC NULLS LAST, doc_id ASC NULLS FIRST
@@ -616,13 +618,20 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = F.col("tf") + F.lit(1.2) * (
         F.lit(0.25) + F.lit(0.75) * F.col("dl") / avgdl
     )
-    term_score = idf * F.col("tf") * F.lit(2.2) / denom
+    # Per-term scores are rounded to 6 dp and summed through DECIMAL: a raw
+    # double SUM's accumulation order differs between Spark's partial aggs
+    # and DuckDB's serial scan, so a doc near a rounding boundary could
+    # hash-mismatch (and even reorder the top-k).  Decimal addition is exact
+    # and associative — any order yields the same bm25.
+    term_score = F.round(idf * F.col("tf") * F.lit(2.2) / denom, 6).cast(
+        "decimal(18,6)"
+    )
     return (
         tf.join(F.broadcast(dft), "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+        .agg(F.round(F.sum(term_score).cast("double"), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc_nulls_last(), F.col("doc_id").asc_nulls_first())
         .limit(BM25_TOP_K)
     )

@@ -210,6 +210,105 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q21_NATION = "NATION_19"
+Q21_LATE_DAYS = 30
+
+
+@register(
+    "tpch_q21_suppliers_who_kept_waiting",
+    oracle=f"""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM l l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE l1.late
+  AND n_name = '{Q21_NATION}'
+  AND EXISTS (
+    SELECT 1 FROM l l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM l l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.late
+  )
+GROUP BY s_name
+ORDER BY numwait DESC NULLS LAST, s_name ASC NULLS FIRST
+LIMIT 100
+""",
+    doc="TPC-H Q21 (suppliers who kept waiting): suppliers who were the"
+    " SOLE late shipper on multi-supplier finished orders — the classic"
+    " repeated-EXISTS/NOT-EXISTS-on-one-fact shape (dedup/RAG audits hit"
+    " the same pattern: 'rows where a sibling exists but no offending"
+    " sibling does').  Fixture adaptation: the trimmed lineitem has no"
+    f" commit/receipt dates, so 'late' is shipped >{Q21_LATE_DAYS} days"
+    " after the order date (same correlated structure; Q4 uses the same"
+    " device).  Plan shape: the annotated line set builds ONCE (one"
+    " orders⋈lineitem join), then one LEFT-SEMI (other-supplier sibling"
+    " exists) and one LEFT-ANTI (no OTHER-supplier late sibling) against"
+    " two slim self-aliases — all three joins share l_orderkey, so AQE"
+    " reuses one exchange; supplier⋈nation is a broadcast; top-100 by"
+    " bounded heap.  Reference forwards such SQL verbatim"
+    " (src/db/sqlite.rs:79).",
+)
+def tpch_q21_suppliers_who_kept_waiting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+        ).alias("late"),
+    )
+    l1 = l.filter(F.col("late"))
+    l2 = l.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    sole_late = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("ok2"))
+        & (F.col("l_suppkey") != F.col("sk2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("ok3"))
+        & (F.col("l_suppkey") != F.col("sk3")),
+        "left_anti",
+    )
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == Q21_NATION
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(
+            F.col("numwait").desc_nulls_last(), F.col("s_name").asc_nulls_first()
+        )
+        .limit(100)
+    )
+
+
 Q18_QTY_THRESHOLD = 150
 
 

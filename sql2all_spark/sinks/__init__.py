@@ -200,6 +200,15 @@ def _write_arrow_ipc_dir(df: DataFrame, output: str) -> str:
     output files, ``tests/test_sinks.py::test_sqlite_empty_result``).
     Task retries rewrite the same deterministic per-partition path, so the
     layout is idempotent under replay.
+
+    SHARED-FILESYSTEM REQUIREMENT: executors open ``output`` with plain
+    ``open()``, so driver and executors must see the same path — true in
+    local mode and on clusters whose ``output`` is NFS/FUSE-mounted
+    storage, NOT on a plain multi-node cluster writing worker-local disks
+    (the manifest would describe files the driver cannot see).  Cluster
+    users without a shared mount should export parquet/ORC (distributed
+    committers) instead; this sink targets the reference's local-file
+    interchange use case (``src/lib.rs:127-141``).
     """
     import json
     import os

@@ -1,0 +1,112 @@
+"""Rotation-window invariant for the driver's correctness gate.
+
+The driver's CORRECTNESS_r{N}.json checks only the FIRST 50 registered
+queries.  Rounds 2 and 3 both mis-hand-counted module positions in
+registry.py comments and ended rounds with queries that had never received
+a driver-green row (VERDICT r3 "What's wrong" #1).  This test replaces the
+comment arithmetic with an enforced invariant:
+
+  every registered query that lacks a driver-green row in the committed
+  ledger (tools/driver_green.json) must sit at registration position <= 50,
+
+plus an explicit pin of this round's rotation targets.  The ledger's
+``green_rounds`` is regenerated from the CORRECTNESS_r*.json artifacts;
+``stale`` lists queries whose RESULT VALUES changed after their last green
+row (they must re-verify, so they count as unverified here).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+DRIVER_WINDOW = 50
+
+REPO = Path(__file__).resolve().parent.parent
+
+# Queries this round explicitly rotated into the window: the three that
+# ended round 3 with no driver-green row, the two new round-4 queries, and
+# the value-changed bm25 (decimal-routed term sums).
+ROUND4_TARGETS = {
+    "mm_audio_energy",
+    "ts_anomaly_zscore",
+    "incremental_file_compaction",
+    "sim_ann_recall",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "text_bm25_retrieval",
+    "graph_pagerank_suppliers",  # code changed (eager unpersist); re-verify
+}
+
+
+import functools
+import subprocess
+import sys
+
+
+@functools.lru_cache(maxsize=1)
+def _positions() -> dict[str, int]:
+    """Registration order AS THE DRIVER SEES IT — in a fresh interpreter.
+
+    In-process order would lie here: ``register()`` runs at first import,
+    so any earlier test that imported an operator module directly (e.g.
+    test_streaming importing streaming.jobs) would shift positions.  The
+    driver imports __spark_entry__ in a clean process, so measure that.
+    """
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, sys.argv[1]);"
+            "from sql2all_spark import registry;"
+            "print('\\n'.join(registry.all_specs()))",
+            str(REPO),
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    names = out.stdout.split()
+    return {name: i + 1 for i, name in enumerate(names)}
+
+
+def _ledger() -> dict:
+    with open(REPO / "tools" / "driver_green.json") as f:
+        return json.load(f)
+
+
+def test_ledger_names_are_registered():
+    """The ledger only speaks about queries that exist (catches renames)."""
+    pos = _positions()
+    ledger = _ledger()
+    unknown = [n for n in ledger["green_rounds"] if n not in pos]
+    unknown += [n for n in ledger["stale"] if n not in pos]
+    assert not unknown, f"ledger entries for unregistered queries: {unknown}"
+
+
+def test_unverified_queries_sit_inside_driver_window():
+    """Every query without a (non-stale) driver-green row must be in the
+    first DRIVER_WINDOW registrations, or the round ends unverified."""
+    pos = _positions()
+    ledger = _ledger()
+    verified = set(ledger["green_rounds"]) - set(ledger["stale"])
+    offenders = {
+        name: p
+        for name, p in pos.items()
+        if name not in verified and p > DRIVER_WINDOW
+    }
+    assert not offenders, (
+        f"queries with no driver-green row outside the first "
+        f"{DRIVER_WINDOW} registrations (rotate them forward in "
+        f"registry._QUERY_MODULES): {offenders}"
+    )
+
+
+def test_round4_rotation_targets_in_window():
+    pos = _positions()
+    out = {n: pos.get(n) for n in ROUND4_TARGETS if pos.get(n, 10**9) > DRIVER_WINDOW}
+    assert not out, f"round-4 rotation targets outside the window: {out}"
+
+
+def test_window_is_full():
+    """>= 50 registered queries exist, so the window claim is meaningful."""
+    assert len(_positions()) >= DRIVER_WINDOW
