@@ -37,9 +37,7 @@ MAX_ROUNDS = 25  # safety bound ≫ any real near-dup cluster diameter
 CLUSTER_JACCARD_FLOOR = 0.4
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
+CLUSTERS_ORACLE = f"""
 WITH RECURSIVE
 pairs AS (
   SELECT * FROM ({NGRAM_PAIRS_ORACLE}) all_pairs
@@ -62,7 +60,12 @@ SELECT doc_id, cluster_id,
        CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_keeper,
        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM comp
-""",
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=CLUSTERS_ORACLE,
     doc="Connected components over the n-gram-Jaccard near-dup graph via"
     " iterative min-label propagation; every document gets a cluster_id"
     " (= min doc_id in its component), a keeper flag, and the cluster"

@@ -1,0 +1,184 @@
+"""Lexical retrieval: BM25 and TF-IDF over the documents table.
+
+The sparse-retrieval counterpart to sim_doc_retrieval's dense path: at
+100 TB these are the standard "find training docs matching a probe query"
+tools.  Split out of text.py so the rotation window can carry the retrieval
+queries without dragging text.py's ten other (driver-green) registrations
+(the driver's correctness gate checks the first 50 registered queries).
+
+Reference parity: the reference (SQL2ALL) delegates ad-hoc scoring SQL to
+the attached engine; these are the native Spark twins (see SURVEY.md §2.B).
+
+All score literals below are written identically in both engines (and never
+derived by float arithmetic like K1+1, whose rounding could differ from the
+literal 2.2) so the scores agree bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql2all_spark.registry import register
+from sql2all_spark.tables import load_table
+
+
+def _tokens(text: Column) -> Column:
+    # Same whitespace tokenization as text.py's _tokens — duplicated one-liner
+    # rather than imported: importing text.py here would register its queries
+    # at THIS module's position and shift the driver's rotation window.
+    return F.split(text, " ")
+
+
+BM25_QUERY = ["spark", "join", "vector"]
+BM25_TOP_K = 10
+
+BM25_ORACLE = f"""
+WITH dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+corpus AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl, COUNT(*) AS n_docs FROM dl
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+  WHERE token IN ('spark', 'join', 'vector')
+  GROUP BY doc_id, token
+),
+dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+SELECT doc_id,
+       ROUND(CAST(SUM(
+         CAST(ROUND(
+           ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+              + 1.0)
+           * tf * 2.2
+           / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+         , 6) AS DECIMAL(18,6))
+       ) AS DOUBLE), 6) AS bm25
+FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN corpus
+GROUP BY doc_id
+ORDER BY bm25 DESC NULLS LAST, doc_id ASC NULLS FIRST
+LIMIT {BM25_TOP_K}
+"""
+
+
+@register(
+    "text_bm25_retrieval",
+    oracle=BM25_ORACLE,
+    doc="BM25 (k1=1.2, b=0.75) top-10 documents for a fixed term query."
+    " Scale shape: tokens are filtered to the query terms BEFORE any"
+    " aggregation (the exploded stream shrinks to ~|Q| rows per doc at the"
+    " scan), term document-frequencies and the corpus length stats are"
+    " tiny broadcasts, and the final top-k is TakeOrderedAndProject —"
+    " nothing wide ever shuffles.  The idf is the Lucene-style"
+    " ln((N-df+0.5)/(df+0.5)+1) form (always positive).",
+)
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(_tokens(F.col("text"))).alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token").isin(BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("dl") / avgdl
+    )
+    # Per-term scores are rounded to 6 dp and summed through DECIMAL: a raw
+    # double SUM's accumulation order differs between Spark's partial aggs
+    # and DuckDB's serial scan, so a doc near a rounding boundary could
+    # hash-mismatch (and even reorder the top-k).  Decimal addition is exact
+    # and associative — any order yields the same bm25.
+    term_score = F.round(idf * F.col("tf") * F.lit(2.2) / denom, 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        tf.join(F.broadcast(dft), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score).cast("double"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc_nulls_last(), F.col("doc_id").asc_nulls_first())
+        .limit(BM25_TOP_K)
+    )
+
+
+TFIDF_TOP = 3
+
+TFIDF_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+corpus AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token,
+         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN dft USING (token) CROSS JOIN corpus
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY tfidf DESC NULLS LAST, token ASC NULLS FIRST) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= {TFIDF_TOP}
+"""
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle=TFIDF_ORACLE,
+    doc=f"Top-{TFIDF_TOP} TF-IDF terms per document — the classic keyword"
+    " extraction / doc-signature step.  One shuffle for per-doc term"
+    " counts, a broadcast for the document frequencies, a per-doc window"
+    " for the top terms (ranked on the ROUNDED score with a token"
+    " tiebreak, so rank order is engine-independent).",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    corpus = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("tfidf").desc_nulls_last(), F.col("token").asc_nulls_first()
+        )
+    )
+    return scored.select("doc_id", "token", "tfidf", rk.alias("rk")).filter(
+        F.col("rk") <= TFIDF_TOP
+    )

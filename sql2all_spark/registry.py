@@ -62,7 +62,12 @@ _QUERY_MODULES = [
 class QuerySpec:
     name: str
     builder: QueryFn
-    oracle: str | None  # DuckDB SQL twin; None → driver does rows-only check
+    # DuckDB SQL twin; None → driver does rows-only check.  A CALLABLE is
+    # resolved lazily in all_specs() after every module has registered:
+    # composition queries (e.g. scale_ops reusing graph's cluster oracle)
+    # would otherwise need a registering-module import at decoration time,
+    # which shifts the driver's position-sensitive registration order.
+    oracle: str | Callable[[], str] | None
     doc: str = ""
 
 
@@ -99,7 +104,13 @@ def _load_all() -> None:
 
 def all_specs() -> dict[str, QuerySpec]:
     _load_all()
-    return dict(_REGISTRY)
+    out: dict[str, QuerySpec] = {}
+    for name, spec in _REGISTRY.items():
+        if callable(spec.oracle):
+            spec = QuerySpec(name, spec.builder, spec.oracle(), spec.doc)
+            _REGISTRY[name] = spec  # resolve once
+        out[name] = spec
+    return out
 
 
 def queries() -> dict[str, QueryFn]:
