@@ -32,6 +32,7 @@ _QUERY_MODULES = [
     # sits at position <= 50, and (b) this round's explicit rotation
     # targets (the 3 never-driver-checked queries from VERDICT r3, the
     # new sim_ann_recall / tpch_q21, and value-changed text_bm25) do too.
+    "sql2all_spark.operators.retrieval",
     "sql2all_spark.operators.multimodal",
     "sql2all_spark.operators.timeseries",
     "sql2all_spark.operators.incremental",

@@ -47,8 +47,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(glob)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # same normalization as tables.load_table: parquet micros-NTZ → a
+        # UTC-instant TIMESTAMP, session-timezone independent
+        stream = stream.withColumn("ts", F.expr("to_utc_timestamp(ts, 'UTC')"))
     assert stream.schema == batch.schema
     return stream
 

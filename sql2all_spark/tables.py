@@ -46,11 +46,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ts arrives as raw nanos (spark.sql.legacy.parquet.nanosAsLong);
-        # truncate to micros with integer division — same truncation DuckDB
-        # applies casting TIMESTAMP_NS → TIMESTAMP.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ts arrives as raw nanos (spark.sql.legacy.parquet.nanosAsLong);
+            # truncate to micros with integer division — same truncation
+            # DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+            # TIMESTAMP_NTZ, which unix_micros()/watermarks reject.  Pin the
+            # wall-clock as a UTC instant (to_utc_timestamp is session-tz
+            # independent, unlike a bare NTZ→LTZ cast) — the same value
+            # DuckDB sees reading the file as naive TIMESTAMP.
+            df = df.withColumn("ts", F.expr("to_utc_timestamp(ts, 'UTC')"))
     return df
 
 

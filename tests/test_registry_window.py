@@ -10,9 +10,11 @@ comment arithmetic with an enforced invariant:
   ledger (tools/driver_green.json) must sit at registration position <= 50,
 
 plus an explicit pin of this round's rotation targets.  The ledger's
-``green_rounds`` is regenerated from the CORRECTNESS_r*.json artifacts;
-``stale`` lists queries whose RESULT VALUES changed after their last green
-row (they must re-verify, so they count as unverified here).
+``green_rounds`` is regenerated from the CORRECTNESS_r*.json artifacts by
+``tools/update_green_ledger.py`` (run it after every round's artifact
+lands — never hand-edit); ``stale`` lists queries whose RESULT VALUES
+changed after their last green row (they must re-verify, so they count as
+unverified here).
 """
 
 from __future__ import annotations
