@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from sql2all_spark.functions.exact import dsum
 from sql2all_spark.streaming.batch_twins import SESSION_GAP_MIN
-from sql2all_spark.tables import load_table, table_path
+from sql2all_spark.tables import load_table, normalize_events_ts, table_path
 
 WATERMARK = "10 minutes"
 
@@ -47,13 +47,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(glob)
     )
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    elif ts_type == "timestamp_ntz":
-        # same normalization as tables.load_table: parquet micros-NTZ → a
-        # UTC-instant TIMESTAMP, session-timezone independent
-        stream = stream.withColumn("ts", F.expr("to_utc_timestamp(ts, 'UTC')"))
+    # identical ts normalization to tables.load_table (shared helper — the
+    # batch and streaming read paths must stay in lockstep)
+    stream = normalize_events_ts(stream)
     assert stream.schema == batch.schema
     return stream
 

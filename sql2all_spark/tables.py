@@ -33,6 +33,43 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a TIMESTAMP (LTZ) UTC instant.
+
+    The testdata has shipped two encodings of ``events.ts``:
+
+    - INT64 TIMESTAMP(NANOS): read as raw ``bigint`` nanos under
+      ``spark.sql.legacy.parquet.nanosAsLong`` → truncate to micros with
+      integer division, the same truncation DuckDB applies casting
+      TIMESTAMP_NS → TIMESTAMP.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as TIMESTAMP_NTZ,
+      which ``unix_micros()``/watermarks reject.  Pin the wall-clock as a
+      UTC instant.  NOTE: ``to_utc_timestamp(ntz, 'UTC')`` is NOT
+      session-timezone independent — Spark first casts NTZ→TIMESTAMP via
+      the session timezone, then the 'UTC' shift is a no-op, so the
+      instant drifts with the session tz.  Instead shift the NTZ
+      wall-clock from UTC into the session's zone with
+      ``convert_timezone`` and *then* cast: the two session-tz
+      dependencies cancel, giving the same unix_micros under any session
+      timezone (the value DuckDB sees reading the file as naive
+      TIMESTAMP).
+
+    Shared by :func:`load_table` and ``streaming.jobs.events_stream`` so
+    the batch and streaming read paths can never diverge.
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn(
+            "ts",
+            F.expr(
+                "cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"
+            ),
+        )
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
@@ -47,19 +84,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # ts arrives as raw nanos (spark.sql.legacy.parquet.nanosAsLong);
-            # truncate to micros with integer division — same truncation
-            # DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type == "timestamp_ntz":
-            # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
-            # TIMESTAMP_NTZ, which unix_micros()/watermarks reject.  Pin the
-            # wall-clock as a UTC instant (to_utc_timestamp is session-tz
-            # independent, unlike a bare NTZ→LTZ cast) — the same value
-            # DuckDB sees reading the file as naive TIMESTAMP.
-            df = df.withColumn("ts", F.expr("to_utc_timestamp(ts, 'UTC')"))
+        df = normalize_events_ts(df)
     return df
 
 
