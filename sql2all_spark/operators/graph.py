@@ -387,8 +387,20 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the (tiny, PR_TOP-row) result eagerly so the cached edge
     # blocks can be freed NOW: without this, repeated invocations in one
     # session accumulate e/ed blocks in the BlockManager for the life of the
-    # session ("block already exists" warnings on re-run).
-    result = result.localCheckpoint(eager=True)
-    ed.unpersist()
-    e.unpersist()
+    # session ("block already exists" warnings on re-run).  local-mode ONLY:
+    # localCheckpoint stores blocks on executors, so on a real cluster with
+    # dynamic allocation an executor decommission silently loses them (and
+    # this eager variant runs a job at plan-construction time).  On a
+    # cluster the plain plan is returned; callers needing re-invocation
+    # hygiene there should use reliable checkpoint() to a shared dir.
+    if result.sparkSession.sparkContext.master.startswith("local"):
+        result = result.localCheckpoint(eager=True)
+        # result is materialized, so the iterative plan no longer needs the
+        # cached edge blocks — free them now.
+        ed.unpersist()
+        e.unpersist()
+    # non-local: leave e/ed persisted — the returned plan still references
+    # them once per iteration, and unpersisting a not-yet-run plan would
+    # force the edge build to recompute every round.  Blocks age out via
+    # the session's LRU / caller-side unpersist.
     return result

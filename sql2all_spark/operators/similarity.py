@@ -196,22 +196,52 @@ ANN_INDEX_ROOT = "/tmp/sql2all_spark_ann_index"
 ANN_INDEX_SCHEMA = "vec_id bigint, label int, v array<double>, bucket string"
 
 
-def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the LSH signature table bucket-partitioned on disk —
-    the storage layout the sim_lsh_ann docstring promises at scale: one
-    Hive-style ``bucket=<sig>`` directory per signature, so a query's scan
-    partition-prunes to 1/2^bits of the corpus at the parquet level."""
-    from sql2all_spark.sinks import write_output
-
-    e = load_table(spark, sf_dir, "embeddings")
-    sigs = e.select(
+def _signature_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, v double[], bucket) — the stored-index row shape."""
+    return emb.select(
         "vec_id",
         "label",
         _dbl(F.col("embedding")).alias("v"),
         _bucket_spark(_dbl(F.col("embedding"))).alias("bucket"),
     )
-    path = f"{ANN_INDEX_ROOT}/{sf_dir.strip('/').replace('/', '_')}.parquet"
+
+
+def build_ann_index(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+    suffix: str = "",
+) -> str:
+    """Materialize the LSH signature table bucket-partitioned on disk —
+    the storage layout the sim_lsh_ann docstring promises at scale: one
+    Hive-style ``bucket=<sig>`` directory per signature, so a query's scan
+    partition-prunes to 1/2^bits of the corpus at the parquet level.
+
+    ``source`` defaults to the full embeddings table; pass a subset to
+    build a base index that :func:`refresh_ann_index` later extends.
+    ``suffix`` separates index variants (the refresh demo must not clobber
+    the index whose build/query split bench.py times)."""
+    from sql2all_spark.sinks import write_output
+
+    e = source if source is not None else load_table(spark, sf_dir, "embeddings")
+    sigs = _signature_frame(e)
+    path = f"{ANN_INDEX_ROOT}/{sf_dir.strip('/').replace('/', '_')}{suffix}.parquet"
     write_output(sigs, path, partition_by=["bucket"])
+    return path
+
+
+def refresh_ann_index(path: str, new_batch: DataFrame) -> str:
+    """Incrementally merge a batch of newly-arrived embeddings into an
+    ALREADY-BUILT bucket-partitioned index — the 100 TB operational story:
+    a full rebuild rereads the whole corpus, while this signs only the
+    batch and APPENDS files into exactly the ``bucket=<sig>`` directories
+    the batch touches (dynamic Hive-style partition append).  Cost is
+    O(batch), not O(corpus); existing partitions' files are never
+    rewritten or read.  The resulting small files per bucket are exactly
+    the compaction debt ``incremental_file_compaction`` plans for — run it
+    on the index dir when the file count per bucket exceeds its bin size."""
+    sigs = _signature_frame(new_batch)
+    sigs.write.mode("append").partitionBy("bucket").parquet(path)
     return path
 
 
@@ -264,6 +294,29 @@ def query_ann_index(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
             F.col("cosine").desc_nulls_last(), F.col("vec_id").asc_nulls_first()
         )
     )
+
+
+@register(
+    "sim_ann_index_refresh",
+    oracle=LSH_ANN_ORACLE,
+    doc="Incremental ANN index refresh: build the bucket-partitioned LSH"
+    " index from a base corpus (3/4 of the vectors), then merge the"
+    " remaining 1/4 as a newly-arrived batch via refresh_ann_index —"
+    " signatures computed for the batch only, files appended into only the"
+    " bucket=<sig> partitions the batch touches, no existing file read or"
+    " rewritten.  Shares LSH_ANN_ORACLE with sim_lsh_ann_indexed (the"
+    " from-scratch rebuild), so the oracle gate IS the refresh==rebuild"
+    " equivalence: an appended index must not change a single result row.",
+)
+def sim_ann_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 4 != 3)
+    batch = e.filter(F.col("vec_id") % 4 == 3)  # the "newly arrived" chunk
+    # overwrite-build the base index each run so the append is idempotent
+    # (re-running the query must not accumulate duplicate batch rows)
+    path = build_ann_index(spark, sf_dir, source=base, suffix="_refresh")
+    refresh_ann_index(path, batch)
+    return query_ann_index(spark, sf_dir, path)
 
 
 IVF_CENTROID_IDS = list(range(1, 9))  # deterministic "trained" centroids

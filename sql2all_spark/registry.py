@@ -25,36 +25,40 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # round-1-green joins/aggregates/windows/setops/asof_range rotate behind
 # (their green rows are on record; tools/check.py still covers them locally).
 _QUERY_MODULES = [
-    # Round-4 front window.  Hand-counted position comments failed two
-    # rounds running, so the arithmetic now lives in a TEST, not here:
+    # Round-6 front window.  Hand-counted position comments failed two
+    # rounds running, so the arithmetic lives in a TEST, not here:
     # tests/test_registry_window.py asserts (a) every registered query
-    # without a driver-green CORRECTNESS row in tools/driver_green.json
-    # sits at position <= 50, and (b) this round's explicit rotation
-    # targets (the 3 never-driver-checked queries from VERDICT r3, the
-    # new sim_ann_recall / tpch_q21, and value-changed text_bm25) do too.
+    # without a non-stale driver-green CORRECTNESS row in
+    # tools/driver_green.json sits at position <= 50, and (b) this
+    # round's explicit rotation targets do too.  This round's targets
+    # (VERDICT r5 #1): the 12 events-consuming queries whose green rows
+    # predate the round-5 events micros-NTZ re-encode + read-path change
+    # (stream twins, window_lag_lead, agg_pivot/hll, func_json/variant,
+    # skew/asof/range joins), plus similarity carrying the new
+    # sim_ann_index_refresh.
+    "sql2all_spark.streaming.batch_twins",
+    "sql2all_spark.operators.windows",
+    "sql2all_spark.operators.aggregates",
+    "sql2all_spark.operators.scalar_funcs",
+    "sql2all_spark.operators.skew",
+    "sql2all_spark.operators.asof_range",
+    "sql2all_spark.operators.similarity",
+    # --- position > 50 from here: driver-green rows on record (ledger) ---
     "sql2all_spark.operators.retrieval",
     "sql2all_spark.operators.multimodal",
     "sql2all_spark.operators.timeseries",
     "sql2all_spark.operators.incremental",
-    "sql2all_spark.operators.similarity",
     "sql2all_spark.operators.tpch",
     "sql2all_spark.operators.text",
     "sql2all_spark.operators.dedup",  # imported by graph either way
     "sql2all_spark.operators.graph",
     "sql2all_spark.operators.udfs",
-    # --- position > 50 from here: driver-green rows on record (ledger) ---
-    "sql2all_spark.operators.aggregates",
-    "sql2all_spark.operators.skew",
     "sql2all_spark.operators.sampling",
     "sql2all_spark.operators.pipeline",
-    "sql2all_spark.streaming.batch_twins",
     "sql2all_spark.operators.profiling",
-    "sql2all_spark.operators.scalar_funcs",
     "sql2all_spark.operators.relational",
     "sql2all_spark.operators.joins",
-    "sql2all_spark.operators.windows",
     "sql2all_spark.operators.setops",
-    "sql2all_spark.operators.asof_range",
     "sql2all_spark.operators.udf_scalar",  # r01-green; split out of udfs
 ]
 
@@ -63,12 +67,10 @@ _QUERY_MODULES = [
 class QuerySpec:
     name: str
     builder: QueryFn
-    # DuckDB SQL twin; None → driver does rows-only check.  A CALLABLE is
-    # resolved lazily in all_specs() after every module has registered:
-    # composition queries (e.g. scale_ops reusing graph's cluster oracle)
-    # would otherwise need a registering-module import at decoration time,
-    # which shifts the driver's position-sensitive registration order.
-    oracle: str | Callable[[], str] | None
+    # DuckDB SQL twin; None → driver does rows-only check.  Every
+    # registration passes a ready string (oracle-building helpers are
+    # invoked eagerly at decoration time, e.g. similarity's _ann_oracle).
+    oracle: str | None
     doc: str = ""
 
 
@@ -89,6 +91,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+        if oracle is not None and not isinstance(oracle, str):
+            raise TypeError(
+                f"oracle for {name!r} must be a ready SQL string (build it "
+                f"eagerly at decoration time), got {type(oracle).__name__}"
+            )
         _REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
         return fn
 
@@ -105,13 +112,7 @@ def _load_all() -> None:
 
 def all_specs() -> dict[str, QuerySpec]:
     _load_all()
-    out: dict[str, QuerySpec] = {}
-    for name, spec in _REGISTRY.items():
-        if callable(spec.oracle):
-            spec = QuerySpec(name, spec.builder, spec.oracle(), spec.doc)
-            _REGISTRY[name] = spec  # resolve once
-        out[name] = spec
-    return out
+    return dict(_REGISTRY)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -197,3 +197,56 @@ def test_bm25_bounded_topk_and_broadcast_stats(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 1  # df(t) stats join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ann_index_refresh_appends_without_rewrites(spark, sf_dir):
+    """refresh_ann_index must be O(batch): every file present before the
+    refresh is still there (same name, same size) after it, and new files
+    appear ONLY under bucket=<sig> directories the batch actually hashes
+    into — no read-modify-write of the existing corpus."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.operators.similarity import (
+        _signature_frame,
+        build_ann_index,
+        refresh_ann_index,
+    )
+    from sql2all_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 4 != 3)
+    batch = e.filter(F.col("vec_id") % 4 == 3)
+    path = build_ann_index(spark, sf_dir, source=base, suffix="_refreshtest")
+
+    def snapshot() -> dict[str, int]:
+        return {
+            p: os.path.getsize(p)
+            for p in glob.glob(f"{path}/bucket=*/*.parquet")
+        }
+
+    before = snapshot()
+    refresh_ann_index(path, batch)
+    after = snapshot()
+
+    # pre-existing files untouched byte-for-byte (name + size)
+    assert before.items() <= after.items()
+    # new files land only in buckets the batch hashes into
+    batch_buckets = {
+        r.bucket for r in _signature_frame(batch).select("bucket").distinct().collect()
+    }
+    new_buckets = {
+        p.split("bucket=")[1].split("/")[0] for p in set(after) - set(before)
+    }
+    assert new_buckets and new_buckets <= batch_buckets
+    # and the merged index equals a from-scratch build, row for row
+    full = build_ann_index(spark, sf_dir, suffix="_refreshtest_full")
+    from sql2all_spark.operators.similarity import ANN_INDEX_SCHEMA
+
+    merged = spark.read.schema(ANN_INDEX_SCHEMA).parquet(path)
+    rebuilt = spark.read.schema(ANN_INDEX_SCHEMA).parquet(full)
+    assert merged.count() == rebuilt.count()
+    assert merged.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(merged).count() == 0

@@ -26,17 +26,26 @@ DRIVER_WINDOW = 50
 
 REPO = Path(__file__).resolve().parent.parent
 
-# Queries this round explicitly rotated into the window: the three that
-# ended round 3 with no driver-green row, the two new round-4 queries, and
-# the value-changed bm25 (decimal-routed term sums).
-ROUND4_TARGETS = {
-    "mm_audio_energy",
-    "ts_anomaly_zscore",
-    "incremental_file_compaction",
-    "sim_ann_recall",
-    "tpch_q21_suppliers_who_kept_waiting",
-    "text_bm25_retrieval",
-    "graph_pagerank_suppliers",  # code changed (eager unpersist); re-verify
+# Queries the CURRENT round explicitly rotated into the window — update
+# this set each round alongside registry._QUERY_MODULES (the per-round
+# rotation contract; prior rounds' sets live in git history).  Round 6:
+# the 12 events-consuming queries whose driver-green rows predate the
+# round-5 events micros-NTZ re-encode + read-path change (VERDICT r5 #1),
+# plus the new incremental ANN index refresh.
+ROTATION_TARGETS = {
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "window_lag_lead",
+    "agg_pivot",
+    "agg_hll_sketch_rollup",
+    "func_json_family",
+    "func_variant_json",
+    "join_skew_salted",
+    "join_asof_attribution",
+    "join_range_interval",
+    "sim_ann_index_refresh",  # new this round
 }
 
 
@@ -103,10 +112,17 @@ def test_unverified_queries_sit_inside_driver_window():
     )
 
 
-def test_round4_rotation_targets_in_window():
+def test_rotation_targets_in_window():
     pos = _positions()
-    out = {n: pos.get(n) for n in ROUND4_TARGETS if pos.get(n, 10**9) > DRIVER_WINDOW}
-    assert not out, f"round-4 rotation targets outside the window: {out}"
+    out = {n: pos.get(n) for n in ROTATION_TARGETS if pos.get(n, 10**9) > DRIVER_WINDOW}
+    assert not out, f"rotation targets outside the window: {out}"
+
+
+def test_rotation_targets_registered():
+    """Each pinned target must actually exist (catches typos/renames)."""
+    pos = _positions()
+    missing = sorted(n for n in ROTATION_TARGETS if n not in pos)
+    assert not missing, f"rotation targets not registered: {missing}"
 
 
 def test_window_is_full():
