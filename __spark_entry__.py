@@ -29,11 +29,16 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (pricing summary over lineitem) on sf0.001."""
-    configure_existing(spark)
-    from sql2all_spark.operators.relational import q1_pricing_summary
+    """Flagship query (pricing summary over lineitem) on sf0.001.
 
-    return q1_pricing_summary(spark, SMOKE_SF_DIR)
+    Resolved through the registry (NOT a direct operator import): a direct
+    ``from ...relational import q1_pricing_summary`` would register
+    relational's queries first whenever entry() runs before queries() in
+    one process, shifting every position the driver's first-50 correctness
+    window depends on.
+    """
+    configure_existing(spark)
+    return registry.queries()["q1_pricing_summary"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

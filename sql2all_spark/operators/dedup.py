@@ -163,6 +163,45 @@ JOIN docs db ON db.doc_id = p.doc_b
 """
 
 
+def _minhash_banded(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_key) LSH band rows from a (doc_id, shingles) frame.
+
+    Slim by construction: only doc ids and band-key strings leave this
+    projection — the shingle arrays (the heavy payload) never enter any
+    downstream shuffle.  Shared by the self-join dedup (dedup_minhash_lsh)
+    and the batch-vs-corpus screen (dedup_incremental_screen)."""
+    hashed = docs.withColumn(
+        "hashes",
+        F.transform(F.col("shingles"), lambda s: _base_hash(s) % P),
+    )
+    sig = hashed.select(
+        "doc_id",
+        # nb: a plain `lambda x, i=i` would make PySpark pass the array index
+        # as the second lambda arg — build the closure through a factory
+        *[
+            F.array_min(F.transform(F.col("hashes"), _perm_hash(i))).alias(f"h{i}")
+            for i in range(N_BANDS * ROWS_PER_BAND)
+        ],
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "",
+                        F.lit(f"{j}:"),
+                        F.col(f"h{2 * j}"),
+                        F.lit("_"),
+                        F.col(f"h{2 * j + 1}"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=_minhash_oracle(),
@@ -179,41 +218,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then join against it" — recomputing the md5 pipeline per consumer
     # would triple the dominant cost.
     docs = _shingled_docs(d).persist()
-    hashed = docs.withColumn(
-        "hashes",
-        F.transform(F.col("shingles"), lambda s: _base_hash(s) % P),
-    )
-    sig = hashed.select(
-        "doc_id",
-        # nb: a plain `lambda x, i=i` would make PySpark pass the array index
-        # as the second lambda arg — build the closure through a factory
-        *[
-            F.array_min(F.transform(F.col("hashes"), _perm_hash(i))).alias(f"h{i}")
-            for i in range(N_BANDS * ROWS_PER_BAND)
-        ],
-    )
-    # Only (doc_id, band_key) flows through the exploded self-join — the
-    # shingle arrays (the heavy payload) never enter that shuffle; they are
-    # joined back onto the tiny candidate-pair set for exact verification.
-    # Slim (doc_id, band_key) rows; persisted so the band self-join's two
-    # sides don't each re-run the md5 signature computation.
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "",
-                        F.lit(f"{j}:"),
-                        F.col(f"h{2 * j}"),
-                        F.lit("_"),
-                        F.col(f"h{2 * j + 1}"),
-                    )
-                    for j in range(N_BANDS)
-                ]
-            )
-        ).alias("band_key"),
-    ).persist()
+    # Persisted so the band self-join's two sides don't each re-run the md5
+    # signature computation.
+    banded = _minhash_banded(docs).persist()
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band_key")
     pairs = (
@@ -436,4 +443,142 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a pair agreeing on k bands appears k times — dedup AFTER the
         # Hamming filter so only true near-dups reach the distinct
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+# Incremental screen: "new arrivals" are every 5th doc; the other 4/5 are
+# the standing corpus.  0.5 Jaccard = the accept/reject line.
+SCREEN_MOD = 5
+SCREEN_JACCARD = 0.5
+
+
+def _screen_oracle() -> str:
+    sig_exprs = ",\n    ".join(
+        f"list_aggregate(list_transform(hashes, x -> ({A[i]} * x + {B[i]}) % {P}),"
+        f" 'min') AS h{i}"
+        for i in range(N_BANDS * ROWS_PER_BAND)
+    )
+    band_keys = ", ".join(
+        f"'{j}:' || h{2 * j} || '_' || h{2 * j + 1}" for j in range(N_BANDS)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         {_SHINGLES_SQL} AS shingles
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+hashed AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {_base_hash_sql('s')} % {P}) AS hashes
+  FROM docs
+),
+sig AS (
+  SELECT doc_id, {sig_exprs} FROM hashed
+),
+banded AS (
+  SELECT doc_id, UNNEST([{band_keys}]) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+  FROM banded n JOIN banded c ON n.band_key = c.band_key
+  WHERE n.doc_id % {SCREEN_MOD} = 0 AND c.doc_id % {SCREEN_MOD} <> 0
+),
+scored AS (
+  SELECT cand.new_doc_id, cand.corpus_doc_id,
+         CAST(len(list_intersect(dn.shingles, dc.shingles)) AS DOUBLE)
+           / len(list_distinct(dn.shingles || dc.shingles)) AS jaccard
+  FROM cand
+  JOIN docs dn ON dn.doc_id = cand.new_doc_id
+  JOIN docs dc ON dc.doc_id = cand.corpus_doc_id
+),
+best AS (
+  SELECT new_doc_id, corpus_doc_id, jaccard,
+         ROW_NUMBER() OVER (
+           PARTITION BY new_doc_id
+           ORDER BY jaccard DESC, corpus_doc_id ASC) AS rk
+  FROM scored
+  WHERE jaccard >= {SCREEN_JACCARD}
+)
+SELECT d.doc_id AS new_doc_id,
+       CASE WHEN best.corpus_doc_id IS NULL THEN 0 ELSE 1 END AS is_dup,
+       best.corpus_doc_id AS match_doc_id,
+       best.jaccard AS match_jaccard
+FROM docs d
+LEFT JOIN best ON best.new_doc_id = d.doc_id AND best.rk = 1
+WHERE d.doc_id % {SCREEN_MOD} = 0
+"""
+
+
+@register(
+    "dedup_incremental_screen",
+    oracle=_screen_oracle(),
+    doc="Incremental near-dup screen: a batch of newly-arrived documents"
+    f" (every {SCREEN_MOD}th doc) is checked against the standing corpus"
+    " (the rest) WITHOUT re-running corpus-wide dedup.  The batch's MinHash"
+    " band keys are broadcast against the corpus band table (in production a"
+    " stored signature table, the text analog of the persisted ANN index);"
+    " candidates get exact-Jaccard verification and each new doc reports its"
+    f" best match at >= {SCREEN_JACCARD} Jaccard, or a clean verdict.  Cost"
+    " is O(batch × collision rate): the corpus is scanned once for slim"
+    " (doc_id, band_key) rows, corpus text is touched only for candidate"
+    " matches, and nothing corpus-sized ever shuffles.",
+)
+def dedup_incremental_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    docs = _shingled_docs(d).persist()
+    batch_docs = docs.filter(F.col("doc_id") % SCREEN_MOD == 0)
+    corpus_docs = docs.filter(F.col("doc_id") % SCREEN_MOD != 0)
+    # Band keys for the small (batch) side are broadcast; the corpus band
+    # table streams past it — no shuffle of the corpus, no self-join.
+    batch_banded = _minhash_banded(batch_docs).withColumnRenamed(
+        "doc_id", "new_doc_id"
+    )
+    corpus_banded = _minhash_banded(corpus_docs).withColumnRenamed(
+        "doc_id", "corpus_doc_id"
+    )
+    cand = (
+        corpus_banded.join(F.broadcast(batch_banded), "band_key")
+        .select("new_doc_id", "corpus_doc_id")
+        .dropDuplicates(["new_doc_id", "corpus_doc_id"])
+    )
+    dn = batch_docs.select(
+        F.col("doc_id").alias("new_doc_id"), F.col("shingles").alias("sh_n")
+    )
+    dc = corpus_docs.select(
+        F.col("doc_id").alias("corpus_doc_id"), F.col("shingles").alias("sh_c")
+    )
+    jaccard = F.size(F.array_intersect("sh_n", "sh_c")).cast("double") / F.size(
+        F.array_union("sh_n", "sh_c")
+    )
+    scored = (
+        cand.join(dn, "new_doc_id")
+        .join(dc, "corpus_doc_id")
+        .select("new_doc_id", "corpus_doc_id", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= SCREEN_JACCARD)
+    )
+    from pyspark.sql.window import Window
+
+    best = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("new_doc_id").orderBy(
+                    F.col("jaccard").desc_nulls_last(),
+                    F.col("corpus_doc_id").asc_nulls_first(),
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return (
+        batch_docs.select(F.col("doc_id").alias("new_doc_id"))
+        .join(best, "new_doc_id", "left")
+        .select(
+            "new_doc_id",
+            F.when(F.col("corpus_doc_id").isNull(), 0).otherwise(1).alias("is_dup"),
+            F.col("corpus_doc_id").alias("match_doc_id"),
+            F.col("jaccard").alias("match_jaccard"),
+        )
     )

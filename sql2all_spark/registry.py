@@ -43,6 +43,7 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.skew",
     "sql2all_spark.operators.asof_range",
     "sql2all_spark.operators.similarity",
+    "sql2all_spark.operators.dedup",  # carries new dedup_incremental_screen
     # --- position > 50 from here: driver-green rows on record (ledger) ---
     "sql2all_spark.operators.retrieval",
     "sql2all_spark.operators.multimodal",
@@ -50,7 +51,6 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.incremental",
     "sql2all_spark.operators.tpch",
     "sql2all_spark.operators.text",
-    "sql2all_spark.operators.dedup",  # imported by graph either way
     "sql2all_spark.operators.graph",
     "sql2all_spark.operators.udfs",
     "sql2all_spark.operators.sampling",

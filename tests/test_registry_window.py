@@ -46,6 +46,7 @@ ROTATION_TARGETS = {
     "join_asof_attribution",
     "join_range_interval",
     "sim_ann_index_refresh",  # new this round
+    "dedup_incremental_screen",  # new this round
 }
 
 
