@@ -49,6 +49,8 @@ HEADLINE = [
     "sim_lsh_ann",
     "sim_lsh_ann_index_build",
     "sim_lsh_ann_indexed_query",
+    "sim_ann_index_refresh",
+    "dedup_incremental_screen",
     "sim_neardup_pairs",
     "text_bm25_retrieval",
     "text_quality_score",
@@ -99,6 +101,34 @@ def main() -> None:
             times["sim_lsh_ann_indexed_query"] = round(
                 time.perf_counter() - t0, 3
             )
+            spark.catalog.clearCache()
+            continue
+        if name == "sim_ann_index_refresh":
+            # Same split rationale as the stored index: the base-corpus
+            # build is a one-time amortized cost; the number that judges
+            # the operator is the O(batch) refresh + pruned query.
+            from pyspark.sql import functions as F
+
+            from sql2all_spark.operators.similarity import (
+                build_ann_index,
+                query_ann_index,
+                refresh_ann_index,
+            )
+            from sql2all_spark.tables import load_table
+
+            e = load_table(spark, SF_DIR, "embeddings")
+            t0 = time.perf_counter()
+            path = build_ann_index(
+                spark, SF_DIR, source=e.filter(F.col("vec_id") % 4 != 3),
+                suffix="_refresh",
+            )
+            times["sim_ann_refresh_base_build"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            refresh_ann_index(path, e.filter(F.col("vec_id") % 4 == 3))
+            _run(query_ann_index(spark, SF_DIR, path))
+            times["sim_ann_index_refresh"] = round(time.perf_counter() - t0, 3)
             spark.catalog.clearCache()
             continue
         t0 = time.perf_counter()
