@@ -283,19 +283,39 @@ GROUP BY lang, compaction_group
 )
 def incremental_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    planned = d.select(
+    files = d.select(
         "lang",
         F.col("doc_id").alias("file_id"),
         F.col("n_chars").alias("size_bytes"),
+    )
+    return plan_compaction(files, "lang", target_bytes=COMPACT_TARGET_BYTES)
+
+
+def plan_compaction(
+    files: DataFrame, partition_col: str, target_bytes: int
+) -> DataFrame:
+    """Bin a (partition, file_id, size_bytes) listing into rewrite groups of
+    ~``target_bytes`` each — running-size binning (cumulative-sum // target)
+    within each partition, one window pass, no sequential state.
+
+    This is the library form of ``incremental_file_compaction``: point it at
+    any real file listing (e.g. the per-bucket parquet files an ANN index
+    refresh appends — see refresh_ann_index's docstring) to get the manifest
+    a rewrite job would execute."""
+    planned = files.select(
+        partition_col,
+        "file_id",
+        "size_bytes",
         F.expr(
-            f"(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id ASC"
+            f"(sum(size_bytes) OVER (PARTITION BY {partition_col}"
+            f" ORDER BY file_id ASC"
             f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-            f" - n_chars) div {COMPACT_TARGET_BYTES}"
+            f" - size_bytes) div {target_bytes}"
         )
         .cast("int")
         .alias("compaction_group"),
     )
-    return planned.groupBy("lang", "compaction_group").agg(
+    return planned.groupBy(partition_col, "compaction_group").agg(
         F.count(F.lit(1)).alias("n_files"),
         F.sum("size_bytes").alias("group_bytes"),
         F.min("file_id").alias("first_file"),

@@ -250,3 +250,53 @@ def test_ann_index_refresh_appends_without_rewrites(spark, sf_dir):
     assert merged.count() == rebuilt.count()
     assert merged.exceptAll(rebuilt).count() == 0
     assert rebuilt.exceptAll(merged).count() == 0
+
+
+def test_incremental_screen_broadcasts_batch_bands(spark, sf_dir):
+    """dedup_incremental_screen's 100 TB shape: the batch's band keys reach
+    the corpus via a broadcast hash join (never a shuffled self-join or a
+    cartesian), and candidate generation is an equi-join on band_key."""
+    plan = _plan(spark, sf_dir, "dedup_incremental_screen")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_key" in plan
+    assert "BroadcastHashJoin" in plan
+    # shingled docs computed once, reused by batch/corpus/verify consumers
+    assert "InMemoryRelation" in plan
+
+
+def test_refresh_index_compaction_loop(spark, sf_dir):
+    """The operational loop the refresh docstring promises: an appended
+    index accumulates small files per bucket; plan_compaction over the REAL
+    file listing produces a manifest that covers every file exactly once,
+    with every multi-file group under the target size."""
+    import glob
+    import os
+
+    from sql2all_spark.operators.incremental import plan_compaction
+    from sql2all_spark.operators.similarity import ANN_INDEX_ROOT
+
+    # index built (base + appended batch) by the earlier refresh test
+    paths = glob.glob(
+        f"{ANN_INDEX_ROOT}/{sf_dir.strip('/').replace('/', '_')}"
+        f"_refreshtest.parquet/bucket=*/*.parquet"
+    )
+    assert paths, "refresh-test index missing (ordering: refresh test runs first)"
+    listing = spark.createDataFrame(
+        [
+            (p.split("bucket=")[1].split("/")[0], p, os.path.getsize(p))
+            for p in paths
+        ],
+        "bucket string, file_id string, size_bytes long",
+    )
+    target = 64 * 1024
+    plan = plan_compaction(listing, "bucket", target_bytes=target).collect()
+    # every file is covered exactly once
+    assert sum(r.n_files for r in plan) == len(paths)
+    # running-size binning bound: a group exceeds the target only by at
+    # most its last member (first-fit approximation), so any group with
+    # group_bytes > target + max_file is a binning bug
+    max_file = max(os.path.getsize(p) for p in paths)
+    assert all(r.group_bytes <= target + max_file for r in plan)
+    # the appended batch produced multi-file buckets → compaction has work
+    assert any(r.n_files > 1 for r in plan)
