@@ -29,6 +29,29 @@ from sql2all_spark.tables import load_table
 
 MAX_ROUNDS = 25  # safety bound ≫ any real near-dup cluster diameter
 
+
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Checkpoint an iterative intermediate, picking the storage that fits
+    the deployment.
+
+    Iterative plans grow multiplicatively in lineage (round N references
+    round N-1 twice), which blows up Catalyst planning long before
+    execution — every loop here truncates per round.  But localCheckpoint
+    blocks live on EXECUTORS: on a real cluster with dynamic allocation, a
+    decommissioned executor permanently loses them and the job dies
+    mid-loop.  So: if the session has a reliable checkpoint dir configured
+    (``spark.sparkContext.setCheckpointDir`` to a shared filesystem), use
+    a real checkpoint; otherwise (local mode, tests) localCheckpoint is
+    both safe and faster."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    if has_dir:
+        return df.checkpoint()
+    return df.localCheckpoint()
+
 # Clustering uses a HIGH similarity floor: 0.05 (the pair-mining floor)
 # links barely-overlapping docs into one giant dense component (~200k edges
 # at sf0.1 — a hairball, not duplicate groups); 0.4 keeps only genuine
@@ -91,14 +114,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over hundreds of rows, not the corpus.  Singletons rejoin at the end
     # as their own keeper with cluster_size 1.
     connected = edges.select(F.col("u").alias("doc_id")).distinct()
-    # localCheckpoint each round: iterative plans grow multiplicatively in
-    # lineage (round N references round N-1 twice), which blows up Catalyst
-    # planning long before execution — truncating lineage per round keeps
-    # every round's plan constant-size.  (On a cluster, checkpoint to a
-    # reliable store instead if executor loss during the loop matters.)
-    labels = connected.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint()
+    # truncate lineage each round (see _truncate_lineage: reliable
+    # checkpoint when a dir is configured, localCheckpoint otherwise)
+    labels = _truncate_lineage(
+        connected.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
 
     for _ in range(MAX_ROUNDS):
@@ -108,16 +128,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr, labels.doc_id == nbr.u, "left")
-            .select(
+        new_labels = _truncate_lineage(
+            labels.join(nbr, labels.doc_id == nbr.u, "left").select(
                 "doc_id",
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce("nbr_min", F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
         )
         # labels only ever decrease, so an unchanged sum ⇔ a fixpoint —
         # one scalar aggregate instead of a join-and-count per round
@@ -199,11 +217,11 @@ def star_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> tuple[Dat
     replaces edges with edges to smaller targets), so an unchanged
     (count, hash-sum) signature ⇔ a fixpoint — two scalar aggregates per
     round, no data collect (same discipline as dedup_clusters)."""
-    e = edges.select("u", "v").localCheckpoint()
+    e = _truncate_lineage(edges.select("u", "v"))
     prev_sig = None
     rounds = 0
     for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _truncate_lineage(_small_star(_large_star(e)))
         rounds += 1
         # bit_xor, not sum: xor of 64-bit hashes cannot overflow under ANSI
         # mode, and the edge set is distinct so xor-of-set detects change
@@ -393,13 +411,23 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this eager variant runs a job at plan-construction time).  On a
     # cluster the plain plan is returned; callers needing re-invocation
     # hygiene there should use reliable checkpoint() to a shared dir.
-    if result.sparkSession.sparkContext.master.startswith("local"):
+    sc = result.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    if sc.master.startswith("local"):
         result = result.localCheckpoint(eager=True)
+    elif has_dir:
+        # cluster with a reliable checkpoint dir: same eager hygiene,
+        # executor-loss-safe storage
+        result = result.checkpoint(eager=True)
+    if sc.master.startswith("local") or has_dir:
         # result is materialized, so the iterative plan no longer needs the
         # cached edge blocks — free them now.
         ed.unpersist()
         e.unpersist()
-    # non-local: leave e/ed persisted — the returned plan still references
+    # otherwise leave e/ed persisted — the returned plan still references
     # them once per iteration, and unpersisting a not-yet-run plan would
     # force the edge build to recompute every round.  Blocks age out via
     # the session's LRU / caller-side unpersist.

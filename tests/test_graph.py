@@ -71,3 +71,41 @@ def test_star_empty_edges(spark):
     labels, rounds = star_components(df)
     assert labels.count() == 0
     assert rounds <= 2
+
+
+def test_truncate_lineage_uses_reliable_checkpoint_when_configured(sf_dir):
+    """With a checkpoint dir configured, the iterative operators route
+    lineage truncation through executor-loss-safe checkpoint() instead of
+    localCheckpoint(), without changing a single result value.
+
+    Runs in its OWN interpreter: setCheckpointDir is SparkContext-level and
+    cannot be unset, so doing this on the shared session fixture would
+    silently switch every later test to reliable checkpoints."""
+    import subprocess
+    import sys
+
+    script = """
+import sys, glob, shutil, tempfile
+sys.path.insert(0, "/root/repo")
+from sql2all_spark.registry import all_specs
+from sql2all_spark.session import get_spark
+spark = get_spark("cktest", master="local[4]", shuffle_partitions=4)
+sf_dir = sys.argv[1]
+build = all_specs()["dedup_clusters"].builder
+baseline = sorted(map(tuple, build(spark, sf_dir).collect()))
+ckdir = tempfile.mkdtemp(prefix="sql2all_ck_")
+spark.sparkContext.setCheckpointDir(ckdir)
+assert spark.sparkContext.getCheckpointDir() is not None
+rows = sorted(map(tuple, build(spark, sf_dir).collect()))
+assert rows == baseline, "values changed under reliable checkpointing"
+assert glob.glob(ckdir + "/*/rdd-*"), "no checkpoint written to dir"
+shutil.rmtree(ckdir, ignore_errors=True)
+print("CKPT_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script, sf_dir],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "CKPT_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
