@@ -126,6 +126,84 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temperature-scaled mixing: keep-rate resolution (per-100k of hash space)
+# and the corpus share the sample targets.  alpha = 0.5 (w ∝ count^0.5) is
+# hard-wired via SQRT because IEEE-754 sqrt is correctly rounded in BOTH
+# engines (POWER(x, a) is not), so the integer-scaled weights are exact.
+MIX_RESOLUTION = 100_000
+MIX_TARGET_PCT = 30  # sample ~30% of the corpus overall
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+),
+wts AS (
+  SELECT lang, c,
+         CAST(FLOOR(SQRT(CAST(c AS DOUBLE)) + 0.5) AS BIGINT) AS s
+  FROM counts
+),
+tot AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS ssum, CAST(SUM(c) AS BIGINT) AS n FROM wts
+),
+rates AS (
+  SELECT lang, c,
+         CAST(LEAST({MIX_RESOLUTION},
+                    (((n * {MIX_TARGET_PCT}) // 100) * s * {MIX_RESOLUTION})
+                      // (ssum * c)) AS BIGINT) AS keep_p100k
+  FROM wts, tot
+)
+SELECT d.doc_id, d.lang, r.keep_p100k
+FROM documents d
+JOIN rates r ON d.lang = r.lang
+WHERE {hash_bucket_sql('d.doc_id', MIX_RESOLUTION)} < r.keep_p100k
+""",
+    doc="Temperature-scaled source mixing (w ∝ count^0.5): the standard"
+    " multilingual-corpus composition step that upsamples low-resource"
+    " languages relative to their raw share.  Per-lang keep rates are"
+    " derived from integer-scaled sqrt weights normalized to a 30% overall"
+    " target and capped at 100% — all integer arithmetic after one"
+    " correctly-rounded SQRT, so the rates are bit-identical across"
+    " engines.  Plan shape: one slim partial-agg shuffle for the per-lang"
+    " counts (a handful of rows), rates broadcast back onto the corpus,"
+    " then a row-local hash-bucket filter — membership is a pure function"
+    " of doc_id, so the mix is reproducible under repartitioning and"
+    " incremental growth.  At 100 TB the only wide exchange is the"
+    " per-lang count, which partial-aggregates to n_lang rows.",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # persist the n_lang-row count table: tot and rates both consume it, and
+    # without the pin each side would re-scan the corpus (self-join lineage
+    # recompute — see NOTES perf lessons)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).persist()
+    wts = counts.select(
+        "lang",
+        "c",
+        F.floor(F.sqrt(F.col("c").cast("double")) + F.lit(0.5))
+        .cast("long")
+        .alias("s"),
+    )
+    tot = wts.agg(F.sum("s").alias("ssum"), F.sum("c").alias("n"))
+    rates = wts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(MIX_RESOLUTION).cast("long"),
+            F.expr(
+                f"(((n * {MIX_TARGET_PCT}) DIV 100) * s *"
+                f" {MIX_RESOLUTION}) DIV (ssum * c)"
+            ),
+        ).alias("keep_p100k"),
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(hash_bucket(F.col("doc_id"), MIX_RESOLUTION) < F.col("keep_p100k"))
+        .select("doc_id", "lang", "keep_p100k")
+    )
+
+
 SPLIT_TRAIN, SPLIT_VAL = 80, 90  # bucket boundaries: 80/10/10
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sql2all_spark.functions.hashing import base_hash_sql
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
@@ -544,3 +545,194 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
     )
 
+
+
+# Unigram-LM quality scoring: vocabulary cap and the fixed-point scale for
+# the per-token -log p values.  Scores are summed as scaled BIGINTs so the
+# per-doc reduction is order-free (float sums are not associative); only
+# the per-DISTINCT-token LN is floating point, and both engines' ln agree
+# to <=2 ulp, far inside the 1e-6 fixed-point grid.
+UNIGRAM_VOCAB = 4096
+UNIGRAM_SCALE = 1_000_000
+
+
+@register(
+    "text_unigram_lm_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+t2 AS (
+  SELECT doc_id, token FROM toks WHERE token <> ''
+),
+counts AS (
+  SELECT token, COUNT(*) AS c FROM t2 GROUP BY token
+),
+tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS t FROM counts
+),
+vocab AS (
+  SELECT token, c FROM counts
+  ORDER BY c DESC NULLS LAST, token ASC NULLS FIRST
+  LIMIT {UNIGRAM_VOCAB}
+),
+scored AS (
+  SELECT token,
+         CAST(FLOOR({UNIGRAM_SCALE}.0 * -LN(CAST(c AS DOUBLE) / t) + 0.5)
+              AS BIGINT) AS s
+  FROM vocab, tot
+),
+doc AS (
+  SELECT t2.doc_id,
+         CASE WHEN sc.token IS NULL THEN 1 ELSE 0 END AS is_oov,
+         COALESCE(sc.s,
+                  CAST(FLOOR({UNIGRAM_SCALE}.0 * -LN(1.0 / t) + 0.5)
+                       AS BIGINT)) AS s_scaled
+  FROM t2 CROSS JOIN tot LEFT JOIN scored sc ON t2.token = sc.token
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(is_oov) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(s_scaled) AS DOUBLE) / COUNT(*) / {UNIGRAM_SCALE}.0, 6)
+         AS avg_neglogp
+FROM doc GROUP BY doc_id
+""",
+    doc=f"Unigram language-model document quality score — the KenLM-filter"
+    " stand-in: two corpus passes (token counts -> top-"
+    f"{UNIGRAM_VOCAB} vocabulary with MLE probabilities; then per-doc"
+    " average -log p with out-of-vocabulary tokens backed off to 1/total)."
+    "  Low scores = high-probability boilerplate, high scores = gibberish"
+    " — the standard perplexity-band filter in corpus curation.  Scale"
+    " shape: one partial-agg shuffle of slim (token, count) pairs, exact"
+    " top-V via TakeOrderedAndProject (bounded heap, never a global sort),"
+    " vocabulary BROADCAST back (bounded at V rows regardless of corpus"
+    " size), then one keyed per-doc agg — raw text never crosses an"
+    " exchange.  Per-token scores are fixed-point BIGINTs so the doc sum"
+    " is exact and order-free in both engines.",
+)
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist()
+    # Corpus token total: a 1-value driver scalar (like similarity.py's
+    # centroid reads) — the distinct-token table is already aggregated, so
+    # this reads n_distinct partial rows, not the corpus.
+    t = float(counts.agg(F.sum("c")).collect()[0][0])
+    vocab = counts.orderBy(
+        F.col("c").desc_nulls_last(), F.col("token").asc_nulls_first()
+    ).limit(UNIGRAM_VOCAB)
+    scale = F.lit(float(UNIGRAM_SCALE))
+    scored = vocab.select(
+        "token",
+        F.floor(scale * -F.log(F.col("c").cast("double") / F.lit(t)) + F.lit(0.5))
+        .cast("long")
+        .alias("s"),
+    )
+    oov_score = F.floor(scale * -F.log(F.lit(1.0) / F.lit(t)) + F.lit(0.5)).cast(
+        "long"
+    )
+    doc = toks.join(F.broadcast(scored), "token", "left").select(
+        "doc_id",
+        F.when(F.col("s").isNull(), 1).otherwise(0).alias("is_oov"),
+        F.coalesce(F.col("s"), oov_score).alias("s_scaled"),
+    )
+    return doc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("is_oov").cast("long").alias("n_oov"),
+        F.round(
+            F.sum("s_scaled").cast("double")
+            / F.count(F.lit(1))
+            / scale,
+            6,
+        ).alias("avg_neglogp"),
+    )
+
+
+DUP_SPAN_GRAM = 5  # word n-gram length for cross-document span detection
+
+
+@register(
+    "text_dup_ngram_spans",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= {DUP_SPAN_GRAM}
+),
+p AS (
+  SELECT doc_id, w,
+         UNNEST(range(1, len(w) - {DUP_SPAN_GRAM - 1} + 1)) AS pos
+  FROM d
+),
+g AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         {base_hash_sql(f"array_to_string(w[pos:pos + {DUP_SPAN_GRAM - 1}], ' ')")} AS h
+  FROM p
+),
+dup AS (
+  SELECT h FROM g GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)
+),
+hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos ASC) AS grp
+  FROM hits
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) + {DUP_SPAN_GRAM - 1} AS INT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_ngrams
+FROM isl GROUP BY doc_id, grp
+""",
+    doc=f"Exact duplicated-n-gram span detection ({DUP_SPAN_GRAM}-word"
+    " grams): finds maximal token spans that also appear verbatim in at"
+    " least one OTHER document — the operator behind boilerplate/license/"
+    "template removal in corpus hygiene (report the spans, not just a"
+    " doc-level verdict).  Inverted-index shape like dedup_ngram_jaccard:"
+    " only slim (doc_id, pos, hash64) rows ever shuffle — raw text stays"
+    " columnar in the scan; cross-doc detection is a partial-agg"
+    " min/max-by-hash (no distinct-count Expand); consecutive duplicated"
+    " positions merge into spans via the gaps-and-islands window keyed by"
+    " doc.  At 100 TB the exchanges carry ~tokens-per-doc 16-byte rows,"
+    " and the final window only sees positions that already matched.",
+)
+def text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from sql2all_spark.functions.hashing import base_hash
+
+    n = DUP_SPAN_GRAM
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", _tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= n
+    )
+    pos = F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("pos")
+    p = w.select("doc_id", "w", pos)
+    grams = p.select(
+        "doc_id",
+        "pos",
+        base_hash(F.array_join(F.slice(F.col("w"), F.col("pos"), n), " ")).alias(
+            "h"
+        ),
+    ).persist()
+    dup = (
+        grams.groupBy("h")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
+        .select("h")
+    )
+    hits = grams.join(dup, "h").select("doc_id", "pos")
+    win = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(win))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("int").alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_ngrams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_dup_ngrams")
+    )

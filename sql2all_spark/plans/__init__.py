@@ -50,8 +50,51 @@ def join_kinds(df: DataFrame) -> dict[str, int]:
     return {k: plan.count(k) for k in kinds if plan.count(k)}
 
 
+def _indent(line: str) -> int:
+    """Depth of a plan line = chars of tree furniture before the operator."""
+    return len(line) - len(line.lstrip(" :+-*()0123456789="))
+
+
+def _count_exchanges(lines: list[str], seen_caches: set[str]) -> int:
+    import re
+
+    out = 0
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if "== Initial Plan ==" in line:
+            # everything after is AQE's unexecuted pre-adaptive duplicate
+            break
+        if "InMemoryRelation" in line:
+            # explain re-prints a cached build plan under EVERY consumer;
+            # the build executes once per cache fill, so count each
+            # distinct cache (expr-ids stripped from the signature) once
+            sig = re.sub(r"#\d+L?", "", line).strip()
+            ind = _indent(line)
+            j = i + 1
+            seg = []
+            while j < len(lines) and _indent(lines[j]) > ind:
+                seg.append(lines[j])
+                j += 1
+            if sig not in seen_caches:
+                seen_caches.add(sig)
+                out += _count_exchanges(seg, seen_caches)
+            i = j
+            continue
+        if (
+            "Exchange hashpartitioning" in line
+            or "Exchange rangepartitioning" in line
+        ):
+            out += 1
+        i += 1
+    return out
+
+
 def shuffle_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges — the scale-limiting resource."""
-    return physical_plan(df).count("Exchange hashpartitioning") + physical_plan(
-        df
-    ).count("Exchange rangepartitioning")
+    """Number of shuffle exchanges that would execute — the scale-limiting
+    resource.  Counts plan-tree occurrences, with two display artifacts
+    corrected: a cached InMemoryRelation's build plan (re-printed under
+    every consumer, executed once per cache fill) is counted once per
+    distinct cache, and AQE's ``== Initial Plan ==`` section (the
+    unexecuted pre-adaptive duplicate) is ignored."""
+    return _count_exchanges(physical_plan(df).splitlines(), set())

@@ -25,41 +25,43 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # round-1-green joins/aggregates/windows/setops/asof_range rotate behind
 # (their green rows are on record; tools/check.py still covers them locally).
 _QUERY_MODULES = [
-    # Round-6 front window.  Hand-counted position comments failed two
+    # Round-7 front window.  Hand-counted position comments failed two
     # rounds running, so the arithmetic lives in a TEST, not here:
     # tests/test_registry_window.py asserts (a) every registered query
     # without a non-stale driver-green CORRECTNESS row in
     # tools/driver_green.json sits at position <= 50, and (b) this
-    # round's explicit rotation targets do too.  This round's targets
-    # (VERDICT r5 #1): the 12 events-consuming queries whose green rows
-    # predate the round-5 events micros-NTZ re-encode + read-path change
-    # (stream twins, window_lag_lead, agg_pivot/hll, func_json/variant,
-    # skew/asof/range joins), plus similarity carrying the new
-    # sim_ann_index_refresh.
+    # round's explicit rotation targets do too.  This round's targets:
+    # the three NEW operators (sampling carries sample_temperature_mix;
+    # text carries text_unigram_lm_score and text_dup_ngram_spans) plus
+    # the freshness rotation (VERDICT r6 #6) of every query whose newest
+    # green row was still r01/r02 — relational/joins/setops/udf_scalar
+    # and the r02 sampling/pipeline/profiling families.  The remaining
+    # window slots re-attest the oldest r05 rows (retrieval/udfs/
+    # timeseries and the head of incremental).
+    "sql2all_spark.operators.sampling",
+    "sql2all_spark.operators.text",
+    "sql2all_spark.operators.relational",
+    "sql2all_spark.operators.joins",
+    "sql2all_spark.operators.setops",
+    "sql2all_spark.operators.udf_scalar",
+    "sql2all_spark.operators.pipeline",
+    "sql2all_spark.operators.profiling",
+    "sql2all_spark.operators.retrieval",
+    "sql2all_spark.operators.udfs",
+    "sql2all_spark.operators.timeseries",
+    "sql2all_spark.operators.incremental",
+    # --- position > 50 from here: driver-green rows on record (ledger) ---
+    "sql2all_spark.operators.tpch",
+    "sql2all_spark.operators.multimodal",
+    "sql2all_spark.operators.graph",  # imports dedup, which registers first
+    "sql2all_spark.operators.dedup",
+    "sql2all_spark.operators.similarity",
     "sql2all_spark.streaming.batch_twins",
     "sql2all_spark.operators.windows",
     "sql2all_spark.operators.aggregates",
     "sql2all_spark.operators.scalar_funcs",
     "sql2all_spark.operators.skew",
     "sql2all_spark.operators.asof_range",
-    "sql2all_spark.operators.similarity",
-    "sql2all_spark.operators.dedup",  # carries new dedup_incremental_screen
-    # --- position > 50 from here: driver-green rows on record (ledger) ---
-    "sql2all_spark.operators.retrieval",
-    "sql2all_spark.operators.multimodal",
-    "sql2all_spark.operators.timeseries",
-    "sql2all_spark.operators.incremental",
-    "sql2all_spark.operators.tpch",
-    "sql2all_spark.operators.text",
-    "sql2all_spark.operators.graph",
-    "sql2all_spark.operators.udfs",
-    "sql2all_spark.operators.sampling",
-    "sql2all_spark.operators.pipeline",
-    "sql2all_spark.operators.profiling",
-    "sql2all_spark.operators.relational",
-    "sql2all_spark.operators.joins",
-    "sql2all_spark.operators.setops",
-    "sql2all_spark.operators.udf_scalar",  # r01-green; split out of udfs
 ]
 
 

@@ -199,18 +199,22 @@ def test_bm25_bounded_topk_and_broadcast_stats(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_ann_index_refresh_appends_without_rewrites(spark, sf_dir):
-    """refresh_ann_index must be O(batch): every file present before the
-    refresh is still there (same name, same size) after it, and new files
-    appear ONLY under bucket=<sig> directories the batch actually hashes
-    into — no read-modify-write of the existing corpus."""
+import pytest
+
+
+@pytest.fixture(scope="module")
+def refreshed_index(spark, sf_dir):
+    """A base ANN index (3/4 of the embeddings) with the remaining quarter
+    appended via refresh_ann_index, plus file snapshots taken before and
+    after the refresh.  Shared by the append-audit and compaction tests so
+    each runs standalone (no inter-test ordering or leftover /tmp state)."""
     import glob
     import os
+    from types import SimpleNamespace
 
     from pyspark.sql import functions as F
 
     from sql2all_spark.operators.similarity import (
-        _signature_frame,
         build_ann_index,
         refresh_ann_index,
     )
@@ -230,12 +234,30 @@ def test_ann_index_refresh_appends_without_rewrites(spark, sf_dir):
     before = snapshot()
     refresh_ann_index(path, batch)
     after = snapshot()
+    return SimpleNamespace(path=path, batch=batch, before=before, after=after)
 
+
+def test_ann_index_refresh_appends_without_rewrites(spark, sf_dir, refreshed_index):
+    """refresh_ann_index must be O(batch): every file present before the
+    refresh is still there (same name, same size) after it, and new files
+    appear ONLY under bucket=<sig> directories the batch actually hashes
+    into — no read-modify-write of the existing corpus."""
+    from sql2all_spark.operators.similarity import (
+        ANN_INDEX_SCHEMA,
+        _signature_frame,
+        build_ann_index,
+    )
+
+    before, after = refreshed_index.before, refreshed_index.after
     # pre-existing files untouched byte-for-byte (name + size)
     assert before.items() <= after.items()
     # new files land only in buckets the batch hashes into
     batch_buckets = {
-        r.bucket for r in _signature_frame(batch).select("bucket").distinct().collect()
+        r.bucket
+        for r in _signature_frame(refreshed_index.batch)
+        .select("bucket")
+        .distinct()
+        .collect()
     }
     new_buckets = {
         p.split("bucket=")[1].split("/")[0] for p in set(after) - set(before)
@@ -243,9 +265,7 @@ def test_ann_index_refresh_appends_without_rewrites(spark, sf_dir):
     assert new_buckets and new_buckets <= batch_buckets
     # and the merged index equals a from-scratch build, row for row
     full = build_ann_index(spark, sf_dir, suffix="_refreshtest_full")
-    from sql2all_spark.operators.similarity import ANN_INDEX_SCHEMA
-
-    merged = spark.read.schema(ANN_INDEX_SCHEMA).parquet(path)
+    merged = spark.read.schema(ANN_INDEX_SCHEMA).parquet(refreshed_index.path)
     rebuilt = spark.read.schema(ANN_INDEX_SCHEMA).parquet(full)
     assert merged.count() == rebuilt.count()
     assert merged.exceptAll(rebuilt).count() == 0
@@ -265,7 +285,7 @@ def test_incremental_screen_broadcasts_batch_bands(spark, sf_dir):
     assert "InMemoryRelation" in plan
 
 
-def test_refresh_index_compaction_loop(spark, sf_dir):
+def test_refresh_index_compaction_loop(spark, sf_dir, refreshed_index):
     """The operational loop the refresh docstring promises: an appended
     index accumulates small files per bucket; plan_compaction over the REAL
     file listing produces a manifest that covers every file exactly once,
@@ -274,14 +294,9 @@ def test_refresh_index_compaction_loop(spark, sf_dir):
     import os
 
     from sql2all_spark.operators.incremental import plan_compaction
-    from sql2all_spark.operators.similarity import ANN_INDEX_ROOT
 
-    # index built (base + appended batch) by the earlier refresh test
-    paths = glob.glob(
-        f"{ANN_INDEX_ROOT}/{sf_dir.strip('/').replace('/', '_')}"
-        f"_refreshtest.parquet/bucket=*/*.parquet"
-    )
-    assert paths, "refresh-test index missing (ordering: refresh test runs first)"
+    paths = glob.glob(f"{refreshed_index.path}/bucket=*/*.parquet")
+    assert paths
     listing = spark.createDataFrame(
         [
             (p.split("bucket=")[1].split("/")[0], p, os.path.getsize(p))
@@ -300,3 +315,53 @@ def test_refresh_index_compaction_loop(spark, sf_dir):
     assert all(r.group_bytes <= target + max_file for r in plan)
     # the appended batch produced multi-file buckets → compaction has work
     assert any(r.n_files > 1 for r in plan)
+
+
+def test_temperature_mix_single_corpus_agg_then_broadcast(spark, sf_dir):
+    """sample_temperature_mix's scale shape: ONE partial-agg pass over the
+    corpus produces the per-lang counts (persisted — tot and rates share
+    it instead of re-scanning), the derived rate table arrives at the
+    corpus via broadcast, and the membership filter is row-local."""
+    plan = _plan(spark, sf_dir, "sample_temperature_mix")
+    assert "BroadcastHashJoin" in plan  # rates onto the corpus
+    # the count table is pinned and BOTH consumers (weights, totals) read
+    # the cache, not a recomputed corpus scan (explain prints the cached
+    # build plan under each InMemoryTableScan, so count consumers, not
+    # FileScan occurrences)
+    assert plan.count("InMemoryTableScan") >= 2
+    from sql2all_spark.plans import shuffle_count
+
+    df = all_specs()["sample_temperature_mix"].builder(spark, sf_dir)
+    assert shuffle_count(df) <= 2  # per-lang count agg + 1-row totals agg
+
+
+def test_unigram_lm_bounded_vocab_broadcast(spark, sf_dir):
+    """text_unigram_lm_score's scale shape: the vocabulary is an exact
+    top-V via TakeOrderedAndProject (bounded heap — never a global sort of
+    the distinct-token set), arrives at the token stream via broadcast
+    (bounded at V rows no matter the corpus size), and every exchange
+    carries slim token/count or doc_id/score rows — raw text never
+    shuffles."""
+    plan = _plan(spark, sf_dir, "text_unigram_lm_score")
+    assert "TakeOrderedAndProject(limit=4096" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial->final doc agg
+    # token counts computed once and pinned (vocab + total share them)
+    assert "InMemoryRelation" in plan
+    for seg in plan.split("Exchange ")[1:]:
+        assert "text#" not in seg[:200]
+
+
+def test_dup_ngram_spans_inverted_index_slim_shuffles(spark, sf_dir):
+    """text_dup_ngram_spans' scale shape: candidate generation is the
+    inverted-index pattern (equi-join on the gram hash — never a
+    cartesian/BNLJ over documents), the (doc_id, pos, h) gram table is
+    persisted and reused on both join sides, and only slim rows cross the
+    exchanges — the token arrays and raw text stay in the scan stage."""
+    plan = _plan(spark, sf_dir, "text_dup_ngram_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryRelation" in plan
+    for seg in plan.split("Exchange ")[1:]:
+        head = seg[:200]
+        assert "text#" not in head and "w#" not in head

@@ -28,25 +28,43 @@ REPO = Path(__file__).resolve().parent.parent
 
 # Queries the CURRENT round explicitly rotated into the window — update
 # this set each round alongside registry._QUERY_MODULES (the per-round
-# rotation contract; prior rounds' sets live in git history).  Round 6:
-# the 12 events-consuming queries whose driver-green rows predate the
-# round-5 events micros-NTZ re-encode + read-path change (VERDICT r5 #1),
-# plus the new incremental ANN index refresh.
+# rotation contract; prior rounds' sets live in git history).  Round 7:
+# the three NEW operators plus the freshness rotation (VERDICT r6 #6) of
+# all 27 queries whose newest driver-green row was still r01/r02.
 ROTATION_TARGETS = {
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "window_lag_lead",
-    "agg_pivot",
-    "agg_hll_sketch_rollup",
-    "func_json_family",
-    "func_variant_json",
-    "join_skew_salted",
-    "join_asof_attribution",
-    "join_range_interval",
-    "sim_ann_index_refresh",  # new this round
-    "dedup_incremental_screen",  # new this round
+    # new this round
+    "sample_temperature_mix",
+    "text_unigram_lm_score",
+    "text_dup_ngram_spans",
+    # newest green row r01 (relational/joins/setops/udf_scalar)
+    "q1_pricing_summary",
+    "projection_expressions",
+    "filter_predicates",
+    "sort_limit_offset",
+    "distinct_values",
+    "case_when_conditional",
+    "join_inner_fact_fact",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_nonequi_theta",
+    "join_multiway_revenue",
+    "setop_union_all_distinct",
+    "setop_intersect_except",
+    "setop_intersect_except_all",
+    "subquery_scalar_and_in",
+    "subquery_correlated_cte",
+    "udf_pandas_readability",
+    # newest green row r02 (sampling/pipeline/profiling)
+    "sample_hash_deterministic",
+    "sample_stratified_cap",
+    "sample_weighted_mix",
+    "sample_split_assign",
+    "pipeline_curation",
+    "profile_corpus",
 }
 
 
