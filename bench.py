@@ -60,6 +60,25 @@ HEADLINE = [
 ]
 
 
+# 1-minute load above this at bench START means something else is using the
+# box (pytest, check.py, another bench): totals inflate ~40% under
+# concurrent load (NOTES.md), so such runs must not be compared across
+# rounds.  The run still completes — the driver invokes bench unattended
+# and an absent artifact is worse than a flagged one — but the output
+# self-describes with contended=true.  Advisory: a 1-min average also
+# decays slowly, so a run started seconds after heavy work can flag
+# spuriously; contended=false is trustworthy, contended=true means rerun
+# on an idle box before quoting the number.
+CONTENTION_LOAD1 = 4.0
+
+
+def _load1() -> float:
+    try:
+        return os.getloadavg()[0]
+    except OSError:
+        return -1.0
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -73,6 +92,7 @@ def _run(df) -> None:
 
 
 def main() -> None:
+    start_load1 = _load1()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry.all_specs()
@@ -145,6 +165,8 @@ def main() -> None:
         "n_queries": len(times),
         "queries": times,
         "sf": _sf_from_dir(SF_DIR),
+        "start_load1": round(start_load1, 2),
+        "contended": start_load1 > CONTENTION_LOAD1,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_full.json"), "w") as f:

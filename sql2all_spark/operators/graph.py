@@ -42,7 +42,14 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     mid-loop.  So: if the session has a reliable checkpoint dir configured
     (``spark.sparkContext.setCheckpointDir`` to a shared filesystem), use
     a real checkpoint; otherwise (local mode, tests) localCheckpoint is
-    both safe and faster."""
+    both safe and faster.
+
+    Deployment note: Spark does NOT clean reliable checkpoint files by
+    default, so repeated invocations accumulate ``rdd-*`` dirs on the
+    shared filesystem.  Cluster deployments that route through this path
+    should set ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+    (cleans when the RDD is GC'd) or prune the checkpoint dir between
+    jobs."""
     sc = df.sparkSession.sparkContext
     try:
         has_dir = sc.getCheckpointDir() is not None

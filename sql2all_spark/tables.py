@@ -44,15 +44,17 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
       TIMESTAMP_NS → TIMESTAMP.
     - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as TIMESTAMP_NTZ,
       which ``unix_micros()``/watermarks reject.  Pin the wall-clock as a
-      UTC instant.  NOTE: ``to_utc_timestamp(ntz, 'UTC')`` is NOT
-      session-timezone independent — Spark first casts NTZ→TIMESTAMP via
-      the session timezone, then the 'UTC' shift is a no-op, so the
-      instant drifts with the session tz.  Instead shift the NTZ
-      wall-clock from UTC into the session's zone with
-      ``convert_timezone`` and *then* cast: the two session-tz
-      dependencies cancel, giving the same unix_micros under any session
-      timezone (the value DuckDB sees reading the file as naive
-      TIMESTAMP).
+      UTC instant via pure FIELD ARITHMETIC: days-since-epoch of the NTZ
+      date plus the time-of-day, all exact integers — no timezone
+      conversion anywhere, so the result cannot depend on the session tz.
+      Two rejected alternatives, both session-dependent at DST edges:
+      ``to_utc_timestamp(ntz,'UTC')`` casts NTZ→LTZ through the session
+      tz first (drifts everywhere); and the round-trip
+      ``cast(convert_timezone('UTC', current_timezone(), ts) as
+      timestamp)`` is exact EXCEPT when the shifted wall clock lands in a
+      DST fall-back overlap, where the cast resolves the ambiguous local
+      time to one fixed offset and the instant shifts by an hour
+      (verified: 2024-11-03 06:30Z under an America/New_York session).
 
     Shared by :func:`load_table` and ``streaming.jobs.events_stream`` so
     the batch and streaming read paths can never diverge.
@@ -64,7 +66,10 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
         return df.withColumn(
             "ts",
             F.expr(
-                "cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"
+                "timestamp_micros("
+                "(cast(unix_date(cast(ts as date)) as bigint) * 86400"
+                " + hour(ts) * 3600 + minute(ts) * 60) * 1000000"
+                " + cast(extract(SECOND from ts) * 1000000 as bigint))"
             ),
         )
     return df

@@ -25,10 +25,10 @@ def test_every_query_has_registry_entry(spark):
 
 def test_events_ts_session_timezone_independent(spark, sf_dir):
     """ADVICE r5: to_utc_timestamp on an NTZ column silently shifted the
-    instant with the session timezone.  The convert_timezone-based
-    normalization in tables.normalize_events_ts must yield identical
-    unix_micros under any session timezone (load_table targets
-    driver-provided sessions it didn't configure)."""
+    instant with the session timezone.  The field-arithmetic normalization
+    in tables.normalize_events_ts must yield identical unix_micros under
+    any session timezone (load_table targets driver-provided sessions it
+    didn't configure)."""
     import pyspark.sql.functions as F
 
     from sql2all_spark.tables import load_table
@@ -48,3 +48,46 @@ def test_events_ts_session_timezone_independent(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
     assert len(seen) == 1, f"ts instants drift with session tz: {seen}"
+
+
+def test_ntz_normalization_exact_at_dst_edges(spark):
+    """ADVICE r6: the previous convert_timezone round-trip was exact except
+    for instants whose session-local wall clock lands in a DST fall-back
+    overlap (the NTZ->LTZ cast resolves the ambiguous local time to one
+    fixed offset -> off by an hour).  The field-arithmetic normalization
+    must reproduce the exact UTC instant for overlap/gap/fractional-second
+    wall clocks under DST and non-DST sessions, including a half-hour-DST
+    zone (Australia/Lord_Howe)."""
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.tables import normalize_events_ts
+
+    walls = [
+        "2024-11-03 01:30:00",  # US fall-back overlap wall time
+        "2024-11-03 05:30:00",  # instant whose NY wall = 01:30 EDT
+        "2024-11-03 06:30:00",  # instant whose NY wall = 01:30 EST (the r6 bug)
+        "2024-03-10 02:30:00",  # US spring-forward gap wall time
+        "2024-06-15 12:00:00.123456",
+        "2024-06-15 12:00:00.5",
+    ]
+    import duckdb
+
+    expected = [
+        int(duckdb.sql(f"SELECT epoch_us(TIMESTAMP '{w}')").fetchone()[0])
+        for w in walls
+    ]
+    sql = " UNION ALL ".join(
+        f"SELECT cast('{w}' as timestamp_ntz) AS ts" for w in walls
+    )
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ["UTC", "America/New_York", "Australia/Lord_Howe"]:
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = normalize_events_ts(spark.sql(sql))
+            got = [
+                r[0]
+                for r in df.select(F.expr("unix_micros(ts)")).collect()
+            ]
+            assert got == expected, f"{tz}: {got} != {expected}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
