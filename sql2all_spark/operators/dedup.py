@@ -529,6 +529,18 @@ def dedup_incremental_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _shingled_docs(d).persist()
     batch_docs = docs.filter(F.col("doc_id") % SCREEN_MOD == 0)
     corpus_docs = docs.filter(F.col("doc_id") % SCREEN_MOD != 0)
+    return screen_against_corpus(batch_docs, corpus_docs)
+
+
+def screen_against_corpus(
+    batch_docs: DataFrame, corpus_docs: DataFrame
+) -> DataFrame:
+    """The screen itself, on pre-shingled (doc_id, shingles) frames — shared
+    by the registered batch query above and the continuous-ingestion
+    streaming job (``streaming.jobs.screen_stream``), which calls it once
+    per arriving micro-batch.  Each doc's verdict depends only on (doc,
+    corpus), so screening the batch in micro-batch chunks produces exactly
+    the union of the all-at-once result — the stream≡twin test pins that."""
     # Band keys for the small (batch) side are broadcast; the corpus band
     # table streams past it — no shuffle of the corpus, no self-join.
     batch_banded = _minhash_banded(batch_docs).withColumnRenamed(

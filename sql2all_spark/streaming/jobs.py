@@ -331,3 +331,98 @@ def run_to_memory(
     )
     q.awaitTermination(120)
     return name, q
+
+
+def parquet_dir_stream(
+    spark: SparkSession, landing_dir: str, schema
+) -> DataFrame:
+    """A landing DIRECTORY of parquet files as a micro-batched stream
+    (``maxFilesPerTrigger=1`` → one micro-batch per arriving file) — the
+    production shape for continuously-landing corpus batches, and the
+    harness the incremental-operator stream tests feed with split files."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+
+def screen_stream(
+    doc_stream: DataFrame,
+    corpus_docs: DataFrame,
+    output: str,
+    checkpoint: str,
+) -> object:
+    """Continuous-ingestion near-dup screening: every arriving micro-batch
+    of documents is screened against the STANDING corpus via
+    ``operators.dedup.screen_against_corpus`` — the streaming leg of the
+    ``dedup_incremental_screen`` batch operator.
+
+    The corpus is shingled once and persisted (in production: the stored
+    signature table); per micro-batch cost is O(batch × collision rate),
+    so the job keeps up with an unbounded stream as long as each batch
+    does — no state store is needed because each doc's verdict depends
+    only on (doc, corpus).  Exactly-once at the batch level by the same
+    recipe as ``stream_export``: each batch writes to a deterministic
+    ``batch-<id>.parquet`` subdir with overwrite semantics, so checkpoint
+    replay rewrites instead of duplicating.
+    """
+    from sql2all_spark.operators.dedup import _shingled_docs, screen_against_corpus
+    from sql2all_spark.sinks import write_output
+
+    shingled_corpus = _shingled_docs(corpus_docs).persist()
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = screen_against_corpus(_shingled_docs(batch_df), shingled_corpus)
+        write_output(
+            verdicts, f"{output}/batch-{batch_id:010d}.parquet", mode="overwrite"
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ann_refresh_stream(
+    emb_stream: DataFrame, index_path: str, checkpoint: str
+) -> object:
+    """Continuous ANN-index maintenance: every arriving micro-batch of
+    embeddings is appended into the stored bucket-partitioned LSH index via
+    ``operators.similarity.refresh_ann_index`` — the streaming leg of the
+    ``sim_ann_index_refresh`` batch operator.  O(batch) writes per trigger;
+    the standing index is never rewritten (the no-rewrite file audit in
+    test_plans covers the underlying refresh).
+
+    Idempotency note: ``refresh_ann_index`` APPENDS files, so a replayed
+    batch would re-append.  A ``_batches/<id>`` marker under the index
+    root records completed batches and the job skips already-marked ids on
+    replay.  The marker lands after the append, so a crash BETWEEN append
+    and marker still duplicates that one batch — closing that gap needs a
+    transactional table format (staging + manifest swap), which is the
+    documented production upgrade path, not something a filesystem sink
+    can promise.
+    """
+    import os
+
+    from sql2all_spark.operators.similarity import refresh_ann_index
+
+    marker_dir = os.path.join(index_path, "_batches")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(marker_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, f"{batch_id:010d}")
+        if os.path.exists(marker):
+            return
+        refresh_ann_index(index_path, batch_df)
+        with open(marker, "w") as f:
+            f.write("done")
+
+    return (
+        emb_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -263,3 +263,86 @@ def test_chunk_stream_pipeline_matches_batch_twin(spark, sf_dir, tmp_path):
     got = spark.read.option("recursiveFileLookup", "true").parquet(out)
     want = all_specs()["text_chunk_windows"].builder(spark, sf_dir)
     assert _rows(got) == _rows(want)
+
+
+def test_screen_stream_matches_batch_operator(spark, sf_dir, tmp_path):
+    """Continuous-ingestion screening: new docs land as THREE separate
+    files (three micro-batches), each screened against the standing corpus
+    — the union of per-batch verdicts must equal the all-at-once
+    dedup_incremental_screen batch operator on the same split (each doc's
+    verdict depends only on (doc, corpus), so chunking cannot change it)."""
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.operators.dedup import SCREEN_MOD
+    from sql2all_spark.registry import all_specs
+    from sql2all_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    new_docs = d.filter(F.col("doc_id") % SCREEN_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % SCREEN_MOD != 0)
+
+    landing = str(tmp_path / "landing")
+    for i in range(3):
+        new_docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    stream = jobs.parquet_dir_stream(spark, landing, d.schema)
+    out = str(tmp_path / "verdicts")
+    q = jobs.screen_stream(
+        stream, corpus, out, checkpoint=str(tmp_path / "cp")
+    )
+    q.awaitTermination(120)
+    got = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    want = all_specs()["dedup_incremental_screen"].builder(spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+
+def test_ann_refresh_stream_matches_rebuild(spark, sf_dir, tmp_path):
+    """Continuous ANN-index maintenance: the held-out embedding quarter
+    lands as TWO files (two micro-batches) appended via ann_refresh_stream;
+    the final index must equal a from-scratch build of the full set, row
+    for row (multi-batch refresh == rebuild).  A replayed batch id must be
+    a no-op (the _batches marker skips it)."""
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.operators.similarity import (
+        ANN_INDEX_SCHEMA,
+        build_ann_index,
+    )
+    from sql2all_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 4 != 3)
+    held_out = e.filter(F.col("vec_id") % 4 == 3)
+    path = build_ann_index(spark, sf_dir, source=base, suffix="_streamrefresh")
+
+    landing = str(tmp_path / "emb_landing")
+    for i in range(2):
+        held_out.filter(F.col("vec_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    stream = jobs.parquet_dir_stream(spark, landing, e.schema)
+    q = jobs.ann_refresh_stream(stream, path, checkpoint=str(tmp_path / "cp2"))
+    q.awaitTermination(120)
+
+    merged = spark.read.schema(ANN_INDEX_SCHEMA).parquet(path)
+    full = build_ann_index(spark, sf_dir, suffix="_streamrefresh_full")
+    rebuilt = spark.read.schema(ANN_INDEX_SCHEMA).parquet(full)
+    assert merged.count() == rebuilt.count()
+    assert merged.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(merged).count() == 0
+
+    # replaying a completed batch id is a no-op: same file count after
+    import glob
+
+    n_before = len(glob.glob(f"{path}/bucket=*/*.parquet"))
+    q2 = jobs.ann_refresh_stream(
+        jobs.parquet_dir_stream(spark, landing, e.schema),
+        path,
+        checkpoint=str(tmp_path / "cp3"),  # fresh checkpoint -> Spark replays
+    )
+    q2.awaitTermination(120)
+    n_after = len(glob.glob(f"{path}/bucket=*/*.parquet"))
+    assert n_after == n_before
