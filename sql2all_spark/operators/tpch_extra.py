@@ -1,0 +1,371 @@
+"""Second wave of TPC-H anchors (Q5, Q7, Q8, Q14, Q19-adapted) on the
+trimmed fixture schemas.
+
+The reference forwards any such SQL verbatim to its attached database
+(``src/db/sqlite.rs:79``); each query here is a native Catalyst plan tuned
+the way the 100 TB deployment would want it: the only big-big shuffle is
+lineitem ⋈ orders on the order key; every dimension side (customer,
+supplier, part, nation, region — after their selective filters) broadcasts;
+money sums go through exact decimals (`functions/exact.py`).
+
+Fixture adaptations (columns absent from the trimmed schemas):
+- no ``partsupp`` table → Q2/Q9/Q11/Q16/Q20 are unimplementable as specified
+  (their core is min-supply-cost / supplier-part availability);
+- ``p_type`` is a single word (``PROMO``/``MEDIUM``/…) → Q8/Q14's
+  ``LIKE 'PROMO%'`` becomes equality;
+- lineitem has no shipmode/shipinstruct/receiptdate → Q19 keeps its
+  signature disjunctive (brand, size, quantity) predicate but drops the
+  container/shipmode legs; Q12 is out.
+Date windows sit inside the fixture's 1995-2001 o_orderdate range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql2all_spark.functions.exact import dsum, dsum_sql
+from sql2all_spark.registry import register
+from sql2all_spark.tables import load_table
+
+Q5_LO = "1996-01-01 00:00:00"
+Q5_HI = "1997-01-01 00:00:00"
+# pair chosen to have bilateral volume even at sf0.001 (10 suppliers total
+# there — most nation pairs are empty at that scale)
+Q7_NATION_A = "NATION_11"
+Q7_NATION_B = "NATION_12"
+Q7_LO = "1996-01-01 00:00:00"
+Q7_HI = "1998-01-01 00:00:00"
+Q8_NATION = "NATION_3"
+Q14_LO = "1996-09-01 00:00:00"
+Q14_HI = "1996-10-01 00:00:00"
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+SELECT n_name,
+       ROUND({dsum_sql('l_extendedprice * (1 - l_discount)', 8)}, 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '{Q5_LO}'
+  AND o_orderdate <  TIMESTAMP '{Q5_HI}'
+GROUP BY n_name
+ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS FIRST
+""",
+    doc="TPC-H Q5 (local supplier volume): revenue by nation where customer"
+    " and supplier share the nation, region-restricted.  Scale shape: the"
+    " region filter is applied to nation FIRST and the restricted nation"
+    " list broadcasts into supplier, so the supplier side is pre-pruned to"
+    " 1/5 of nations before touching the fact tables; lineitem ⋈ orders on"
+    " the order key is the single big shuffle; customer and the pruned"
+    " supplier broadcast.  The c_nationkey = s_nationkey equality rides on"
+    " the broadcast join, not a second shuffle.",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_HI).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(dsum(_revenue(), 8), 2).alias("revenue"))
+        .orderBy(
+            F.col("revenue").desc_nulls_last(), F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       ROUND({dsum_sql('volume', 8)}, 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+      OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+    AND l_shipdate >= TIMESTAMP '{Q7_LO}'
+    AND l_shipdate <  TIMESTAMP '{Q7_HI}'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation ASC NULLS FIRST, cust_nation ASC NULLS FIRST,
+         l_year ASC NULLS FIRST
+""",
+    doc="TPC-H Q7 (volume shipping): bilateral trade volume between two"
+    " nations by year.  Scale shape: BOTH fact-adjacent dims are pre-pruned"
+    " to the two named nations before the facts are touched — supplier and"
+    " customer each shrink to ~2/25 and broadcast; the disjunctive"
+    " cross-pair condition is evaluated on broadcast outputs, never as a"
+    " join condition that would force a shuffle.  lineitem ⋈ orders is the"
+    " only exchange; the shipdate window pushes into the parquet scan.",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q7_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q7_HI).cast("timestamp"))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == Q7_NATION_A)
+                & (F.col("cust_nation") == Q7_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == Q7_NATION_B)
+                & (F.col("cust_nation") == Q7_NATION_A)
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(dsum(_revenue(), 8), 2).alias("revenue"))
+        .orderBy(
+            F.col("supp_nation").asc_nulls_first(),
+            F.col("cust_nation").asc_nulls_first(),
+            F.col("l_year").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+SELECT o_year,
+       ROUND(CAST(nation_volume AS DOUBLE) / CAST(total_volume AS DOUBLE), 6)
+         AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         {dsum_sql(f"CASE WHEN supp_nation = '{Q8_NATION}'"
+                   " THEN volume ELSE 0 END", 8)} AS nation_volume,
+         {dsum_sql('volume', 8)} AS total_volume
+  FROM (
+    SELECT o_orderdate, n2.n_name AS supp_nation,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+  ) all_nations
+  GROUP BY o_year
+) shares
+ORDER BY o_year ASC NULLS FIRST
+""",
+    doc="TPC-H Q8 (national market share): one nation's share of promo-part"
+    " revenue sold into one region, by year.  Scale shape: part is filtered"
+    " to the promo type (1/6) BEFORE its broadcast into lineitem, so the"
+    " fact table is pruned by a broadcast hash join at the scan end;"
+    " customer is region-restricted via broadcast nation⋈region; the share"
+    " is a conditional exact-decimal sum over one aggregation (no second"
+    " pass), divided as double and rounded on both engines.",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    asian = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(asian.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    volume = _revenue()
+    nation_volume = F.when(F.col("supp_nation") == Q8_NATION, volume).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            dsum(nation_volume, 8).alias("nation_volume"),
+            dsum(volume, 8).alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("nation_volume") / F.col("total_volume"), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy(F.col("o_year").asc_nulls_first())
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+SELECT ROUND(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         AS promo_revenue_pct,
+       n_lines
+FROM (
+  SELECT {dsum_sql("CASE WHEN p_type = 'PROMO'"
+                   " THEN l_extendedprice * (1 - l_discount)"
+                   " ELSE 0 END", 8)} AS promo,
+         {dsum_sql('l_extendedprice * (1 - l_discount)', 8)} AS total,
+         COUNT(*) AS n_lines
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{Q14_LO}'
+    AND l_shipdate <  TIMESTAMP '{Q14_HI}'
+) t
+""",
+    doc="TPC-H Q14 (promo revenue): percentage of one month's revenue from"
+    " promo parts.  Scale shape: the month window pushes into the lineitem"
+    " scan (the dominant pruning — 1/80 of the fixture range), part"
+    " broadcasts un-filtered because BOTH branches of the conditional sum"
+    " need the joined p_type; one partial-agg pass, 1-row result.",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_HI).cast("timestamp"))
+    )
+    volume = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", volume).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            dsum(promo, 8).alias("promo"),
+            dsum(volume, 8).alias("total"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            F.round(100.0 * F.col("promo") / F.col("total"), 6).alias(
+                "promo_revenue_pct"
+            ),
+            "n_lines",
+        )
+    )
+
+
+Q19_ARMS = [
+    ("Brand#12", 1, 15, 1, 11),
+    ("Brand#23", 1, 20, 10, 20),
+    ("Brand#34", 1, 25, 20, 30),
+]
+
+
+def _q19_arm_sql(brand: str, size_lo: int, size_hi: int, q_lo: int, q_hi: int) -> str:
+    return (
+        f"(p_brand = '{brand}' AND p_size BETWEEN {size_lo} AND {size_hi}"
+        f" AND l_quantity BETWEEN {q_lo} AND {q_hi})"
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+SELECT ROUND({dsum_sql('l_extendedprice * (1 - l_discount)', 8)}, 2)
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE {' OR '.join(_q19_arm_sql(*arm) for arm in Q19_ARMS)}
+""",
+    doc="TPC-H Q19 (discounted revenue, adapted: container/shipmode columns"
+    " absent from the fixture — the disjunctive (brand, size, quantity)"
+    " arms keep the query's signature OR-of-ANDs shape).  Scale shape:"
+    " part pre-filters to the union of the three brand∧size arms (a"
+    " residual OR, but evaluated on the 3-column dim before broadcast),"
+    " lineitem pre-filters to the OR-envelope quantity range [1, 30] —"
+    " both pushdowns are derivable from the disjunction and written"
+    " explicitly so the scans prune without relying on the optimizer to"
+    " factor ORs; the per-arm brand∧quantity coupling is the broadcast"
+    " join's residual condition.",
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def part_arm(brand: str, size_lo: int, size_hi: int) -> F.Column:
+        return (F.col("p_brand") == brand) & F.col("p_size").between(
+            size_lo, size_hi
+        )
+
+    def arm(brand, size_lo, size_hi, q_lo, q_hi) -> F.Column:
+        return part_arm(brand, size_lo, size_hi) & F.col("l_quantity").between(
+            q_lo, q_hi
+        )
+
+    p = load_table(spark, sf_dir, "part").filter(
+        part_arm("Brand#12", 1, 15)
+        | part_arm("Brand#23", 1, 20)
+        | part_arm("Brand#34", 1, 25)
+    )
+    q_lo = min(a[3] for a in Q19_ARMS)
+    q_hi = max(a[4] for a in Q19_ARMS)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            arm(*Q19_ARMS[0]) | arm(*Q19_ARMS[1]) | arm(*Q19_ARMS[2])
+        )
+        .agg(
+            F.round(dsum(_revenue(), 8), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

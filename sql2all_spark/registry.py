@@ -35,9 +35,11 @@ _QUERY_MODULES = [
     # text carries text_unigram_lm_score and text_dup_ngram_spans) plus
     # the freshness rotation (VERDICT r6 #6) of every query whose newest
     # green row was still r01/r02 — relational/joins/setops/udf_scalar
-    # and the r02 sampling/pipeline/profiling families.  The remaining
-    # window slots re-attest the oldest r05 rows (retrieval/udfs/
-    # timeseries and the head of incremental).
+    # and the r02 sampling/pipeline/profiling families — plus the six
+    # operators added mid-round (tpch_extra's five anchors and the CMS
+    # sketch).  The last four slots re-attest the oldest r05 rows
+    # (retrieval/udfs); timeseries/incremental rotate behind on their
+    # r06 greens.
     "sql2all_spark.operators.sampling",
     "sql2all_spark.operators.text",
     "sql2all_spark.operators.relational",
@@ -46,11 +48,13 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.udf_scalar",
     "sql2all_spark.operators.pipeline",
     "sql2all_spark.operators.profiling",
+    "sql2all_spark.operators.tpch_extra",
+    "sql2all_spark.operators.sketches",
     "sql2all_spark.operators.retrieval",
     "sql2all_spark.operators.udfs",
+    # --- position > 50 from here: driver-green rows on record (ledger) ---
     "sql2all_spark.operators.timeseries",
     "sql2all_spark.operators.incremental",
-    # --- position > 50 from here: driver-green rows on record (ledger) ---
     "sql2all_spark.operators.tpch",
     "sql2all_spark.operators.multimodal",
     "sql2all_spark.operators.graph",  # imports dedup, which registers first

@@ -365,3 +365,56 @@ def test_dup_ngram_spans_inverted_index_slim_shuffles(spark, sf_dir):
     for seg in plan.split("Exchange ")[1:]:
         head = seg[:200]
         assert "text#" not in head and "w#" not in head
+
+
+def test_tpch_q5_region_prunes_before_facts(spark, sf_dir):
+    """tpch_q5's scale shape: the region restriction reaches the parquet
+    scans (region pushed, and nation/supplier shrink via broadcast joins
+    BEFORE touching lineitem), dims arrive by broadcast, and the revenue
+    aggregate is partial->final."""
+    plan = _plan(spark, sf_dir, "tpch_q5_local_supplier_volume")
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # date window pushed
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q7_nation_filter_prunes_both_dims(spark, sf_dir):
+    """tpch_q7's scale shape: the two-nation restriction pre-prunes BOTH
+    the supplier and customer sides before the fact join (nation scans
+    carry the pushed In filter), the shipdate window reaches the lineitem
+    scan, and no join needs a cartesian/BNLJ despite the disjunctive
+    cross-pair condition (it is a post-join filter on broadcast outputs)."""
+    plan = _plan(spark, sf_dir, "tpch_q7_volume_shipping")
+    assert plan.count("In(n_name, [NATION_11,NATION_12])") >= 2
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q19_pushes_disjunction_envelopes(spark, sf_dir):
+    """tpch_q19's scale shape: the OR-of-ANDs predicate cannot push as-is,
+    so the query writes its derivable envelopes explicitly — the quantity
+    range reaches the lineitem scan and the brand/size union reaches the
+    part scan — leaving only the per-arm residual above the broadcast
+    join."""
+    plan = _plan(spark, sf_dir, "tpch_q19_disjunctive_revenue")
+    li_scans = [s for s in plan.split("PushedFilters: ")[1:] if "l_quantity" in s[:300]]
+    assert li_scans, "quantity envelope must reach the lineitem scan"
+    part_scans = [s for s in plan.split("PushedFilters: ")[1:] if "p_brand" in s[:300]]
+    assert part_scans, "brand/size union must reach the part scan"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cms_sketch_shuffles_cells_not_tokens(spark, sf_dir):
+    """agg_cms_heavy_hitters' scale shape: the sketch build's exchange
+    partitions on (hash row, bucket) — a bounded d*w cell grid — with
+    map-side partial aggregation doing the heavy counting; the exact-count
+    side (verification only) is the standard two-phase bounded top-k; the
+    probe join broadcasts the tiny cell grid."""
+    plan = _plan(spark, sf_dir, "agg_cms_heavy_hitters")
+    assert "hashpartitioning(i#" in plan  # cells keyed by (i, bucket)
+    assert plan.count("HashAggregate") >= 4  # partial->final on both sides
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan

@@ -36,6 +36,12 @@ ROTATION_TARGETS = {
     "sample_temperature_mix",
     "text_unigram_lm_score",
     "text_dup_ngram_spans",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "agg_cms_heavy_hitters",
     # newest green row r01 (relational/joins/setops/udf_scalar)
     "q1_pricing_summary",
     "projection_expressions",
