@@ -21,54 +21,23 @@ scores are rounded to 6 dp before ordering/comparison.
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Shared cross-engine embedding arithmetic (moved to functions/embed.py so
+# front-window modules like embed_screen can use it without triggering this
+# module's registrations at import time); aliased to keep call sites stable.
+from sql2all_spark.functions.embed import DIM, N_PLANES
+from sql2all_spark.functions.embed import HYPERPLANES as _HYPERPLANES
+from sql2all_spark.functions.embed import cosine as _cosine
+from sql2all_spark.functions.embed import cosine_sql as _cosine_sql
+from sql2all_spark.functions.embed import dbl as _dbl
+from sql2all_spark.functions.embed import dot as _dot
+from sql2all_spark.functions.embed import dot_sql as _dot_sql
+from sql2all_spark.functions.embed import sign_bucket as _bucket_spark
+from sql2all_spark.functions.embed import sign_bucket_sql as _bucket_sql
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
-
-# 6 sign bits → 64 buckets: sized so test-SF buckets are non-empty (~8
-# vectors per bucket at sf0.01).  At 100 TB you raise bits until bucket size
-# fits one task's memory — the plan shape is unchanged.
-N_PLANES = 6
-DIM = 64
-# Integer hyperplane components (deterministic seed): integer×double products
-# keep the two engines' dot products bit-identical; float literals would need
-# exact decimal→binary agreement in two SQL parsers.
-_HYPERPLANES: list[list[int]] = (
-    np.random.RandomState(42).randint(-9, 10, size=(N_PLANES, DIM)).tolist()
-)
-
-
-def _dbl(col: Column) -> Column:
-    return F.transform(col, lambda x: x.cast("double"))
-
-
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _dot_sql(a: str, b: str) -> str:
-    return (
-        f"list_reduce(list_transform(range(1, {DIM} + 1),"
-        f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
-    )
-
-
-def _cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
-
-
-def _cosine_sql(a: str, b: str) -> str:
-    return (
-        f"{_dot_sql(a, b)} / "
-        f"(SQRT({_dot_sql(a, a)}) * SQRT({_dot_sql(b, b)}))"
-    )
 
 
 BRUTE_TOPK_ORACLE = f"""
@@ -113,28 +82,6 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("cosine").desc_nulls_last(), F.col("vec_id").asc_nulls_first()
     ).limit(10)
-
-
-def _bucket_spark(emb: Column) -> Column:
-    """Hyperplane-sign signature as a string like '0110...'."""
-    bits = [
-        F.when(
-            _dot(emb, F.array(*[F.lit(float(w)) for w in plane])) >= 0, "1"
-        ).otherwise("0")
-        for plane in _HYPERPLANES
-    ]
-    return F.concat(*bits)
-
-
-def _bucket_sql(emb: str) -> str:
-    bits = []
-    for plane in _HYPERPLANES:
-        lit = "[" + ",".join(f"{w}.0" for w in plane) + "]"
-        bits.append(
-            f"CASE WHEN {_dot_sql(emb, f'CAST({lit} AS DOUBLE[])')} >= 0"
-            " THEN '1' ELSE '0' END"
-        )
-    return " || ".join(bits)
 
 
 # Shared by sim_lsh_ann (computes signatures at query time) and

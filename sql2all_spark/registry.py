@@ -50,9 +50,11 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.profiling",
     "sql2all_spark.operators.tpch_extra",
     "sql2all_spark.operators.sketches",
+    "sql2all_spark.operators.layout",
+    "sql2all_spark.operators.embed_screen",
     "sql2all_spark.operators.retrieval",
-    "sql2all_spark.operators.udfs",
     # --- position > 50 from here: driver-green rows on record (ledger) ---
+    "sql2all_spark.operators.udfs",
     "sql2all_spark.operators.timeseries",
     "sql2all_spark.operators.incremental",
     "sql2all_spark.operators.tpch",

@@ -418,3 +418,30 @@ def test_cms_sketch_shuffles_cells_not_tokens(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4  # partial->final on both sides
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_single_slim_shuffle_after_broadcast_domain(spark, sf_dir):
+    """layout_zorder_cluster's scale shape: the domain bounds are a 1-row
+    aggregate joined by broadcast (never a shuffle), the Morton key is
+    row-local integer arithmetic inside codegen, and the only exchange
+    partitions on the 256-value zcluster key with map-side partial
+    aggregation."""
+    plan = _plan(spark, sf_dir, "layout_zorder_cluster")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row domain agg broadcast
+    assert "hashpartitioning(zcluster#" in plan
+    assert plan.count("HashAggregate") >= 2
+    # orders' payload columns are pruned at the scan
+    assert "o_totalprice" not in plan.split("ReadSchema")[-1][:400]
+
+
+def test_embed_contamination_probe_broadcasts_corpus_streams(spark, sf_dir):
+    """sim_embed_contamination's scale shape: candidate generation joins
+    the corpus band keys against BROADCAST probe bands (the asymmetric
+    text_contamination_check design in cosine space) — never a cartesian
+    or a corpus shuffle; exact verification joins probe vectors by
+    broadcast onto candidates only."""
+    plan = _plan(spark, sf_dir, "sim_embed_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "RunningWindowFunction" in plan or "Window" in plan

@@ -42,6 +42,8 @@ ROTATION_TARGETS = {
     "tpch_q14_promo_revenue",
     "tpch_q19_disjunctive_revenue",
     "agg_cms_heavy_hitters",
+    "layout_zorder_cluster",
+    "sim_embed_contamination",
     # newest green row r01 (relational/joins/setops/udf_scalar)
     "q1_pricing_summary",
     "projection_expressions",
