@@ -133,3 +133,150 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
     )
+
+
+BF_K = 3  # hash functions
+BF_WORDS = 128  # 64-bit words in the bitmap
+BF_BITS_PER_WORD = 63  # keep shifts in [0, 62] so 1<<bit never wraps sign
+BF_M = BF_WORDS * BF_BITS_PER_WORD  # total bits
+BF_PRICE_MIN = 490000  # member set: customers with any order above this
+
+
+def _bf_pos(col: F.Column, row: int) -> F.Column:
+    return base_hash(F.concat(F.lit(f"bf{row}|"), col.cast("string"))) % BF_M
+
+
+def _bf_pos_sql(expr: str) -> str:
+    return (
+        base_hash_sql(f"'bf' || CAST(i AS VARCHAR) || '|' || CAST({expr} AS VARCHAR)")
+        + f" % {BF_M}"
+    )
+
+
+@register(
+    "agg_bloom_filter_probe",
+    oracle=f"""
+WITH member_keys AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+  WHERE o_totalprice > {BF_PRICE_MIN}
+),
+ki AS (SELECT unnest(range({BF_K})) AS i),
+bits AS (
+  SELECT {_bf_pos_sql('k')} AS pos FROM member_keys, ki
+),
+words AS (
+  SELECT pos // {BF_BITS_PER_WORD} AS word,
+         BIT_OR(CAST(1 AS BIGINT) << (pos % {BF_BITS_PER_WORD})) AS w
+  FROM bits GROUP BY 1
+),
+probes AS (
+  SELECT c_custkey AS k, {_bf_pos_sql('c_custkey')} AS pos
+  FROM customer, ki
+),
+per_key AS (
+  SELECT p.k,
+         MIN(CASE WHEN w.w IS NOT NULL
+                   AND (w.w & (CAST(1 AS BIGINT)
+                               << (p.pos % {BF_BITS_PER_WORD}))) <> 0
+              THEN 1 ELSE 0 END) AS all_hit
+  FROM probes p
+  LEFT JOIN words w ON w.word = p.pos // {BF_BITS_PER_WORD}
+  GROUP BY p.k
+),
+verdicts AS (
+  SELECT pk.k, pk.all_hit,
+         CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END AS is_member
+  FROM per_key pk LEFT JOIN member_keys m ON m.k = pk.k
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(SUM(is_member) AS BIGINT) AS n_members,
+       CAST(SUM(all_hit) AS BIGINT) AS n_bloom_positive,
+       CAST(SUM(CASE WHEN all_hit = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positive,
+       (SELECT CAST(SUM(bit_count(w)) AS BIGINT) FROM words) AS n_bits_set
+FROM verdicts
+""",
+    doc=f"Bloom-filter build + membership probe from first principles — the"
+    " semi-join pruning primitive: at 100 TB the filter built on a join's"
+    " small side is broadcast to the big side's scan so non-matching rows"
+    " die before the exchange (what Spark's runtime row-level filtering"
+    " does internally; built explicitly here so the driver can verify the"
+    f" exact bitmap).  A {BF_M}-bit / {BF_K}-hash filter over customers"
+    " with a high-value order, probed with EVERY customer; output pins"
+    " zero false negatives structurally (members always pass) and the"
+    " exact false-positive count cell-for-cell against DuckDB.  Scale"
+    f" shape: the filter aggregates to ≤ {BF_WORDS} bit_or words via"
+    " map-side partial agg (commutative OR ⇒ mergeable like the CMS"
+    " grid), then BROADCASTS — probes never shuffle; the only keyed"
+    " exchange is the slim (key, verdict) truth join.  Shifts stay in"
+    f" [0, {BF_BITS_PER_WORD - 1}] so 1<<bit never wraps the sign bit in"
+    " either engine.",
+)
+def agg_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    member = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > BF_PRICE_MIN)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bits = member.select(
+        F.explode(
+            F.array(*[_bf_pos(F.col("k"), i) for i in range(BF_K)])
+        ).alias("pos")
+    )
+    words = bits.groupBy(
+        (F.col("pos") / BF_BITS_PER_WORD).cast("long").alias("word")
+    ).agg(
+        F.bit_or(F.expr(f"shiftleft(1L, CAST(pos % {BF_BITS_PER_WORD} AS INT))")).alias("w")
+    )
+    probes = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"))
+        .select(
+            "k",
+            F.explode(
+                F.array(*[_bf_pos(F.col("k"), i) for i in range(BF_K)])
+            ).alias("pos"),
+        )
+    )
+    hit = F.when(
+        F.col("w").isNotNull()
+        & (
+            F.col("w").bitwiseAND(
+                F.expr(f"shiftleft(1L, CAST(pos % {BF_BITS_PER_WORD} AS INT))")
+            )
+            != 0
+        ),
+        1,
+    ).otherwise(0)
+    per_key = (
+        probes.join(
+            F.broadcast(words),
+            (F.col("pos") / BF_BITS_PER_WORD).cast("long") == F.col("word"),
+            "left",
+        )
+        .select("k", hit.alias("hit"))
+        .groupBy("k")
+        .agg(F.min("hit").alias("all_hit"))
+    )
+    verdicts = per_key.join(
+        member.withColumnRenamed("k", "mk"),
+        F.col("k") == F.col("mk"),
+        "left",
+    ).select(
+        "all_hit",
+        F.when(F.col("mk").isNotNull(), 1).otherwise(0).alias("is_member"),
+    )
+    n_bits = words.agg(
+        F.sum(F.bit_count("w")).cast("long").alias("n_bits_set")
+    )
+    return verdicts.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum("is_member").cast("long").alias("n_members"),
+        F.sum("all_hit").cast("long").alias("n_bloom_positive"),
+        F.sum(
+            F.when((F.col("all_hit") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_positive"),
+    ).crossJoin(F.broadcast(n_bits))

@@ -736,3 +736,214 @@ def text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "span_start", "span_end", "n_dup_ngrams")
     )
+
+
+PMI_MIN_COUNT = 3  # bigram support threshold before ranking
+PMI_TOP = 50
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+tot AS (
+  SELECT CAST(SUM(len(w)) AS DOUBLE) AS t,
+         CAST(SUM(len(w) - 1) AS DOUBLE) AS b
+  FROM d
+),
+toks AS (
+  SELECT UNNEST(w) AS token FROM d
+),
+uni AS (
+  SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+),
+bp AS (
+  SELECT w, UNNEST(range(1, len(w))) AS i FROM d WHERE len(w) >= 2
+),
+bc AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2, COUNT(*) AS c12
+  FROM bp GROUP BY w1, w2
+  HAVING COUNT(*) >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       ROUND(LN((CAST(c12 AS DOUBLE) / b)
+                / ((CAST(u1.c AS DOUBLE) / t) * (CAST(u2.c AS DOUBLE) / t))),
+             6) AS pmi
+FROM bc
+JOIN uni u1 ON u1.token = w1
+JOIN uni u2 ON u2.token = w2, tot
+ORDER BY pmi DESC NULLS LAST, w1 ASC NULLS FIRST, w2 ASC NULLS FIRST
+LIMIT {PMI_TOP}
+""",
+    doc=f"Pointwise-mutual-information collocation mining: top-{PMI_TOP}"
+    f" adjacent word pairs (support >= {PMI_MIN_COUNT}) by"
+    " PMI = ln(p(w1,w2) / (p(w1) p(w2))) — the classic phrase/collocation"
+    " extractor (Church & Hanks 1990) used to build tokenizer merge"
+    " candidates and stop-phrase lists in corpus curation.  Scale shape:"
+    " bigrams are generated ROW-LOCAL from the token array (no"
+    " self-join); the exchanges carry only (w1, w2, partial count) and"
+    " (token, partial count) pairs — map-side combine collapses each"
+    " partition to its distinct pair set, and the min-count filter prunes"
+    " the long tail before the two slim count joins; corpus totals are a"
+    " 1-row broadcast; final ranking is TakeOrderedAndProject with a"
+    " bounded heap.  Raw text never crosses an exchange.",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("w")
+    )
+    tot = d.agg(
+        F.sum(F.size("w")).cast("double").alias("t"),
+        F.sum(F.size("w") - 1).cast("double").alias("b"),
+    )
+    uni = (
+        d.select(F.explode("w").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = d.filter(F.size("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("w"), i).alias("w1"),
+                    F.element_at(F.col("w"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("pr")
+    ).select("pr.w1", "pr.w2")
+    bc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") / F.col("b"))
+            / (
+                (F.col("c1").cast("double") / F.col("t"))
+                * (F.col("c2").cast("double") / F.col("t"))
+            )
+        ),
+        6,
+    )
+    return (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(
+            F.col("pmi").desc_nulls_last(),
+            F.col("w1").asc_nulls_first(),
+            F.col("w2").asc_nulls_first(),
+        )
+        .limit(PMI_TOP)
+    )
+
+
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 5  # winnowing window (guarantee threshold t = K + W - 1 = 8)
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= {WINNOW_K + WINNOW_W - 1}
+),
+p AS (
+  SELECT doc_id, w, UNNEST(range(1, len(w) - {WINNOW_K - 1} + 1)) AS pos
+  FROM d
+),
+g AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         {base_hash_sql(f"array_to_string(w[pos:pos + {WINNOW_K - 1}], ' ')")} AS h
+  FROM p
+),
+mx AS (
+  SELECT doc_id, MAX(pos) AS m FROM g GROUP BY doc_id
+),
+wins AS (
+  SELECT g.doc_id, g.pos AS ws,
+         MIN(h) OVER (PARTITION BY g.doc_id ORDER BY g.pos ASC
+                      ROWS BETWEEN CURRENT ROW
+                      AND {WINNOW_W - 1} FOLLOWING) AS wmin
+  FROM g
+),
+valid AS (
+  SELECT wins.doc_id, ws, wmin FROM wins
+  JOIN mx ON mx.doc_id = wins.doc_id
+  WHERE ws <= m - {WINNOW_W - 1}
+),
+sel AS (
+  SELECT v.doc_id, v.ws, MAX(g2.pos) AS fp_pos
+  FROM valid v
+  JOIN g g2 ON g2.doc_id = v.doc_id
+           AND g2.pos BETWEEN v.ws AND v.ws + {WINNOW_W - 1}
+           AND g2.h = v.wmin
+  GROUP BY v.doc_id, v.ws
+)
+SELECT DISTINCT s.doc_id, s.fp_pos, g.h AS fp_hash
+FROM sel s
+JOIN g ON g.doc_id = s.doc_id AND g.pos = s.fp_pos
+""",
+    doc=f"Robust winnowing document fingerprint (Schleimer, Wilkerson &"
+    f" Aiken 2003, the MOSS algorithm): hash every {WINNOW_K}-token gram,"
+    f" slide a {WINNOW_W}-gram window, keep the RIGHTMOST minimum hash of"
+    " each window; the distinct kept (position, hash) set is the"
+    " fingerprint — guaranteed to share a hash with any copy of at least"
+    f" t = {WINNOW_K + WINNOW_W - 1} tokens, at ~2/(w+1) sampling density."
+    "  The position-aware upgrade of text_fingerprint for plagiarism/"
+    "overlap detection.  Scale shape: the entire select — gram hashing"
+    " and the per-window rightmost-argmin fold — is ROW-LOCAL JVM"
+    " higher-order functions over the token array (zero shuffle, zero"
+    " UDF); only the distinct on slim (doc_id, pos, hash64) rows"
+    " exchanges.  The oracle rebuilds the same selection relationally"
+    " (frame-min window + rightmost-position join).",
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql2all_spark.functions.hashing import base_hash
+
+    k, w = WINNOW_K, WINNOW_W
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("w")
+    ).filter(F.size("w") >= k + w - 1)
+    # Materialize gram hashes as a REAL column: Catalyst inlines cheap
+    # lambda-built expressions into every use site (NOTES.md), and the
+    # windowed argmin below reads h O(w) times per position.
+    grams = d.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - (k - 1)),
+            lambda p: base_hash(F.array_join(F.slice(F.col("w"), p, k), " ")),
+        ).alias("h"),
+    )
+    # Rightmost-min fold per window: `<=` keeps the LATEST position on
+    # ties, which is exactly the robust-winnowing tie rule.
+    sel = grams.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                transform(sequence(1, size(h) - {w - 1}), s ->
+                  aggregate(sequence(s, s + {w - 1}),
+                            struct(CAST(9223372036854775807 AS BIGINT) AS mv,
+                                   CAST(-1 AS INT) AS p),
+                            (acc, q) -> IF(element_at(h, q) <= acc.mv,
+                                           struct(element_at(h, q) AS mv,
+                                                  CAST(q AS INT) AS p),
+                                           acc)))
+                """
+            )
+        ).alias("fp"),
+    )
+    return sel.select(
+        "doc_id",
+        F.col("fp.p").alias("fp_pos"),
+        F.col("fp.mv").alias("fp_hash"),
+    ).distinct()

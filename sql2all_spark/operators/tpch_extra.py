@@ -1,5 +1,6 @@
-"""Second wave of TPC-H anchors (Q5, Q7, Q8, Q14, Q19-adapted) on the
-trimmed fixture schemas.
+"""Second and third waves of TPC-H anchors (Q5, Q7, Q8, Q14, Q19; then
+Q13, Q15, Q17, Q22 — each adapted where the trimmed fixture schemas lack a
+column) on the trimmed fixture schemas.
 
 The reference forwards any such SQL verbatim to its attached database
 (``src/db/sqlite.rs:79``); each query here is a native Catalyst plan tuned
@@ -368,4 +369,224 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dsum(_revenue(), 8), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+
+
+# --- third wave (round 7, second half): Q13, Q15, Q17, Q22 ----------------
+#
+# Fixture adaptations for this wave:
+# - Q13: orders has no o_comment -> the "NOT LIKE '%special%requests%'"
+#   exclusion becomes o_orderpriority <> '1-URGENT' (keeps the signature
+#   shape: an outer join whose RIGHT side is pre-filtered, so customers
+#   whose every order is excluded land in the c_count = 0 bucket);
+# - Q22: customer has no c_phone -> the country-code grouping becomes
+#   c_nationkey % 5, and "no orders at all" (empty at every fixture SF:
+#   every customer has orders) becomes "no orders since Q22_CUTOFF"
+#   (dormant customers), preserving the anti-join-against-orders core.
+
+Q15_LO = "1996-01-01 00:00:00"
+Q15_HI = "1996-04-01 00:00:00"
+Q17_BRAND = "Brand#12"
+Q22_CUTOFF = "2000-01-01 00:00:00"
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST
+""",
+    doc="TPC-H Q13 (customer order-count distribution, adapted: no"
+    " o_comment column — the exclusion filter is o_orderpriority <>"
+    " '1-URGENT', preserving the filtered-outer-join shape).  Scale"
+    " shape: orders is pre-aggregated to slim (custkey, count) rows"
+    " BEFORE the outer join, so order rows never pass through the join"
+    " exchange — the join carries one row per customer per side; the"
+    " final distribution groupBy is over ≤ a few hundred distinct counts.",
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    counts = c.join(
+        per_cust, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("c_count"))
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(
+            F.col("custdist").desc_nulls_last(), F.col("c_count").desc_nulls_last()
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         ROUND({dsum_sql('l_extendedprice * (1 - l_discount)', 8)}, 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_LO}'
+    AND l_shipdate <  TIMESTAMP '{Q15_HI}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey ASC NULLS FIRST
+""",
+    doc="TPC-H Q15 (top supplier by 3-month revenue; the VIEW of the spec"
+    " is the `revenue` CTE).  Scale shape: lineitem pre-filters on the"
+    " ship-date window (PushedFilters), partial-aggregates map-side, and"
+    " shuffles only slim (suppkey, partial_sum) rows; the global max is a"
+    " 1-row broadcast joined back to the agg (no second scan of"
+    " lineitem); supplier is a broadcast dim.  Revenue is rounded BEFORE"
+    " the max comparison in both engines so ties are exact.",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_HI).cast("timestamp"))
+    )
+    # persist the slim (suppkey, revenue) agg: the max branch would
+    # otherwise re-derive its lineage and scan lineitem a second time
+    # (NOTES: self-joins recompute their lineage per side)
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(dsum(_revenue(), 8), 2).alias("total_revenue"))
+        .persist()
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_revenue"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(
+            F.broadcast(best), F.col("total_revenue") == F.col("best_revenue")
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy(F.col("s_suppkey").asc_nulls_first())
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+WITH brand_lines AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+), limited AS (
+  SELECT l_extendedprice, l_quantity,
+         0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                       OVER (PARTITION BY l_partkey) AS DOUBLE)
+                / COUNT(l_quantity) OVER (PARTITION BY l_partkey)) AS qty_limit
+  FROM brand_lines
+)
+SELECT ROUND({dsum_sql('l_extendedprice', 8)} / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM limited
+WHERE l_quantity < qty_limit
+""",
+    doc="TPC-H Q17 (small-quantity-order revenue, adapted: no p_container"
+    " — the part filter is brand-only).  Scale shape: instead of the"
+    " spec's correlated self-join (two scans + two shuffles of lineitem),"
+    " the per-part average quantity is a WINDOW over the brand-filtered"
+    " join — ONE shuffle on l_partkey computes the limit and filters"
+    " row-local; part pre-filters to 1/25 of rows and broadcasts.  The"
+    " 0.2×avg limit goes through the exact-decimal avg so both engines"
+    " compare against bit-identical doubles.",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == Q17_BRAND
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    qty_limit = 0.2 * (
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count("l_quantity").over(w)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_extendedprice", "l_quantity", qty_limit.alias("qty_limit"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(dsum(F.col("l_extendedprice"), 8) / 7.0, 2).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q22_dormant_customers",
+    oracle=f"""
+SELECT c_nationkey % 5 AS cntrycode,
+       COUNT(*) AS numcust,
+       ROUND({dsum_sql('c_acctbal', 2)}, 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                          / COUNT(c_acctbal)
+                   FROM customer WHERE c_acctbal > 0)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '{Q22_CUTOFF}')
+GROUP BY cntrycode
+ORDER BY cntrycode ASC NULLS FIRST
+""",
+    doc="TPC-H Q22 (global sales opportunity, adapted: no c_phone — the"
+    " country code is c_nationkey % 5; and since every fixture customer"
+    " has orders, 'no orders' becomes 'no orders since the cutoff',"
+    " i.e. dormant customers — the anti-join core is unchanged).  Scale"
+    " shape: the positive-balance average is a 1-row broadcast (never a"
+    " collect); the anti join shuffles only (custkey) pairs — orders"
+    " pre-filters on the date before the exchange; the final groupBy is"
+    " over 5 codes.",
+)
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            dsum(F.col("c_acctbal"), 2) / F.count("c_acctbal")
+        ).alias("avg_bal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        dormant.groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(dsum(F.col("c_acctbal"), 2), 2).alias("totacctbal"),
+        )
+        .orderBy(F.col("cntrycode").asc_nulls_first())
     )

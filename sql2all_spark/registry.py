@@ -40,11 +40,14 @@ _QUERY_MODULES = [
     # sketch).  The last four slots re-attest the oldest r05 rows
     # (retrieval/udfs); timeseries/incremental rotate behind on their
     # r06 greens.
+    # Second-half round-7 additions (Q13/Q15/Q17/Q22, PMI, winnowing,
+    # bloom probe) grew text/tpch_extra/sketches by 7; setops (r01-green,
+    # freshness slips one round — NOTES) and retrieval (r05-green) rotate
+    # behind to keep the first 50 exactly the no-green + rotation set.
     "sql2all_spark.operators.sampling",
     "sql2all_spark.operators.text",
     "sql2all_spark.operators.relational",
     "sql2all_spark.operators.joins",
-    "sql2all_spark.operators.setops",
     "sql2all_spark.operators.udf_scalar",
     "sql2all_spark.operators.pipeline",
     "sql2all_spark.operators.profiling",
@@ -52,8 +55,9 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.sketches",
     "sql2all_spark.operators.layout",
     "sql2all_spark.operators.embed_screen",
-    "sql2all_spark.operators.retrieval",
     # --- position > 50 from here: driver-green rows on record (ledger) ---
+    "sql2all_spark.operators.setops",
+    "sql2all_spark.operators.retrieval",
     "sql2all_spark.operators.udfs",
     "sql2all_spark.operators.timeseries",
     "sql2all_spark.operators.incremental",

@@ -445,3 +445,92 @@ def test_embed_contamination_probe_broadcasts_corpus_streams(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_tpch_q13_preaggregates_orders_before_outer_join(spark, sf_dir):
+    """tpch_q13's scale shape: orders collapse to slim (custkey, count)
+    rows via partial->final aggregation BEFORE the outer join, the
+    priority exclusion reaches the orders scan, and order payload columns
+    are pruned (only custkey/priority read)."""
+    plan = _plan(spark, sf_dir, "tpch_q13_customer_distribution")
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+    assert plan.count("HashAggregate") >= 4  # per-cust and distribution aggs
+    assert "o_totalprice" not in plan
+    # the outer join is keyed on the custkey, never a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q15_single_lineitem_scan_and_broadcast_max(spark, sf_dir):
+    """tpch_q15's scale shape: lineitem is scanned ONCE — the slim
+    (suppkey, revenue) agg is persisted, so BOTH the max branch and the
+    join branch read the cache (2 InMemoryTableScans) instead of
+    re-deriving the lineage; the ship-date window reaches the scan, and
+    supplier arrives by broadcast."""
+    plan = _plan(spark, sf_dir, "tpch_q15_top_supplier")
+    assert plan.count("InMemoryTableScan") == 2
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q17_window_replaces_self_join(spark, sf_dir):
+    """tpch_q17's scale shape: the per-part average-quantity limit is a
+    WINDOW over the brand-filtered join — lineitem is scanned once and
+    shuffles once (on l_partkey), instead of the spec's two-scan
+    correlated self-join; part pre-filters on the brand and
+    broadcasts."""
+    plan = _plan(spark, sf_dir, "tpch_q17_small_quantity_revenue")
+    assert plan.count("lineitem.parquet") == 1
+    assert "EqualTo(p_brand,Brand#12)" in plan
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q22_broadcast_scalar_and_anti_join(spark, sf_dir):
+    """tpch_q22's scale shape: the positive-balance average is a 1-row
+    broadcast (BNLJ against a single aggregate row, never a collect),
+    the date cutoff reaches the orders scan, and the dormancy check is a
+    keyed LeftAnti with only custkeys crossing the exchange."""
+    plan = _plan(spark, sf_dir, "tpch_q22_dormant_customers")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row avg broadcast
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_bigrams_are_row_local_no_self_join(spark, sf_dir):
+    """text_pmi_collocations' scale shape: bigrams generate row-local from
+    the token array (no positional self-join), the exchanges carry only
+    slim token/pair count rows, corpus totals arrive via a 1-row
+    broadcast, and the final ranking is a bounded-heap top-k."""
+    plan = _plan(spark, sf_dir, "text_pmi_collocations")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals
+    assert plan.count("HashAggregate") >= 4  # partial->final for uni and bi
+
+
+def test_winnow_fingerprint_zero_keyed_shuffle_before_distinct(spark, sf_dir):
+    """text_winnow_fingerprint's scale shape: gram hashing and the
+    per-window rightmost-argmin fold are row-local higher-order functions
+    — the ONLY exchange in the plan is the final distinct on slim
+    (doc_id, pos, hash) rows; no join of any kind exists."""
+    plan = _plan(spark, sf_dir, "text_winnow_fingerprint")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_filter_words_broadcast_to_probes(spark, sf_dir):
+    """agg_bloom_filter_probe's scale shape: the bitmap aggregates to
+    <= BF_WORDS bit_or words (partial->final, commutative OR) and
+    BROADCASTS to the probe side — probes never shuffle for the
+    membership test; the only keyed exchanges carry slim (key, verdict)
+    rows."""
+    plan = _plan(spark, sf_dir, "agg_bloom_filter_probe")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # bitmap build: partial->final bit_or around one exchange
+    assert "bit_or" in plan
+    assert plan.count("HashAggregate") >= 4

@@ -44,6 +44,14 @@ ROTATION_TARGETS = {
     "agg_cms_heavy_hitters",
     "layout_zorder_cluster",
     "sim_embed_contamination",
+    # new in the second half of round 7
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_dormant_customers",
+    "text_pmi_collocations",
+    "text_winnow_fingerprint",
+    "agg_bloom_filter_probe",
     # newest green row r01 (relational/joins/setops/udf_scalar)
     "q1_pricing_summary",
     "projection_expressions",
@@ -60,11 +68,9 @@ ROTATION_TARGETS = {
     "join_cross",
     "join_nonequi_theta",
     "join_multiway_revenue",
-    "setop_union_all_distinct",
-    "setop_intersect_except",
-    "setop_intersect_except_all",
-    "subquery_scalar_and_in",
-    "subquery_correlated_cte",
+    # setops' five (r01-green) were rotation targets in the first half of
+    # the round but gave their slots to the seven second-half operators;
+    # their freshness rotation moves to round 8 (NOTES).
     "udf_pandas_readability",
     # newest green row r02 (sampling/pipeline/profiling)
     "sample_hash_deterministic",
