@@ -252,7 +252,7 @@ def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(
             F.broadcast(n),
             (c.c_nationkey == n.n_nationkey) & (s.s_nationkey == n.n_nationkey),

@@ -49,7 +49,8 @@ ORDER BY revenue DESC NULLS LAST, o_orderdate ASC NULLS FIRST,
 LIMIT 10
 """,
     doc="TPC-H Q3 (shipping priority): unshipped-order revenue ranking."
-    " customer is the selective dim (1 segment of 5) and broadcasts; both"
+    " customer is the selective dim (1 segment of 5) and auto-broadcasts"
+    " while it fits the size gate; both"
     " date filters reach the parquet scans; revenue aggregates partially"
     " before the shuffle; the final top-10 is a bounded heap, not a sort."
     " Orderkey tiebreak added for cross-engine determinism.",
@@ -67,7 +68,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(dsum(revenue, 8), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -299,7 +300,7 @@ def tpch_q21_suppliers_who_kept_waiting(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_name")
     return (
-        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole_late.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(
@@ -355,7 +356,7 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return (
         big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "c_custkey",

@@ -5,9 +5,14 @@ column) on the trimmed fixture schemas.
 The reference forwards any such SQL verbatim to its attached database
 (``src/db/sqlite.rs:79``); each query here is a native Catalyst plan tuned
 the way the 100 TB deployment would want it: the only big-big shuffle is
-lineitem ⋈ orders on the order key; every dimension side (customer,
-supplier, part, nation, region — after their selective filters) broadcasts;
-money sums go through exact decimals (`functions/exact.py`).
+lineitem ⋈ orders on the order key; bounded dims (nation, region, 1-row
+aggregates) carry explicit broadcast hints, while SF-scaling dims
+(customer, supplier, part — even after selective filters they grow with
+the data) go through the size-gated auto-broadcast: at test SFs they still
+broadcast, and at 100 TB they exceed the threshold and fall back to
+shuffle joins instead of OOMing the build side (the r7 sf1 soak caught a
+forced customer broadcast failing exactly this way); money sums go
+through exact decimals (`functions/exact.py`).
 
 Fixture adaptations (columns absent from the trimmed schemas):
 - no ``partsupp`` table → Q2/Q9/Q11/Q16/Q20 are unimplementable as specified
@@ -69,8 +74,9 @@ ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS FIRST
     " list broadcasts into supplier, so the supplier side is pre-pruned to"
     " 1/5 of nations before touching the fact tables; lineitem ⋈ orders on"
     " the order key is the single big shuffle; customer and the pruned"
-    " supplier broadcast.  The c_nationkey = s_nationkey equality rides on"
-    " the broadcast join, not a second shuffle.",
+    " supplier join via size-gated auto-broadcast (hinting them would OOM"
+    " at 100 TB).  The c_nationkey = s_nationkey equality rides on that"
+    " join, not a second shuffle.",
 )
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -88,9 +94,9 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -129,7 +135,8 @@ ORDER BY supp_nation ASC NULLS FIRST, cust_nation ASC NULLS FIRST,
     doc="TPC-H Q7 (volume shipping): bilateral trade volume between two"
     " nations by year.  Scale shape: BOTH fact-adjacent dims are pre-pruned"
     " to the two named nations before the facts are touched — supplier and"
-    " customer each shrink to ~2/25 and broadcast; the disjunctive"
+    " customer each shrink to ~2/25 and auto-broadcast while they fit; the"
+    " disjunctive"
     " cross-pair condition is evaluated on broadcast outputs, never as a"
     " join condition that would force a shuffle.  lineitem ⋈ orders is the"
     " only exchange; the shipdate window pushes into the parquet scan.",
@@ -155,8 +162,8 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .filter(
             (
                 (F.col("supp_nation") == Q7_NATION_A)
@@ -237,10 +244,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0)
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             dsum(nation_volume, 8).alias("nation_volume"),
@@ -289,7 +296,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = _revenue()
     promo = F.when(F.col("p_type") == "PROMO", volume).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             dsum(promo, 8).alias("promo"),
             dsum(volume, 8).alias("total"),
@@ -361,7 +368,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").between(q_lo, q_hi)
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(
             arm(*Q19_ARMS[0]) | arm(*Q19_ARMS[1]) | arm(*Q19_ARMS[2])
         )
@@ -478,7 +485,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.join(
             F.broadcast(best), F.col("total_revenue") == F.col("best_revenue")
         )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy(F.col("s_suppkey").asc_nulls_first())
     )
@@ -528,7 +535,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         / F.count("l_quantity").over(w)
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_extendedprice", "l_quantity", qty_limit.alias("qty_limit"))
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(

@@ -38,6 +38,12 @@ DEFAULT_CONFS: dict[str, str] = {
     # Broadcast threshold: dims (region/nation/supplier/part at test SF) stay
     # broadcast; at 100 TB the big tables exceed this and fall back to SMJ.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Local mode runs driver + all executor threads in ONE JVM whose heap
+    # defaults to 1g — the r7 sf1 soak hit "Not enough memory to build and
+    # broadcast" there long before the box (128 GiB) was under pressure.
+    # Static conf: only takes effect on the session that launches the JVM;
+    # configure_existing skips it on a running session.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.ui.enabled": "false",
 }
 

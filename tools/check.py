@@ -123,6 +123,11 @@ def main() -> int:
         failures += 0 if ok else 1
         results.append(res)
         print(res)
+        # Builders persist slim intermediates (signature tables, revenue
+        # aggs); across a 130-query run at sf1 the cached blocks exhaust
+        # the single local-mode JVM heap and broadcast builds start
+        # failing.  bench.py already clears between queries; mirror it.
+        spark.catalog.clearCache()
     print(f"\n{len(names) - failures}/{len(names)} passed")
     if args.json_out:
         import json
