@@ -431,29 +431,41 @@ def sim_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Near-dup mining blocks on LSH band keys: the 6 hyperplane sign bits split
-# into 2 bands of 3; a pair is a candidate if it agrees on EITHER band
-# (OR-amplification).  More/smaller bands raise recall at more candidates —
-# the standard LSH dial.  The oracle mirrors the banding exactly, so the
-# driver check proves the Spark plan finds precisely the banded pair set.
+# Near-dup mining blocks on LSH band keys over the 12-bit EXTENDED
+# signature (functions/embed.py NEARDUP_PLANES): 2 bands whose
+# bits-per-band ADAPTS to corpus size — 3 bits (the historical scheme,
+# bit-identical band keys) up to NEARDUP_REF vectors, one more bit per
+# corpus doubling beyond, capped at the 6-bit region.  A fixed scheme let
+# bucket occupancy grow linearly and the block-local pair space
+# quadratically (measured 25x at the 10x sf1 soak); adaptive specificity
+# holds expected occupancy ~constant.  A pair is a candidate if it agrees
+# on EITHER band (OR-amplification).  The oracle mirrors both the banding
+# and the integer ppb derivation exactly, so the driver check proves the
+# Spark plan finds precisely the banded pair set.
 N_NEARDUP_BANDS = 2
-PLANES_PER_BAND = N_PLANES // N_NEARDUP_BANDS  # 3
 
 
 def _neardup_oracle() -> str:
+    from sql2all_spark.functions.embed import (
+        NEARDUP_REGION,
+        neardup_bucket_sql,
+        neardup_ppb_sql,
+    )
+
     band_keys = ", ".join(
-        f"'{j}:' || substr(bucket, {j * PLANES_PER_BAND + 1}, {PLANES_PER_BAND})"
+        f"'{j}:' || substr(bucket, {j * NEARDUP_REGION + 1}, ppb)"
         for j in range(N_NEARDUP_BANDS)
     )
     cos = _cosine_sql("va.v", "vb.v")
     return f"""
 WITH v AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-         {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+         {neardup_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
   FROM embeddings
 ),
+pp AS ({neardup_ppb_sql("embeddings")}),
 banded AS (
-  SELECT vec_id, UNNEST([{band_keys}]) AS band_key FROM v
+  SELECT vec_id, UNNEST([{band_keys}]) AS band_key FROM v, pp
 ),
 pairs AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -473,9 +485,14 @@ WHERE {cos} > 0.3
     "sim_neardup_pairs",
     oracle=_neardup_oracle(),
     doc="Embedding-cosine near-duplicate mining, LSH-blocked: candidates"
-    " come from an equi-join on hyperplane-sign band keys (2 bands × 3"
-    " bits, OR-amplified), then exact cosine verification on candidates"
-    " only.  Only slim (vec_id, band_key) rows enter the candidate join;"
+    " come from an equi-join on hyperplane-sign band keys (2 bands over"
+    " the 12-bit extended signature, OR-amplified), then exact cosine"
+    " verification on candidates only.  Bits-per-band adapts to corpus"
+    " size (3 bits up to 2k vectors — the historical scheme — plus one"
+    " per doubling, capped at 6) so bucket occupancy, and with it the"
+    " block-local O(n_b²) candidate space, stays ~constant as the corpus"
+    " grows; the r7 sf1 soak measured the fixed scheme going superlinear."
+    "  Only slim (vec_id, band_key) rows enter the candidate join;"
     " vectors and norms join back onto the candidate set afterwards.  The"
     " blocking key is derived from the vectors themselves — labels are"
     " payload, so the pair space is bucket-local at any corpus size"
@@ -483,7 +500,17 @@ WHERE {cos} > 0.3
     "largest-label at scale).",
 )
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql2all_spark.functions.embed import (
+        NEARDUP_REGION,
+        neardup_bucket,
+        neardup_ppb,
+    )
+
     e = load_table(spark, sf_dir, "embeddings")
+    # Corpus size steers band specificity: a 1-value driver scalar (count
+    # of an unfiltered table — parquet row-group metadata, no scan), the
+    # same read the oracle performs via COUNT(*).
+    ppb = neardup_ppb(e.count())
     # Norm precomputed once per vector: each verified pair folds a single
     # dot product instead of three.  Persisted because three consumers read
     # it (band build + both hydration sides of the verify join).
@@ -493,7 +520,7 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         emb.alias("v"),
         F.sqrt(_dot(emb, emb)).alias("norm"),
-        _bucket_spark(emb).alias("bucket"),
+        neardup_bucket(emb).alias("bucket"),
     ).persist()
     banded = v.select(
         "vec_id",
@@ -502,7 +529,7 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.concat(
                         F.lit(f"{j}:"),
-                        F.substring("bucket", j * PLANES_PER_BAND + 1, PLANES_PER_BAND),
+                        F.substring("bucket", j * NEARDUP_REGION + 1, ppb),
                     )
                     for j in range(N_NEARDUP_BANDS)
                 ]
