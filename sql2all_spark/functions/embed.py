@@ -115,6 +115,24 @@ def neardup_ppb(n: int) -> int:
     return min(NEARDUP_MAX_PPB, NEARDUP_BASE_PPB + extra)
 
 
+def neardup_ppb_col(n_vec: str = "n_vec") -> Column:
+    """Lazy Spark twin of :func:`neardup_ppb` over a count COLUMN.
+
+    Same pure integer logic (smallest k in [0, 8] with n <= REF * 2**k,
+    else 8; capped at the region width), expressed over a 1-row count
+    aggregate so building the plan stays action-free (ADVICE r7:
+    ``e.count()`` at build time made plan-only consumers pay a job and
+    froze ppb at build time rather than execution time)."""
+    return F.expr(
+        f"least({NEARDUP_MAX_PPB}, {NEARDUP_BASE_PPB} + coalesce("
+        f"  array_min(filter("
+        f"    transform(sequence(0, 8), k -> CASE WHEN {n_vec} <="
+        f"      {NEARDUP_REF} * shiftleft(CAST(1 AS BIGINT), k)"
+        f"      THEN k END),"
+        f"    x -> x IS NOT NULL)), 8))"
+    )
+
+
 def neardup_ppb_sql(table: str = "embeddings") -> str:
     """DuckDB scalar twin of :func:`neardup_ppb` over ``table``'s count."""
     return f"""

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql2all_spark.functions.hashing import base_hash, base_hash_sql
+from sql2all_spark.cache import persist_tracked
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
@@ -217,10 +218,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the verify join): at 100 TB this is "write the signature table once,
     # then join against it" — recomputing the md5 pipeline per consumer
     # would triple the dominant cost.
-    docs = _shingled_docs(d).persist()
+    docs = _shingled_docs(d).transform(persist_tracked)
     # Persisted so the band self-join's two sides don't each re-run the md5
     # signature computation.
-    banded = _minhash_banded(docs).persist()
+    banded = _minhash_banded(docs).transform(persist_tracked)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band_key")
     pairs = (
@@ -305,7 +306,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("hg"),
         )
-        .persist()
+        .transform(persist_tracked)
     )
     # Sparse inverted-index form: explode the hashed bigrams, equi-join on
     # (lang, bucket, hash), count co-occurrences — that count IS |A∩B|.  No
@@ -427,7 +428,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     banded = sigs.select(
         "doc_id", "simhash", F.explode(F.array(*band_vals)).alias("band_key")
-    ).persist()
+    ).transform(persist_tracked)
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band_key"
     )
@@ -526,7 +527,7 @@ WHERE d.doc_id % {SCREEN_MOD} = 0
 )
 def dedup_incremental_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    docs = _shingled_docs(d).persist()
+    docs = _shingled_docs(d).transform(persist_tracked)
     batch_docs = docs.filter(F.col("doc_id") % SCREEN_MOD == 0)
     corpus_docs = docs.filter(F.col("doc_id") % SCREEN_MOD != 0)
     return screen_against_corpus(batch_docs, corpus_docs)

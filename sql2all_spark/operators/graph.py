@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql2all_spark.operators.dedup import NGRAM_PAIRS_ORACLE, dedup_ngram_jaccard
+from sql2all_spark.cache import persist_tracked
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
@@ -114,7 +115,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
         )
-        .persist()
+        .transform(persist_tracked)
     )
     # Only nodes that HAVE an edge participate in propagation: with a high
     # similarity floor almost every doc is a singleton, so the loop runs
@@ -382,11 +383,11 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .repartition(8, "src")
-        .persist()
+        .transform(persist_tracked)
     )
     ed = e.join(
         e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src"
-    ).persist()
+    ).transform(persist_tracked)
     ranks = (
         ed.select("src").distinct().select("src", F.lit(PR_SCALE).cast("long").alias("rank"))
     )

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql2all_spark.functions.hashing import hash_bucket, hash_bucket_sql
+from sql2all_spark.cache import persist_tracked
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
@@ -178,7 +179,7 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the n_lang-row count table: tot and rates both consume it, and
     # without the pin each side would re-scan the corpus (self-join lineage
     # recompute — see NOTES perf lessons)
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).persist()
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).transform(persist_tracked)
     wts = counts.select(
         "lang",
         "c",

@@ -36,6 +36,7 @@ from sql2all_spark.functions.embed import dot as _dot
 from sql2all_spark.functions.embed import dot_sql as _dot_sql
 from sql2all_spark.functions.embed import sign_bucket as _bucket_spark
 from sql2all_spark.functions.embed import sign_bucket_sql as _bucket_sql
+from sql2all_spark.cache import persist_tracked
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
@@ -503,14 +504,16 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql2all_spark.functions.embed import (
         NEARDUP_REGION,
         neardup_bucket,
-        neardup_ppb,
+        neardup_ppb_col,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    # Corpus size steers band specificity: a 1-value driver scalar (count
-    # of an unfiltered table — parquet row-group metadata, no scan), the
-    # same read the oracle performs via COUNT(*).
-    ppb = neardup_ppb(e.count())
+    # Corpus size steers band specificity.  Derived LAZILY: a 1-row count
+    # aggregate broadcast onto the band build (the same COUNT(*) the
+    # oracle's ppb CTE performs), so constructing the plan runs no job and
+    # ppb reflects the corpus at execution time, not build time (ADVICE r7).
+    n = e.agg(F.count(F.lit(1)).alias("n_vec"))
+    ppb = neardup_ppb_col("n_vec")
     # Norm precomputed once per vector: each verified pair folds a single
     # dot product instead of three.  Persisted because three consumers read
     # it (band build + both hydration sides of the verify join).
@@ -521,20 +524,29 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.alias("v"),
         F.sqrt(_dot(emb, emb)).alias("norm"),
         neardup_bucket(emb).alias("bucket"),
-    ).persist()
-    banded = v.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit(f"{j}:"),
-                        F.substring("bucket", j * NEARDUP_REGION + 1, ppb),
-                    )
-                    for j in range(N_NEARDUP_BANDS)
-                ]
-            )
-        ).alias("band_key"),
+    ).transform(persist_tracked)
+    # The count attaches as a 1-row broadcast (nested-loop with a single
+    # build row = effectively free at any scale; at bench scale it costs
+    # ~0.8s of fixed AQE stage overhead — the price of action-free plan
+    # construction, measured and accepted).
+    banded = (
+        v.join(F.broadcast(n), F.lit(True))
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(
+                            F.lit(f"{j}:"),
+                            F.col("bucket").substr(
+                                F.lit(j * NEARDUP_REGION + 1), ppb
+                            ),
+                        )
+                        for j in range(N_NEARDUP_BANDS)
+                    ]
+                )
+            ).alias("band_key"),
+        )
     )
     a = banded.select(F.col("vec_id").alias("vec_a"), "band_key")
     b = banded.select(F.col("vec_id").alias("vec_b"), "band_key")

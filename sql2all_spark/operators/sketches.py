@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sql2all_spark.cache import persist_tracked
 from sql2all_spark.functions.hashing import base_hash, base_hash_sql
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
@@ -213,21 +214,32 @@ FROM verdicts
     " either engine.",
 )
 def agg_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # member feeds both the bit fan-out and the truth join; words feeds both
+    # the probe join and the n_bits branch.  Without the persists each
+    # branch re-derives its lineage and rescans orders/customer ~3×
+    # (ADVICE r7; same reason tpch_q15 persists its revenue agg).
     member = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > BF_PRICE_MIN)
         .select(F.col("o_custkey").alias("k"))
         .distinct()
+        .transform(persist_tracked)
     )
     bits = member.select(
         F.explode(
             F.array(*[_bf_pos(F.col("k"), i) for i in range(BF_K)])
         ).alias("pos")
     )
-    words = bits.groupBy(
-        (F.col("pos") / BF_BITS_PER_WORD).cast("long").alias("word")
-    ).agg(
-        F.bit_or(F.expr(f"shiftleft(1L, CAST(pos % {BF_BITS_PER_WORD} AS INT))")).alias("w")
+    words = (
+        bits.groupBy(
+            (F.col("pos") / BF_BITS_PER_WORD).cast("long").alias("word")
+        )
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(1L, CAST(pos % {BF_BITS_PER_WORD} AS INT))")
+            ).alias("w")
+        )
+        .transform(persist_tracked)
     )
     probes = (
         load_table(spark, sf_dir, "customer")

@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql2all_spark.functions.hashing import base_hash_sql
+from sql2all_spark.cache import persist_tracked
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
@@ -615,7 +616,7 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
     ).filter(F.col("token") != "")
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist()
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c")).transform(persist_tracked)
     # Corpus token total: a 1-value driver scalar (like similarity.py's
     # centroid reads) — the distinct-token table is already aggregated, so
     # this reads n_distinct partial rows, not the corpus.
@@ -717,7 +718,7 @@ def text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_hash(F.array_join(F.slice(F.col("w"), F.col("pos"), n), " ")).alias(
             "h"
         ),
-    ).persist()
+    ).transform(persist_tracked)
     dup = (
         grams.groupBy("h")
         .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql2all_spark.functions.exact import dsum, dsum_sql
+from sql2all_spark.cache import persist_tracked
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
@@ -477,7 +478,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         li.groupBy("l_suppkey")
         .agg(F.round(dsum(_revenue(), 8), 2).alias("total_revenue"))
-        .persist()
+        .transform(persist_tracked)
     )
     best = revenue.agg(F.max("total_revenue").alias("best_revenue"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

@@ -8,11 +8,14 @@ cross-engine determinism rules (see docs in :func:`register`).
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+from sql2all_spark.cache import release_tracked
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -108,7 +111,19 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
                 f"oracle for {name!r} must be a ready SQL string (build it "
                 f"eagerly at decoration time), got {type(oracle).__name__}"
             )
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
+
+        # Release the PREVIOUS query's tracked persisted intermediates
+        # before building this one: multi-query runners (the driver gate
+        # runs ~50 queries in one session) would otherwise accumulate
+        # cached blocks until the local-mode heap fills (the r7 sf1 OOM).
+        # Unpersist never invalidates a plan, so this is correctness-safe
+        # even for build-all-then-execute consumers — they just recompute.
+        @functools.wraps(fn)
+        def released(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_tracked()
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = QuerySpec(name, released, oracle, doc or (fn.__doc__ or ""))
         return fn
 
     return deco

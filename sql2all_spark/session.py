@@ -18,6 +18,31 @@ import os
 
 from pyspark.sql import SparkSession
 
+def _default_driver_mem() -> str:
+    """Driver heap default, clamped to the host (ADVICE r7).
+
+    16g is right for the 128 GiB bench box (the r7 sf1 soak OOMed the
+    local-mode 1g default long before the box was under pressure), but a
+    blind 16g prevents JVM startup on smaller hosts.  Clamp to ~half of
+    detected system memory, floor 1 GiB; ``SPARK_GRAFT_DRIVER_MEM``
+    overrides outright (documented in README)."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    total_gib = 0
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) // (1024 * 1024)
+                    break
+    except OSError:
+        pass  # non-Linux host — keep the conservative fallback below
+    if total_gib <= 0:
+        return "4g"
+    return f"{max(1, min(16, total_gib // 2))}g"
+
+
 DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
@@ -43,7 +68,7 @@ DEFAULT_CONFS: dict[str, str] = {
     # broadcast" there long before the box (128 GiB) was under pressure.
     # Static conf: only takes effect on the session that launches the JVM;
     # configure_existing skips it on a running session.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    "spark.driver.memory": _default_driver_mem(),
     "spark.ui.enabled": "false",
 }
 
