@@ -1,0 +1,174 @@
+"""Tokenizer-construction operators: BPE merge-pair mining and
+quantile length bucketing.
+
+Both complete the corpus-preparation family in ``operators/text.py``:
+``text_pmi_collocations`` mines word-level merge candidates;
+``text_bpe_merge_mine`` here mines CHARACTER-level pair counts — the
+statistic behind one byte-pair-encoding merge round (Sennrich et al.
+2016): count adjacent symbol pairs across the corpus weighted by word
+frequency, and the argmax pair becomes the next merge rule.
+``text_length_buckets`` buckets documents by token-count quantiles — the
+standard pre-packing step (pair with ``text_pack_sequences``) that bounds
+padding waste when batching variable-length sequences.
+
+Scale shapes:
+- merge mining aggregates tokens to the DISTINCT-WORD level first (vocab-
+  sized, not corpus-sized), generates char pairs ROW-LOCAL from each
+  distinct word, and shuffles only (char, char, partial count) cells with
+  map-side combine — corpus text never crosses an exchange, and one merge
+  round is one slim aggregation regardless of corpus size.
+- length bucketing computes boundaries as ONE percentile aggregate
+  (mergeable sketch shape; swap in approx_percentile at 100 TB — the
+  bucket assignment logic is unchanged), broadcasts the 7 boundary
+  doubles, assigns buckets row-local, and aggregates per-bucket stats
+  with partial aggregation.  No global sort, no single-partition window
+  (NTILE over the corpus — the naive form — would serialize on one task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql2all_spark.registry import register
+from sql2all_spark.tables import load_table
+
+BPE_TOP = 20
+N_BUCKETS = 8
+_QS = [i / N_BUCKETS for i in range(1, N_BUCKETS)]  # 7 interior boundaries
+
+
+@register(
+    "text_bpe_merge_mine",
+    oracle=f"""
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+  SELECT word, COUNT(*) AS c FROM toks GROUP BY word
+),
+wi AS (
+  SELECT word, c, UNNEST(range(1, length(word))) AS i
+  FROM wc WHERE length(word) >= 2
+),
+prs AS (
+  SELECT substr(word, i, 1) AS sym_a, substr(word, i + 1, 1) AS sym_b, c
+  FROM wi
+)
+SELECT sym_a, sym_b, sym_a || sym_b AS merged,
+       CAST(SUM(c) AS BIGINT) AS pair_count
+FROM prs GROUP BY sym_a, sym_b
+ORDER BY pair_count DESC NULLS LAST,
+         sym_a ASC NULLS FIRST, sym_b ASC NULLS FIRST
+LIMIT {BPE_TOP}
+""",
+    doc=f"One BPE merge-mining round: top-{BPE_TOP} adjacent character"
+    " pairs by corpus frequency (word-frequency-weighted), the statistic"
+    " a byte-pair-encoding trainer maximizes each round.  Scale shape:"
+    " tokens collapse to the distinct-word vocabulary FIRST (the only"
+    " corpus-sized exchange carries (word, partial count) with map-side"
+    " combine); pairs are generated row-local per distinct word via"
+    " transform(sequence) — no positional self-join — and the pair"
+    " aggregation exchanges alphabet² cells at most; ranking is a"
+    " bounded-heap TakeOrderedAndProject.",
+)
+def text_bpe_merge_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.struct(
+                    F.col("word").substr(i, F.lit(1)).alias("sym_a"),
+                    F.col("word").substr(i + F.lit(1), F.lit(1)).alias("sym_b"),
+                ),
+            )
+        ).alias("pr"),
+        "c",
+    ).select("pr.sym_a", "pr.sym_b", "c")
+    return (
+        pairs.groupBy("sym_a", "sym_b")
+        .agg(F.sum("c").cast("long").alias("pair_count"))
+        .select(
+            "sym_a",
+            "sym_b",
+            F.concat("sym_a", "sym_b").alias("merged"),
+            "pair_count",
+        )
+        .orderBy(
+            F.col("pair_count").desc_nulls_last(),
+            F.col("sym_a").asc_nulls_first(),
+            F.col("sym_b").asc_nulls_first(),
+        )
+        .limit(BPE_TOP)
+    )
+
+
+@register(
+    "text_length_buckets",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+q AS (
+  SELECT quantile_cont(n_tokens, {_QS}) AS bs FROM d
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         1 + len(list_filter(bs, x -> n_tokens > x)) AS bucket
+  FROM d, q
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS pad_waste
+FROM b GROUP BY bucket
+ORDER BY bucket ASC NULLS FIRST
+""",
+    doc=f"Quantile length bucketing for batch packing: documents split"
+    f" into {N_BUCKETS} token-count buckets at exact octile boundaries,"
+    " reporting per-bucket size stats and the padding waste"
+    " (n_docs × bucket_max − sum_tokens) a naive pad-to-max batcher"
+    " would pay — the pre-packing analysis that pairs with"
+    " text_pack_sequences.  Boundaries agree bit-for-bit across engines:"
+    " linear-interpolated percentiles of INTEGER counts at k/8 fractions"
+    " are exact in binary floating point.  Scale shape: one percentile"
+    " aggregate (use approx_percentile at 100 TB; assignment unchanged),"
+    " a 7-double broadcast, row-local bucket assignment, partial-agg"
+    " stats — never a global NTILE window, which would serialize the"
+    " corpus through one task.",
+)
+def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    q = d.agg(
+        F.percentile("n_tokens", F.array(*[F.lit(x) for x in _QS])).alias("bs")
+    )
+    b = d.join(F.broadcast(q), F.lit(True)).select(
+        "n_tokens",
+        (
+            1 + F.size(F.filter("bs", lambda x: F.col("n_tokens") > x))
+        ).alias("bucket"),
+    )
+    return (
+        b.groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens"))
+            .cast("long")
+            .alias("pad_waste"),
+        )
+        .orderBy(F.col("bucket").asc_nulls_first())
+    )

@@ -28,25 +28,32 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # round-1-green joins/aggregates/windows/setops/asof_range rotate behind
 # (their green rows are on record; tools/check.py still covers them locally).
 _QUERY_MODULES = [
-    # Round-7 front window.  Hand-counted position comments failed two
+    # Round-8 front window.  Hand-counted position comments failed two
     # rounds running, so the arithmetic lives in a TEST, not here:
     # tests/test_registry_window.py asserts (a) every registered query
     # without a non-stale driver-green CORRECTNESS row in
     # tools/driver_green.json sits at position <= 50, and (b) this
-    # round's explicit rotation targets do too.  This round's targets:
-    # the three NEW operators (sampling carries sample_temperature_mix;
-    # text carries text_unigram_lm_score and text_dup_ngram_spans) plus
-    # the freshness rotation (VERDICT r6 #6) of every query whose newest
-    # green row was still r01/r02 — relational/joins/setops/udf_scalar
-    # and the r02 sampling/pipeline/profiling families — plus the six
-    # operators added mid-round (tpch_extra's five anchors and the CMS
-    # sketch).  The last four slots re-attest the oldest r05 rows
-    # (retrieval/udfs); timeseries/incremental rotate behind on their
-    # r06 greens.
-    # Second-half round-7 additions (Q13/Q15/Q17/Q22, PMI, winnowing,
-    # bloom probe) grew text/tpch_extra/sketches by 7; setops (r01-green,
-    # freshness slips one round — NOTES) and retrieval (r05-green) rotate
-    # behind to keep the first 50 exactly the no-green + rotation set.
+    # round's explicit rotation targets do too.  This round: the four
+    # NEW operators (ann_batch/tokenize/reservoir) lead, then the
+    # freshness rotation — setops (newest green r01; slipped from r7 per
+    # NOTES), retrieval/udfs (r05), and the r06-green
+    # windows/aggregates/scalar_funcs/skew/asof_range/batch_twins
+    # families.  Everything r07-green rotates behind.
+    "sql2all_spark.operators.ann_batch",
+    "sql2all_spark.operators.tokenize",
+    "sql2all_spark.operators.reservoir",
+    "sql2all_spark.operators.setops",
+    "sql2all_spark.operators.retrieval",
+    "sql2all_spark.operators.udfs",
+    "sql2all_spark.operators.windows",
+    "sql2all_spark.operators.aggregates",
+    "sql2all_spark.operators.scalar_funcs",
+    "sql2all_spark.operators.skew",
+    "sql2all_spark.operators.asof_range",
+    "sql2all_spark.streaming.batch_twins",
+    "sql2all_spark.operators.timeseries",
+    # --- position > 50 from here: driver-green rows on record (ledger) ---
+    "sql2all_spark.operators.incremental",
     "sql2all_spark.operators.sampling",
     "sql2all_spark.operators.text",
     "sql2all_spark.operators.relational",
@@ -58,23 +65,11 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.sketches",
     "sql2all_spark.operators.layout",
     "sql2all_spark.operators.embed_screen",
-    # --- position > 50 from here: driver-green rows on record (ledger) ---
-    "sql2all_spark.operators.setops",
-    "sql2all_spark.operators.retrieval",
-    "sql2all_spark.operators.udfs",
-    "sql2all_spark.operators.timeseries",
-    "sql2all_spark.operators.incremental",
     "sql2all_spark.operators.tpch",
     "sql2all_spark.operators.multimodal",
     "sql2all_spark.operators.graph",  # imports dedup, which registers first
     "sql2all_spark.operators.dedup",
     "sql2all_spark.operators.similarity",
-    "sql2all_spark.streaming.batch_twins",
-    "sql2all_spark.operators.windows",
-    "sql2all_spark.operators.aggregates",
-    "sql2all_spark.operators.scalar_funcs",
-    "sql2all_spark.operators.skew",
-    "sql2all_spark.operators.asof_range",
 ]
 
 

@@ -546,3 +546,57 @@ def test_bloom_filter_words_broadcast_to_probes(spark, sf_dir):
     # bitmap build: partial->final bit_or around one exchange
     assert "bit_or" in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_grouped_ann_broadcasts_query_batch(spark, sf_dir):
+    """sim_grouped_ann's scale shape: the query batch broadcasts
+    end-to-end (banded keys for candidates, vectors for scoring) — corpus
+    embeddings never shuffle for candidate generation, never a cartesian;
+    the per-query top-k runs as a window over bucket-bounded candidates."""
+    plan = _plan(spark, sf_dir, "sim_grouped_ann")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Window" in plan
+
+
+def test_bpe_merge_vocab_first_then_alphabet_cells(spark, sf_dir):
+    """text_bpe_merge_mine's scale shape: tokens collapse to the distinct
+    word vocabulary first and pairs aggregate to alphabet-squared cells —
+    both partial->final around their exchanges; ranking is a bounded heap
+    (TakeOrderedAndProject), never a global sort; only the text column is
+    read from the documents scan."""
+    plan = _plan(spark, sf_dir, "text_bpe_merge_mine")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 4  # word count + pair sum, 2 phases
+    assert "Join" not in plan
+    read = plan.split("ReadSchema")[1][:200]
+    assert "text" in read and "doc_id" not in read
+
+
+def test_length_buckets_no_global_window(spark, sf_dir):
+    """text_length_buckets' scale shape: bucket boundaries come from ONE
+    percentile aggregate broadcast as 7 doubles; assignment is row-local
+    and stats aggregate partial->final — never a corpus-wide NTILE window
+    (which would serialize the corpus through a single task)."""
+    from sql2all_spark.plans import shuffle_count
+
+    plan = _plan(spark, sf_dir, "text_length_buckets")
+    assert "Window" not in plan
+    assert "percentile" in plan
+    assert "CartesianProduct" not in plan
+    df = all_specs()["text_length_buckets"].builder(spark, sf_dir)
+    assert shuffle_count(df) <= 4
+
+
+def test_reservoir_rowlocal_keys_single_group_window(spark, sf_dir):
+    """sample_reservoir_weighted's scale shape: keying (hash + ln) is
+    row-local — no join anywhere — and the only exchanges are the
+    per-group window partition and the final presentation sort."""
+    from sql2all_spark.plans import shuffle_count
+
+    plan = _plan(spark, sf_dir, "sample_reservoir_weighted")
+    assert "Join" not in plan
+    assert "Window" in plan
+    df = all_specs()["sample_reservoir_weighted"].builder(spark, sf_dir)
+    assert shuffle_count(df) <= 2

@@ -28,57 +28,65 @@ REPO = Path(__file__).resolve().parent.parent
 
 # Queries the CURRENT round explicitly rotated into the window — update
 # this set each round alongside registry._QUERY_MODULES (the per-round
-# rotation contract; prior rounds' sets live in git history).  Round 7:
-# the three NEW operators plus the freshness rotation (VERDICT r6 #6) of
-# all 27 queries whose newest driver-green row was still r01/r02.
+# rotation contract; prior rounds' sets live in git history).  Round 8:
+# the four NEW operators plus the freshness rotation of the oldest
+# attestations — setops (newest green r01; slipped from r7 per NOTES),
+# retrieval/udfs (r05), and the r06-green windows/aggregates/
+# scalar_funcs/skew/asof_range/batch_twins families.
 ROTATION_TARGETS = {
     # new this round
-    "sample_temperature_mix",
-    "text_unigram_lm_score",
-    "text_dup_ngram_spans",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q14_promo_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "agg_cms_heavy_hitters",
-    "layout_zorder_cluster",
-    "sim_embed_contamination",
-    # new in the second half of round 7
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q22_dormant_customers",
-    "text_pmi_collocations",
-    "text_winnow_fingerprint",
-    "agg_bloom_filter_probe",
-    # newest green row r01 (relational/joins/setops/udf_scalar)
-    "q1_pricing_summary",
-    "projection_expressions",
-    "filter_predicates",
-    "sort_limit_offset",
-    "distinct_values",
-    "case_when_conditional",
-    "join_inner_fact_fact",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_nonequi_theta",
-    "join_multiway_revenue",
-    # setops' five (r01-green) were rotation targets in the first half of
-    # the round but gave their slots to the seven second-half operators;
-    # their freshness rotation moves to round 8 (NOTES).
-    "udf_pandas_readability",
-    # newest green row r02 (sampling/pipeline/profiling)
-    "sample_hash_deterministic",
-    "sample_stratified_cap",
-    "sample_weighted_mix",
-    "sample_split_assign",
-    "pipeline_curation",
-    "profile_corpus",
+    "sim_grouped_ann",
+    "text_bpe_merge_mine",
+    "text_length_buckets",
+    "sample_reservoir_weighted",
+    # newest green row r01 (setops — slipped from round 7)
+    "setop_union_all_distinct",
+    "setop_intersect_except",
+    "setop_intersect_except_all",
+    "subquery_scalar_and_in",
+    "subquery_correlated_cte",
+    # newest green row r05 (retrieval/udfs)
+    "text_bm25_retrieval",
+    "text_tfidf_topterms",
+    "udaf_zscore_group",
+    "udtf_sentence_split",
+    # newest green row r06 (windows/aggregates/scalar_funcs/skew/
+    # asof_range/batch_twins)
+    "window_ranking",
+    "window_lag_lead",
+    "window_running_frame",
+    "window_range_frame",
+    "window_topk_per_group",
+    "window_distribution_ranks",
+    "agg_having",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube_grouping",
+    "agg_stats_moments",
+    "agg_corr_moments",
+    "agg_percentile_minmax",
+    "agg_string_agg",
+    "agg_approx_count_distinct",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_unpivot",
+    "agg_hll_sketch_rollup",
+    "agg_approx_quantiles",
+    "func_array_family",
+    "func_string_family",
+    "func_date_family",
+    "func_math_family",
+    "func_json_family",
+    "func_struct_map",
+    "func_variant_json",
+    "func_regexp_family",
+    "join_skew_salted",
+    "join_asof_attribution",
+    "join_range_interval",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup_watermark",
 }
 
 
