@@ -11,6 +11,8 @@ being shuffle-free matters most here.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -477,26 +479,40 @@ CONTAM_GRAM = 3  # words per shingle used for contamination matching
 CONTAM_MIN_SHARED = 2  # shared shingles to flag a (train, eval) pair
 
 
-def _contam_gram_hash_sql() -> str:
-    """DuckDB hash of the 5-word shingle starting at list index i."""
-    from sql2all_spark.functions.hashing import base_hash_sql
+# Shingle id = the three 20-bit token hashes PACKED into one 60-bit int
+# (md5 runs per TOKEN, not per gram: ~3x less hash input than hashing the
+# concatenated gram strings, and the per-position work becomes pure integer
+# arithmetic — identical in both engines, no mulmod overflow anywhere).
+# 2^20 token buckets keep same-bucket token collisions negligible at any
+# realistic vocabulary; widen the bucket (and shrink the gram) before
+# widening the gram at constant width.
+CONTAM_TOKEN_BITS = 20
 
-    parts = " || ' ' || ".join(
-        f"string_split(text, ' ')[i+{k}]" for k in range(CONTAM_GRAM)
+
+def _contam_pack_sql() -> str:
+    """DuckDB 60-bit packed gram id over the token-hash list ``th``."""
+    return " + ".join(
+        f"th[i+{k}] * {1 << (CONTAM_TOKEN_BITS * (CONTAM_GRAM - 1 - k))}"
+        for k in range(CONTAM_GRAM)
     )
-    return base_hash_sql(f"({parts})")
 
 
 @register(
     "text_contamination_check",
     oracle=f"""
-WITH grams AS (
+WITH t AS (
   SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, len(string_split(text, ' ')) - {CONTAM_GRAM - 2}),
-           i -> {_contam_gram_hash_sql()})) AS hg
+         list_transform(string_split(text, ' '),
+                        t -> {base_hash_sql('t')} % {1 << CONTAM_TOKEN_BITS}) AS th
   FROM documents
   WHERE len(string_split(text, ' ')) >= {CONTAM_GRAM}
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(th) - {CONTAM_GRAM - 2}),
+           i -> {_contam_pack_sql()})) AS hg
+  FROM t
 ),
 ev AS (SELECT doc_id, UNNEST(hg) AS h FROM grams WHERE doc_id % 100 = 0),
 tr AS (SELECT doc_id, UNNEST(hg) AS h FROM grams WHERE doc_id % 100 <> 0)
@@ -513,8 +529,10 @@ HAVING COUNT(*) >= {CONTAM_MIN_SHARED}
     " as dedup_ngram_jaccard but ASYMMETRIC: the eval side is tiny and its"
     " exploded shingle table acts as the probe set — at 100 TB the eval"
     " index broadcasts and the train scan streams against it, no train-"
-    "train pairs ever form.  Shingles are 60-bit hashes; raw text never"
-    " shuffles.",
+    "train pairs ever form.  Shingle ids pack per-token 20-bit md5 hashes"
+    " into 60-bit ints (md5 per token, integer packing per position — the"
+    " md5-per-gram variant spent ~3x the hash CPU and was the suite's"
+    " heaviest query at every scale); raw text never shuffles.",
 )
 def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql2all_spark.functions.hashing import base_hash
@@ -523,21 +541,41 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = d.select("doc_id", _tokens(F.col("text")).alias("w")).filter(
         F.size("w") >= CONTAM_GRAM
     )
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(F.col("w"), i + k) for k in range(CONTAM_GRAM)]
+    # token hashes MATERIALIZED as a real column (the _shingles inlining
+    # trap: element_at over a lambda-built array re-derives the whole
+    # transform per access, making gram packing O(words²)).  Safe here
+    # because CollapseProject declines to inline a non-cheap alias that
+    # the consumer references more than once (th appears in size() + three
+    # element_at's) — test_plans pins the materialization.
+    t = w.select(
+        "doc_id",
+        F.transform(
+            "w", lambda tok: base_hash(tok) % (1 << CONTAM_TOKEN_BITS)
+        ).alias("th"),
+    )
+    pack = lambda i: reduce(  # noqa: E731
+        lambda acc, k: acc
+        + F.element_at(F.col("th"), i + k)
+        * F.lit(1 << (CONTAM_TOKEN_BITS * (CONTAM_GRAM - 1 - k))),
+        range(1, CONTAM_GRAM),
+        F.element_at(F.col("th"), i)
+        * F.lit(1 << (CONTAM_TOKEN_BITS * (CONTAM_GRAM - 1))),
     )
     hg = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size("w") - (CONTAM_GRAM - 1)),
-            lambda i: base_hash(gram(i)),
+            F.sequence(F.lit(1), F.size("th") - (CONTAM_GRAM - 1)),
+            lambda i: pack(i),
         )
     )
-    g = w.select("doc_id", hg.alias("hg"))
-    ev = g.filter(F.col("doc_id") % 100 == 0).select(
-        F.col("doc_id").alias("eval_doc"), F.explode("hg").alias("h")
+    # explode(hg) INLINE in one select — projecting hg into its own column
+    # and exploding in a second select puts the Generate in a codegen stage
+    # that re-evaluates the packed-gram projection per OUTPUT ELEMENT
+    # (measured 46s vs 0.96s at sf0.1 for the identical result)
+    ev = t.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("eval_doc"), F.explode(hg).alias("h")
     )
-    tr = g.filter(F.col("doc_id") % 100 != 0).select(
-        F.col("doc_id").alias("train_doc"), F.explode("hg").alias("h")
+    tr = t.filter(F.col("doc_id") % 100 != 0).select(
+        F.col("doc_id").alias("train_doc"), F.explode(hg).alias("h")
     )
     return (
         tr.join(F.broadcast(ev), "h")

@@ -600,3 +600,22 @@ def test_reservoir_rowlocal_keys_single_group_window(spark, sf_dir):
     assert "Window" in plan
     df = all_specs()["sample_reservoir_weighted"].builder(spark, sf_dir)
     assert shuffle_count(df) <= 2
+
+
+def test_contamination_token_hash_materialized_once(spark, sf_dir):
+    """text_contamination_check's packed-gram rewrite has two quadratic
+    failure modes this test pins closed:
+    - CollapseProject inlining the token-hash array into every element_at
+      (md5 array re-derived per gram position — O(words²) per doc);
+    - a Generate in a separate select re-evaluating the heavy projection
+      per OUTPUT element (measured 46s vs 0.96s at sf0.1).
+    Both blow up the count of md5-bearing expressions in the optimized
+    plan (healthy: one token-hash transform per join side; observed 18+
+    when inlined)."""
+    df = all_specs()["text_contamination_check"].builder(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("md5") <= 4, f"md5 duplicated {opt.count('md5')}x"
+    # broadcast stays on the tiny eval-probe side
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
