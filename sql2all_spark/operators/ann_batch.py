@@ -103,25 +103,18 @@ ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST
 """
 
 
-@register(
-    "sim_grouped_ann",
-    oracle=_oracle(),
-    doc=f"Batched ANN retrieval (the RAG serving shape): every query in"
-    f" the batch (vec_id % {QUERY_MOD} == 0) gets its top-{TOP_K} corpus"
-    f" neighbors from {N_BANDS}-band × {PLANES_PER_BAND}-bit hyperplane"
-    " LSH candidate generation + exact cosine verification, ranked on the"
-    " ROUNDED cosine with a corpus-id tiebreak (the cross-engine-"
-    "deterministic form).  The batch broadcasts end-to-end — corpus"
-    " embeddings never shuffle for candidates; the per-query window's"
-    " input is bucket-bounded, not corpus-bounded.",
-)
-def sim_grouped_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+def embedding_view(e: DataFrame) -> DataFrame:
+    """(vec_id, v, bucket) projection shared by the batch operator and the
+    streaming leg (``streaming.jobs.grouped_ann_stream``)."""
     emb = dbl(F.col("embedding"))
-    v = e.select("vec_id", emb.alias("v"), sign_bucket(emb).alias("bucket"))
-    queries = v.filter(F.col("vec_id") % QUERY_MOD == 0)
-    corpus = v.filter(F.col("vec_id") % QUERY_MOD != 0)
+    return e.select("vec_id", emb.alias("v"), sign_bucket(emb).alias("bucket"))
 
+
+def grouped_ann(queries: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Top-``TOP_K`` corpus neighbors for every query vector.
+
+    Both inputs are ``embedding_view`` projections.  The query side is
+    assumed small (a serving batch) and broadcasts end-to-end."""
     qb = queries.select(
         F.col("vec_id").alias("query_id"),
         F.explode(_band_keys_spark()).alias("band_key"),
@@ -157,4 +150,24 @@ def sim_grouped_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(
             F.col("query_id").asc_nulls_first(), F.col("rank").asc_nulls_first()
         )
+    )
+
+
+@register(
+    "sim_grouped_ann",
+    oracle=_oracle(),
+    doc=f"Batched ANN retrieval (the RAG serving shape): every query in"
+    f" the batch (vec_id % {QUERY_MOD} == 0) gets its top-{TOP_K} corpus"
+    f" neighbors from {N_BANDS}-band × {PLANES_PER_BAND}-bit hyperplane"
+    " LSH candidate generation + exact cosine verification, ranked on the"
+    " ROUNDED cosine with a corpus-id tiebreak (the cross-engine-"
+    "deterministic form).  The batch broadcasts end-to-end — corpus"
+    " embeddings never shuffle for candidates; the per-query window's"
+    " input is bucket-bounded, not corpus-bounded.",
+)
+def sim_grouped_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = embedding_view(load_table(spark, sf_dir, "embeddings"))
+    return grouped_ann(
+        v.filter(F.col("vec_id") % QUERY_MOD == 0),
+        v.filter(F.col("vec_id") % QUERY_MOD != 0),
     )

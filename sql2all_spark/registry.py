@@ -42,6 +42,7 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.ann_batch",
     "sql2all_spark.operators.tokenize",
     "sql2all_spark.operators.reservoir",
+    "sql2all_spark.operators.lm",
     "sql2all_spark.operators.setops",
     "sql2all_spark.operators.retrieval",
     "sql2all_spark.operators.udfs",

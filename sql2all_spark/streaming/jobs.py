@@ -426,3 +426,41 @@ def ann_refresh_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def grouped_ann_stream(
+    query_stream: DataFrame,
+    corpus_embeddings: DataFrame,
+    output: str,
+    checkpoint: str,
+) -> object:
+    """Continuous batched ANN serving: every arriving micro-batch of query
+    embeddings gets its top-k corpus neighbors via
+    ``operators.ann_batch.grouped_ann`` — the streaming leg of the
+    ``sim_grouped_ann`` batch operator (the RAG request-stream shape).
+
+    The corpus projection (vectors + sign buckets) is computed once and
+    persisted (in production: the stored ANN index); per micro-batch cost
+    is O(batch × bucket occupancy), so the job keeps up with an unbounded
+    request stream — no state store, because each answer depends only on
+    (batch, corpus).  Exactly-once at the batch level by the stream_export
+    recipe: deterministic ``batch-<id>.parquet`` subdirs with overwrite, so
+    checkpoint replay rewrites instead of duplicating.
+    """
+    from sql2all_spark.operators.ann_batch import embedding_view, grouped_ann
+    from sql2all_spark.sinks import write_output
+
+    corpus_view = embedding_view(corpus_embeddings).persist()
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        answers = grouped_ann(embedding_view(batch_df), corpus_view)
+        write_output(
+            answers, f"{output}/batch-{batch_id:010d}.parquet", mode="overwrite"
+        )
+
+    return (
+        query_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

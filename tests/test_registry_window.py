@@ -39,6 +39,7 @@ ROTATION_TARGETS = {
     "text_bpe_merge_mine",
     "text_length_buckets",
     "sample_reservoir_weighted",
+    "text_bigram_lm_score",
     # newest green row r01 (setops — slipped from round 7)
     "setop_union_all_distinct",
     "setop_intersect_except",

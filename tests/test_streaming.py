@@ -346,3 +346,36 @@ def test_ann_refresh_stream_matches_rebuild(spark, sf_dir, tmp_path):
     q2.awaitTermination(120)
     n_after = len(glob.glob(f"{path}/bucket=*/*.parquet"))
     assert n_after == n_before
+
+
+def test_grouped_ann_stream_matches_batch_operator(spark, sf_dir, tmp_path):
+    """Continuous batched ANN serving: the query batch lands as TWO
+    separate files (two micro-batches), each answered against the standing
+    corpus — the union of per-batch answers must equal the all-at-once
+    sim_grouped_ann batch operator on the same split (each query's top-k
+    depends only on (query, corpus), so chunking cannot change it)."""
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.operators.ann_batch import QUERY_MOD
+    from sql2all_spark.registry import all_specs
+    from sql2all_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % QUERY_MOD == 0)
+    corpus = e.filter(F.col("vec_id") % QUERY_MOD != 0)
+
+    landing = str(tmp_path / "query_landing")
+    for i in range(2):
+        queries.filter(F.col("vec_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    stream = jobs.parquet_dir_stream(spark, landing, e.schema)
+    out = str(tmp_path / "answers")
+    q = jobs.grouped_ann_stream(
+        stream, corpus, out, checkpoint=str(tmp_path / "cp_ann")
+    )
+    q.awaitTermination(120)
+    got = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    want = all_specs()["sim_grouped_ann"].builder(spark, sf_dir)
+    assert _rows(got) == _rows(want)
