@@ -52,8 +52,11 @@ HEADLINE = [
     "sim_ann_index_refresh",
     "dedup_incremental_screen",
     "sim_neardup_pairs",
+    "sim_grouped_ann",
     "text_bm25_retrieval",
     "text_quality_score",
+    "text_contamination_check",
+    "text_bigram_lm_score",
     "mm_decode_features",
     "ts_rollup_hierarchy",
     "stream_session_window",
