@@ -39,6 +39,8 @@ _QUERY_MODULES = [
     # NOTES), retrieval/udfs (r05), and the r06-green
     # windows/aggregates/scalar_funcs/skew/asof_range/batch_twins
     # families.  Everything r07-green rotates behind.
+    "sql2all_spark.operators.curation",
+    "sql2all_spark.operators.bucketing",
     "sql2all_spark.operators.ann_batch",
     "sql2all_spark.operators.tokenize",
     "sql2all_spark.operators.reservoir",

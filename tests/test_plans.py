@@ -619,3 +619,58 @@ def test_contamination_token_hash_materialized_once(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_subtree_is_exchange_free(spark, sf_dir):
+    """layout_bucketed_join's whole point: both facts are written bucketed
+    on the join key, so the join subtree needs NO Exchange — bucket i
+    reads against bucket i (``Bucketed: true`` scans feeding the SMJ).
+    This is the property that survives a 1000-executor scale-up."""
+    from sql2all_spark.operators.bucketing import bucketed_join_frame
+
+    j = bucketed_join_frame(spark, sf_dir)
+    plan = physical_plan(j)
+    assert plan.count("Exchange") == 0, plan
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    # both scans prune to the slim projections that were written
+    assert "l_comment" not in plan and "o_totalprice" not in plan
+
+
+def test_boilerplate_chunks_hash_keyed_df_join(spark, sf_dir):
+    """text_boilerplate_chunks' scale shape: the document-frequency
+    aggregate and the flag join key on the 60-bit chunk HASH (int64), so
+    chunk strings never cross an exchange; both aggregates run
+    partial→final (map-side combine)."""
+    df = all_specs()["text_boilerplate_chunks"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    # DF agg + per-doc agg, each partial+final
+    assert plan.count("HashAggregate") >= 4
+    # the join is a plain equi-join on the hash key, never a cartesian
+    assert "CartesianProduct" not in plan
+    # chunk text is projected away before every exchange: no md5/array_join
+    # expression appears in any Exchange's child output columns
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        assert seg[:40].startswith(("k#", "doc_id#")), seg[:80]
+
+
+def test_source_overlap_no_corpus_self_join(spark, sf_dir):
+    """dedup_source_overlap collapses to distinct (hash, source) pairs and
+    expands pairs row-local from a bounded per-key source set — the plan
+    must contain NO join at all (the oracle's self-join is the shape this
+    op exists to avoid)."""
+    df = all_specs()["dedup_source_overlap"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Generate explode" in plan  # row-local pair expansion
+
+
+def test_epoch_plan_slim_aggs_and_broadcast_totals(spark, sf_dir):
+    """sample_epoch_plan: one partial-agg exchange to n_sources rows, the
+    1-row grand total arrives via broadcast (never a shuffle join), and
+    all allocation math is row-local integer arithmetic."""
+    df = all_specs()["sample_epoch_plan"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2

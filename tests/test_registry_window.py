@@ -34,6 +34,11 @@ REPO = Path(__file__).resolve().parent.parent
 # retrieval/udfs (r05), and the r06-green windows/aggregates/
 # scalar_funcs/skew/asof_range/batch_twins families.
 ROTATION_TARGETS = {
+    # new this round (second batch: curation + bucketing)
+    "text_boilerplate_chunks",
+    "dedup_source_overlap",
+    "sample_epoch_plan",
+    "layout_bucketed_join",
     # new this round
     "sim_grouped_ann",
     "text_bpe_merge_mine",
@@ -84,10 +89,12 @@ ROTATION_TARGETS = {
     "join_skew_salted",
     "join_asof_attribution",
     "join_range_interval",
+    # NOTE: the four streaming batch twins were in the original r8 target
+    # set; adding the 4 curation/bucketing operators pushed stream_sliding/
+    # session/dedup_watermark past position 50 (they are r06-green, so the
+    # window invariant is unaffected — new, never-checked queries take
+    # priority for driver slots).
     "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup_watermark",
 }
 
 
