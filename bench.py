@@ -53,6 +53,8 @@ HEADLINE = [
     "dedup_incremental_screen",
     "sim_neardup_pairs",
     "sim_grouped_ann",
+    "text_boilerplate_chunks",
+    "layout_bucketed_join",
     "text_bm25_retrieval",
     "text_quality_score",
     "text_contamination_check",
