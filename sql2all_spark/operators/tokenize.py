@@ -172,3 +172,74 @@ def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("bucket").asc_nulls_first())
     )
+
+
+VOCAB_BUDGETS = [1, 2, 4, 8, 16, 32]  # log-spaced candidate vocab sizes
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH wc AS (
+  SELECT word, COUNT(*) AS c
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM wc),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word ASC) AS rank
+  FROM wc
+  ORDER BY c DESC NULLS LAST, word ASC NULLS FIRST
+  LIMIT {max(VOCAB_BUDGETS)}
+),
+cum AS (
+  SELECT rank,
+         CAST(SUM(c) OVER (ORDER BY rank) AS BIGINT) AS covered_tokens
+  FROM ranked
+)
+SELECT CAST(rank AS BIGINT) AS vocab_size, covered_tokens,
+       (covered_tokens * 1000) // t AS coverage_p1000
+FROM cum, tot
+WHERE rank IN ({", ".join(str(v) for v in VOCAB_BUDGETS)})
+ORDER BY vocab_size ASC NULLS FIRST
+""",
+    doc=f"Vocabulary coverage curve: for log-spaced vocab budgets"
+    f" {VOCAB_BUDGETS}, the corpus token share the top-V words cover —"
+    " the table a tokenizer designer reads to pick V (coverage_p1000's"
+    " complement is the OOV rate the UNK token absorbs).  Pairs with"
+    " text_bpe_merge_mine (subword path) and text_heavy_hitters (sketch"
+    " path); this is the exact integer contract.  Scale shape: corpus"
+    " collapses to the (word, count) vocabulary via one partial-agg"
+    " exchange; the top-V cut is a bounded-heap TakeOrderedAndProject"
+    " (never a global sort of the vocab); the cumulative sum runs on V"
+    " rows (<= 32) in a single trivial window; the grand total arrives"
+    " by 1-row broadcast.  All integer arithmetic after the counts.",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = wc.agg(F.sum("c").cast("long").alias("t"))
+    top = (
+        wc.orderBy(F.col("c").desc_nulls_last(), F.col("word").asc_nulls_first())
+        .limit(max(VOCAB_BUDGETS))
+    )
+    w = Window.orderBy(F.col("c").desc_nulls_last(), F.col("word").asc_nulls_first())
+    cum = top.select(
+        F.row_number().over(w).alias("vocab_size"),
+        F.sum("c").over(w).cast("long").alias("covered_tokens"),
+    ).filter(F.col("vocab_size").isin(VOCAB_BUDGETS))
+    return (
+        cum.join(F.broadcast(tot), F.lit(True))
+        .select(
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            "covered_tokens",
+            F.expr("(covered_tokens * 1000) div t").alias("coverage_p1000"),
+        )
+        .orderBy(F.col("vocab_size").asc_nulls_first())
+    )

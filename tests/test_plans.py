@@ -674,3 +674,16 @@ def test_epoch_plan_slim_aggs_and_broadcast_totals(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_vocab_coverage_bounded_heap_and_slim_aggs(spark, sf_dir):
+    """text_vocab_coverage: the top-V cut must be a bounded heap
+    (TakeOrderedAndProject), never a global Sort of the vocabulary; the
+    word-count aggregate runs partial→final; the grand total joins by
+    broadcast."""
+    df = all_specs()["text_vocab_coverage"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -39,6 +39,7 @@ ROTATION_TARGETS = {
     "dedup_source_overlap",
     "sample_epoch_plan",
     "layout_bucketed_join",
+    "text_vocab_coverage",
     # new this round
     "sim_grouped_ann",
     "text_bpe_merge_mine",
@@ -90,11 +91,10 @@ ROTATION_TARGETS = {
     "join_asof_attribution",
     "join_range_interval",
     # NOTE: the four streaming batch twins were in the original r8 target
-    # set; adding the 4 curation/bucketing operators pushed stream_sliding/
-    # session/dedup_watermark past position 50 (they are r06-green, so the
-    # window invariant is unaffected — new, never-checked queries take
-    # priority for driver slots).
-    "stream_tumbling_window",
+    # set; adding the 5 curation/bucketing/vocab operators pushed all four
+    # past position 50 (they are r06-green, so the window invariant is
+    # unaffected — new, never-checked queries take priority for driver
+    # slots).
 }
 
 
