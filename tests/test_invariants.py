@@ -54,3 +54,124 @@ def test_winnow_fingerprint_coverage_guarantee(spark, sf_dir):
         if any(b - a > WINNOW_W for a, b in zip(pos, pos[1:])):
             bad += 1
     assert bad == 0
+
+
+def test_boilerplate_chunk_accounting_balances(spark, sf_dir, duck):
+    """Per-doc chunk accounting must balance against the raw corpus:
+    n_chunks == ceil(n_words/K), and tokens_kept + tokens_removed ==
+    n_words exactly (the cleaned rewrite loses only boilerplate).  Also
+    every flagged chunk's document frequency really is >= MIN_DF —
+    re-derived here from the raw text, independent of the operator."""
+    from sql2all_spark.operators.curation import CHUNK_K, MIN_DF
+
+    rows = {
+        r["doc_id"]: r
+        for r in all_specs()["text_boilerplate_chunks"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    raw = duck.execute(
+        "SELECT doc_id, len(string_split(text, ' ')) FROM documents"
+    ).fetchall()
+    assert set(rows) == {d for d, _ in raw}
+    total_boiler = 0
+    for doc_id, n_words in raw:
+        r = rows[doc_id]
+        assert r["n_chunks"] == -(-n_words // CHUNK_K), doc_id
+        removed = n_words - r["tokens_kept"]
+        assert 0 <= r["n_boiler"] <= r["n_chunks"]
+        # removed tokens all come from flagged chunks (each <= CHUNK_K)
+        assert removed <= r["n_boiler"] * CHUNK_K
+        assert (r["n_boiler"] == 0) == (removed == 0)
+        total_boiler += r["n_boiler"]
+    # the flag is grounded: counting doc frequency straight off the text
+    # yields the same number of flagged chunk instances
+    expected = duck.execute(f"""
+        WITH ch AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(words, i*{CHUNK_K}+1,
+                                            i*{CHUNK_K}+{CHUNK_K}), ' ')
+                   AS chunk
+          FROM (SELECT doc_id, words,
+                       UNNEST(range(0, (len(words)+{CHUNK_K - 1})
+                                        //{CHUNK_K})) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS words
+                      FROM documents))
+        ),
+        df AS (SELECT chunk FROM (SELECT chunk, COUNT(DISTINCT doc_id) nd
+                                  FROM ch GROUP BY chunk) WHERE nd >= {MIN_DF})
+        SELECT COUNT(*) FROM ch WHERE chunk IN (SELECT chunk FROM df)
+    """).fetchone()[0]
+    assert total_boiler == expected
+
+
+def test_epoch_plan_allocation_is_proportional_and_bounded(spark, sf_dir):
+    """The planner's published contract: allocations never exceed the
+    budget, the rounding loss is < n_sources tokens, and each source's
+    allocation is within 1 of exact proportionality floor(B*w/S) — i.e.
+    the integer decomposition introduced no drift."""
+    rows = all_specs()["sample_epoch_plan"].builder(spark, sf_dir).collect()
+    budget = sum(r["n_tokens"] for r in rows)
+    ssum = sum(r["weight"] for r in rows)
+    total_alloc = sum(r["alloc_tokens"] for r in rows)
+    assert total_alloc <= budget
+    assert budget - total_alloc < len(rows)  # floor loss only
+    for r in rows:
+        assert r["alloc_tokens"] == budget * r["weight"] // ssum
+        assert r["epochs_p1000"] == r["alloc_tokens"] * 1000 // r["n_tokens"]
+
+
+def test_source_overlap_counts_bounded_by_chunk_inventories(spark, sf_dir, duck):
+    """n_shared_chunks(a,b) can never exceed either source's distinct
+    chunk inventory, and the pair list must be strictly upper-triangular
+    (a < b, no self-pairs, no duplicates)."""
+    from sql2all_spark.operators.curation import CHUNK_K
+
+    rows = all_specs()["dedup_source_overlap"].builder(spark, sf_dir).collect()
+    seen = set()
+    inv = dict(
+        duck.execute(f"""
+        SELECT source, COUNT(DISTINCT array_to_string(
+                 list_slice(words, i*{CHUNK_K}+1, i*{CHUNK_K}+{CHUNK_K}), ' '))
+        FROM (SELECT source, words,
+                     UNNEST(range(0, (len(words)+{CHUNK_K - 1})//{CHUNK_K}))
+                       AS i
+              FROM (SELECT source, string_split(text, ' ') AS words
+                    FROM documents))
+        GROUP BY source
+    """).fetchall()
+    )
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert (r["source_a"], r["source_b"]) not in seen
+        seen.add((r["source_a"], r["source_b"]))
+        assert 0 < r["n_shared_chunks"] <= min(
+            inv[r["source_a"]], inv[r["source_b"]]
+        )
+
+
+def test_vocab_coverage_is_monotone_and_exhaustive(spark, sf_dir, duck):
+    """Coverage must be strictly increasing in vocab size, hit exactly
+    the corpus total when the budget covers the whole vocabulary, and
+    each row's covered_tokens must equal the true sum of the top-V word
+    counts recomputed straight off the text."""
+    rows = sorted(
+        all_specs()["text_vocab_coverage"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    counts = [
+        c
+        for (c,) in duck.execute(
+            "SELECT COUNT(*) c FROM (SELECT UNNEST(string_split(text, ' '))"
+            " w FROM documents) GROUP BY w ORDER BY c DESC"
+        ).fetchall()
+    ]
+    total = sum(counts)
+    prev = 0
+    for r in rows:
+        assert r["covered_tokens"] == sum(counts[: r["vocab_size"]])
+        assert r["covered_tokens"] > prev
+        prev = r["covered_tokens"]
+        assert r["coverage_p1000"] == r["covered_tokens"] * 1000 // total
+    if rows and rows[-1]["vocab_size"] >= len(counts):
+        assert rows[-1]["covered_tokens"] == total
