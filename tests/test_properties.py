@@ -1,0 +1,184 @@
+"""Property-based cross-engine tests (hypothesis).
+
+The oracle gate proves engine equality on the FIXED test corpus; these
+properties prove the shared primitives agree on ARBITRARY inputs — the
+md5-derived hashing every dedup/sampling/LSH operator keys on, the
+z-order bit interleave, and the chunk slicing the curation family uses.
+A silent divergence in any of these would make oracle pairs drift apart
+only on inputs the fixtures happen not to contain; hypothesis hunts for
+exactly those.
+
+Each example batch is evaluated as ONE Spark job and ONE DuckDB query
+over the same rows (a job per example would be prohibitively slow), so
+max_examples stays low while each example carries many generated rows.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from sql2all_spark.functions.hashing import (
+    base_hash,
+    base_hash_sql,
+    hash_bucket,
+    hash_bucket_sql,
+)
+from sql2all_spark.operators.layout import interleave_bits, interleave_bits_sql
+
+# no NUL (pandas->duckdb VARCHAR), no surrogates (not valid UTF-8)
+_TEXT = st.text(
+    alphabet=st.characters(blacklist_characters="\x00", blacklist_categories=("Cs",)),
+    max_size=40,
+)
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,  # each example runs a Spark job
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_SETTINGS
+@given(st.lists(_TEXT, min_size=1, max_size=50))
+def test_base_hash_is_engine_identical(spark, duck, strings):
+    pdf = pd.DataFrame({"s": strings})
+    got = [
+        r["h"]
+        for r in spark.createDataFrame(pdf)
+        .select(base_hash(F.col("s")).alias("h"))
+        .collect()
+    ]
+    duck.register("prop_t", pdf)
+    want = [h for (h,) in duck.execute(
+        f"SELECT {base_hash_sql('s')} FROM prop_t"
+    ).fetchall()]
+    duck.unregister("prop_t")
+    assert got == want
+    assert all(h is not None and 0 <= h < 1 << 60 for h in got)
+
+
+@_SETTINGS
+@given(st.lists(st.integers(-(1 << 62), 1 << 62), min_size=1, max_size=50))
+def test_hash_bucket_engine_identical_and_in_range(spark, duck, keys):
+    pdf = pd.DataFrame({"k": keys}, dtype="int64")
+    got = [
+        r["b"]
+        for r in spark.createDataFrame(pdf)
+        .select(hash_bucket(F.col("k").cast("string"), 100).alias("b"))
+        .collect()
+    ]
+    duck.register("prop_t", pdf)
+    want = [b for (b,) in duck.execute(
+        f"SELECT {hash_bucket_sql('k', 100)} FROM prop_t"
+    ).fetchall()]
+    duck.unregister("prop_t")
+    assert got == want
+    assert all(0 <= b < 100 for b in got)
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_zorder_interleave_engine_identical(spark, duck, pairs):
+    pdf = pd.DataFrame(pairs, columns=["a", "b"], dtype="int64")
+    got = [
+        r["z"]
+        for r in spark.createDataFrame(pdf)
+        .select(interleave_bits(F.col("a"), F.col("b")).alias("z"))
+        .collect()
+    ]
+    duck.register("prop_t", pdf)
+    want = [z for (z,) in duck.execute(
+        f"SELECT {interleave_bits_sql('a', 'b')} FROM prop_t"
+    ).fetchall()]
+    duck.unregister("prop_t")
+    assert got == want
+    # the interleave is a bijection on [0,256)^2 -> [0, 2^16)
+    assert all(0 <= z < 1 << 16 for z in got)
+    # de-interleave recovers the inputs (self-inverse check, python-side)
+    for (a, b), z in zip(pairs, got):
+        ra = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+        rb = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+        assert (ra, rb) == (a, b)
+
+
+# words must be 'plain' (no spaces) or the join/split round trip is lossy
+_WORD = st.text(
+    alphabet=st.characters(
+        blacklist_characters="\x00 ", blacklist_categories=("Cs", "Zs")
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@_SETTINGS
+@given(st.lists(st.lists(_WORD, min_size=1, max_size=30), min_size=1, max_size=20))
+def test_chunk_slicing_engine_identical(spark, duck, docs):
+    """The curation family's chunk unit: Spark slice/array_join must agree
+    with DuckDB list_slice/array_to_string for every (doc, chunk index),
+    including the ragged final chunk."""
+    from sql2all_spark.operators.curation import CHUNK_K
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(docs)), "text": [" ".join(w) for w in docs]}
+    )
+    words = F.split("text", " ")
+    n_chunks = F.floor(
+        (F.size(words) + F.lit(CHUNK_K - 1)) / F.lit(CHUNK_K)
+    )
+    sdf = (
+        spark.createDataFrame(pdf)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.array_join(
+                            F.slice(words, i * CHUNK_K + 1, CHUNK_K), " "
+                        ).alias("chunk"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", "c.i", "c.chunk")
+        .collect()
+    )
+    got = sorted((r["doc_id"], r["i"], r["chunk"]) for r in sdf)
+    duck.register("prop_t", pdf)
+    want = sorted(
+        duck.execute(f"""
+        SELECT doc_id, i,
+               array_to_string(list_slice(words, i*{CHUNK_K}+1,
+                                          i*{CHUNK_K}+{CHUNK_K}), ' ')
+        FROM (SELECT doc_id, words,
+                     UNNEST(range(0, (len(words)+{CHUNK_K - 1})//{CHUNK_K}))
+                       AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS words
+                    FROM prop_t))
+    """).fetchall()
+    )
+    duck.unregister("prop_t")
+    assert got == want
+    # every token lands in exactly one chunk: reassembling the chunks in
+    # positional order recovers the document verbatim
+    by_doc: dict[int, list[str]] = {}
+    for d, _i, c in got:  # got is sorted by (doc_id, i)
+        by_doc.setdefault(d, []).append(c)
+    for doc_id, chunks in by_doc.items():
+        assert " ".join(chunks) == pdf["text"][doc_id]
