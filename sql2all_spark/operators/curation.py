@@ -299,3 +299,101 @@ def sample_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("epochs_p1000"),
     ).orderBy(F.col("source").asc_nulls_first())
+
+
+from sql2all_spark.operators.dedup_shared import (  # noqa: E402
+    CLUSTER_JACCARD_FLOOR,
+    NGRAM_PAIRS_ORACLE,
+)
+
+
+@register(
+    "dedup_keeper_select",
+    oracle=f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT * FROM ({NGRAM_PAIRS_ORACLE}) all_pairs
+  WHERE jaccard >= {CLUSTER_JACCARD_FLOOR}
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u FROM und),
+reach(u, r) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u
+),
+comp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+j AS (
+  SELECT c.cluster_id, c.doc_id,
+         len(string_split(d.text, ' ')) AS n_tokens
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY n_tokens DESC, doc_id ASC) AS rn
+  FROM j
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+         AS keeper_doc_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN n_tokens END) AS BIGINT)
+         AS keeper_tokens,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+       CAST(SUM(n_tokens) - MAX(CASE WHEN rn = 1 THEN n_tokens END)
+            AS BIGINT) AS dropped_tokens
+FROM ranked
+GROUP BY cluster_id
+ORDER BY cluster_id ASC NULLS FIRST
+""",
+    doc="The end of the dedup pipeline: per near-dup cluster (the same"
+    " n-gram-Jaccard graph dedup_clusters labels), pick WHICH document"
+    " survives — the content-aware policy (keep the longest, tie-break"
+    " lowest doc_id) every production dedup applies after clustering,"
+    " reported as one governance row per cluster with the token count"
+    " the drop saves.  Scale shape: cluster labels come from the"
+    " iterative min-label propagation (O(edge-nodes) per round, lineage"
+    " truncated); the keeper argmax is a partial-aggregatable struct"
+    " MAX((n_tokens, -doc_id)) — no per-cluster window, no second"
+    " shuffle beyond the one groupBy(cluster_id).  The oracle replays"
+    " the same policy over a recursive-CTE closure seeded only from"
+    " edge-incident nodes.",
+)
+def dedup_keeper_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deferred import: graph (and its dedup dependency) register their own
+    # queries on first import — importing them at THIS module's load time
+    # would pull both into the front of the driver window and shift every
+    # registration position (registry._QUERY_MODULES ordering contract).
+    from sql2all_spark.operators.graph import dedup_clusters
+
+    labels = (
+        dedup_clusters(spark, sf_dir)
+        .filter(F.col("cluster_size") >= 2)
+        .select("doc_id", "cluster_id")
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    j = labels.join(toks, "doc_id")
+    per = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.max(
+            F.struct(
+                F.col("n_tokens").alias("t"),
+                (-F.col("doc_id")).alias("nid"),
+            )
+        ).alias("k"),
+        F.sum("n_tokens").cast("long").alias("tot"),
+    )
+    return per.select(
+        "cluster_id",
+        "cluster_size",
+        (-F.col("k.nid")).cast("long").alias("keeper_doc_id"),
+        F.col("k.t").cast("long").alias("keeper_tokens"),
+        (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+        (F.col("tot") - F.col("k.t")).cast("long").alias("dropped_tokens"),
+    ).orderBy(F.col("cluster_id").asc_nulls_first())

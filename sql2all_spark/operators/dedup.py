@@ -239,36 +239,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("doc_a", "doc_b", jaccard.alias("jaccard"))
 
 
-NGRAM_BUCKET_WIDTH = 16  # docs in the same (lang, n_words//16) block compare
-JACCARD_FLOOR = 0.05
-
-# pair SQL shared by dedup_ngram_jaccard and graph.dedup_clusters' oracle
-NGRAM_PAIRS_ORACLE = f"""
-WITH d AS (
-  SELECT doc_id, lang, string_split(text, ' ') AS w
-  FROM documents
-  WHERE len(string_split(text, ' ')) >= 2
-),
-b AS (
-  SELECT doc_id, lang, len(w) // {NGRAM_BUCKET_WIDTH} AS bucket,
-         list_distinct(list_transform(
-           list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
-           g -> {_base_hash_sql('g')})) AS hg
-  FROM d
-),
-p AS (
-  SELECT a.doc_id AS doc_a, a2.doc_id AS doc_b, a.lang,
-         len(list_intersect(a.hg, a2.hg)) AS i,
-         len(a.hg) AS na, len(a2.hg) AS nb
-  FROM b a
-  JOIN b a2 ON a.lang = a2.lang AND a.bucket = a2.bucket
-           AND a.doc_id < a2.doc_id
+# moved to dedup_shared.py (non-registering) so front-window modules can
+# use the pair oracle without importing this module at load time;
+# re-exported here for existing importers
+from sql2all_spark.operators.dedup_shared import (  # noqa: E402
+    JACCARD_FLOOR,
+    NGRAM_BUCKET_WIDTH,
+    NGRAM_PAIRS_ORACLE,
 )
-SELECT doc_a, doc_b, lang,
-       CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
-FROM p
-WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {JACCARD_FLOOR}
-"""
 
 
 @register(

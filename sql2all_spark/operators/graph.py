@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql2all_spark.operators.dedup import NGRAM_PAIRS_ORACLE, dedup_ngram_jaccard
+from sql2all_spark.operators.dedup import dedup_ngram_jaccard
+from sql2all_spark.operators.dedup_shared import (
+    CLUSTER_JACCARD_FLOOR,
+    NGRAM_PAIRS_ORACLE,
+)
 from sql2all_spark.cache import persist_tracked
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
@@ -60,12 +64,8 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
         return df.checkpoint()
     return df.localCheckpoint()
 
-# Clustering uses a HIGH similarity floor: 0.05 (the pair-mining floor)
-# links barely-overlapping docs into one giant dense component (~200k edges
-# at sf0.1 — a hairball, not duplicate groups); 0.4 keeps only genuine
-# near-duplicate edges, so components are the actual dup clusters and the
-# propagation loop converges in a few cheap rounds.
-CLUSTER_JACCARD_FLOOR = 0.4
+# CLUSTER_JACCARD_FLOOR (0.4, vs the 0.05 pair-mining floor) now lives in
+# dedup_shared.py with its rationale; imported above.
 
 
 CLUSTERS_ORACLE = f"""

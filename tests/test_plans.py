@@ -687,3 +687,16 @@ def test_vocab_coverage_bounded_heap_and_slim_aggs(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_keeper_select_struct_argmax_no_window(spark, sf_dir):
+    """dedup_keeper_select's keeper choice must be the partial-aggregatable
+    struct MAX, not a per-cluster window (a window would re-shuffle and
+    sort every cluster's rows; the struct max combines map-side)."""
+    df = all_specs()["dedup_keeper_select"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    # partial+final aggregate on the (n_tokens, -doc_id) struct
+    assert "partial_max(struct(" in plan
+    # exactly ONE Window, and it's inherited from dedup_clusters'
+    # cluster_size computation — the keeper policy itself adds none
+    assert plan.count("Window [") <= 1

@@ -40,6 +40,7 @@ ROTATION_TARGETS = {
     "sample_epoch_plan",
     "layout_bucketed_join",
     "text_vocab_coverage",
+    "dedup_keeper_select",
     # new this round
     "sim_grouped_ann",
     "text_bpe_merge_mine",
@@ -89,7 +90,8 @@ ROTATION_TARGETS = {
     "func_regexp_family",
     "join_skew_salted",
     "join_asof_attribution",
-    "join_range_interval",
+    # join_range_interval (r06-green) rotated behind when dedup_keeper_select
+    # took its window slot.
     # NOTE: the four streaming batch twins were in the original r8 target
     # set; adding the 5 curation/bucketing/vocab operators pushed all four
     # past position 50 (they are r06-green, so the window invariant is
