@@ -368,10 +368,13 @@ def dedup_keeper_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # queries on first import — importing them at THIS module's load time
     # would pull both into the front of the driver window and shift every
     # registration position (registry._QUERY_MODULES ordering contract).
-    from sql2all_spark.operators.graph import dedup_clusters
+    # The star variant yields IDENTICAL labels (same oracle/fixpoint as
+    # dedup_clusters) in O(log d) propagation rounds instead of
+    # O(diameter) — the right default when feeding a downstream consumer.
+    from sql2all_spark.operators.graph import dedup_clusters_star
 
     labels = (
-        dedup_clusters(spark, sf_dir)
+        dedup_clusters_star(spark, sf_dir)
         .filter(F.col("cluster_size") >= 2)
         .select("doc_id", "cluster_id")
     )
