@@ -171,3 +171,130 @@ def sim_grouped_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.filter(F.col("vec_id") % QUERY_MOD == 0),
         v.filter(F.col("vec_id") % QUERY_MOD != 0),
     )
+
+
+K_NEG = 5  # hard negatives per anchor
+
+
+def _labeled_view(e: DataFrame) -> DataFrame:
+    emb = dbl(F.col("embedding"))
+    return e.select(
+        "vec_id", "label", emb.alias("v"), sign_bucket(emb).alias("bucket")
+    )
+
+
+def _negatives_oracle() -> str:
+    cos = cosine_sql("cv.v", "qv.v")
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         {sign_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+  FROM embeddings
+),
+qb AS (
+  SELECT vec_id, label, UNNEST([{_band_keys_sql()}]) AS band_key
+  FROM v WHERE vec_id % {QUERY_MOD} = 0
+),
+cb AS (
+  SELECT vec_id, label, UNNEST([{_band_keys_sql()}]) AS band_key
+  FROM v WHERE vec_id % {QUERY_MOD} <> 0
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS anchor_id, q.label AS anchor_label,
+                  c.vec_id AS negative_id, c.label AS negative_label
+  FROM cb c JOIN qb q ON c.band_key = q.band_key
+  WHERE c.label <> q.label
+),
+scored AS (
+  SELECT cand.anchor_id, cand.anchor_label,
+         cand.negative_id, cand.negative_label,
+         ROUND({cos}, 6) AS cosine
+  FROM cand
+  JOIN v cv ON cv.vec_id = cand.negative_id
+  JOIN v qv ON qv.vec_id = cand.anchor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine DESC, negative_id ASC)
+              AS rank
+  FROM scored
+)
+SELECT anchor_id, anchor_label, CAST(rank AS INT) AS rank,
+       negative_id, negative_label, cosine
+FROM ranked WHERE rank <= {K_NEG}
+ORDER BY anchor_id ASC NULLS FIRST, rank ASC NULLS FIRST
+"""
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=_negatives_oracle(),
+    doc=f"Hard-negative mining (the metric-learning/embedding-training"
+    f" step): for every anchor in the batch (vec_id % {QUERY_MOD} == 0),"
+    f" the top-{K_NEG} most-cosine-similar corpus vectors with a"
+    " DIFFERENT label — the near-miss impostors a contrastive loss"
+    " learns the most from.  Same LSH band candidate generation as"
+    " sim_grouped_ann (candidates ARE the high-similarity region, which"
+    " is exactly where hard negatives live), label exclusion applied at"
+    " the candidate stage before any scoring work, exact-cosine"
+    " verification, per-anchor bounded top-k.  Scale shape: the anchor"
+    " batch broadcasts end-to-end; corpus embeddings never shuffle for"
+    " candidates; label filtering drops same-class candidates before"
+    " the (already bucket-bounded) scoring join.",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _labeled_view(load_table(spark, sf_dir, "embeddings"))
+    anchors = v.filter(F.col("vec_id") % QUERY_MOD == 0)
+    corpus = v.filter(F.col("vec_id") % QUERY_MOD != 0)
+    qb = anchors.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.explode(_band_keys_spark()).alias("band_key"),
+    )
+    cb = corpus.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.explode(_band_keys_spark()).alias("band_key"),
+    )
+    cand = (
+        cb.join(F.broadcast(qb), "band_key")
+        .filter(F.col("negative_label") != F.col("anchor_label"))
+        .select("anchor_id", "anchor_label", "negative_id", "negative_label")
+        .distinct()
+    )
+    qv = anchors.select(
+        F.col("vec_id").alias("anchor_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        cand.join(
+            corpus.select(F.col("vec_id").alias("negative_id"), "v"),
+            "negative_id",
+        )
+        .join(F.broadcast(qv), "anchor_id")
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_NEG)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("rank").cast("int").alias("rank"),
+            "negative_id",
+            "negative_label",
+            "cosine",
+        )
+        .orderBy(
+            F.col("anchor_id").asc_nulls_first(),
+            F.col("rank").asc_nulls_first(),
+        )
+    )

@@ -700,3 +700,16 @@ def test_keeper_select_struct_argmax_no_window(spark, sf_dir):
     # exactly ONE Window, and it's inherited from dedup_clusters'
     # cluster_size computation — the keeper policy itself adds none
     assert plan.count("Window [") <= 1
+
+
+def test_hard_negatives_broadcast_anchor_batch(spark, sf_dir):
+    """sim_hard_negatives: the anchor batch must broadcast for BOTH the
+    band-key candidate join and the scoring join (corpus embeddings never
+    shuffle), and the label exclusion must run before scoring (the
+    filter sits under the candidate join, not after the cosine)."""
+    df = all_specs()["sim_hard_negatives"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    # per-anchor bounded top-k via window on the candidate set
+    assert "Window" in plan

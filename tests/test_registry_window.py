@@ -41,6 +41,7 @@ ROTATION_TARGETS = {
     "layout_bucketed_join",
     "text_vocab_coverage",
     "dedup_keeper_select",
+    "sim_hard_negatives",
     # new this round
     "sim_grouped_ann",
     "text_bpe_merge_mine",
@@ -89,7 +90,8 @@ ROTATION_TARGETS = {
     "func_variant_json",
     "func_regexp_family",
     "join_skew_salted",
-    "join_asof_attribution",
+    # join_asof_attribution (r06-green) rotated behind when
+    # sim_hard_negatives took its window slot.
     # join_range_interval (r06-green) rotated behind when dedup_keeper_select
     # took its window slot.
     # NOTE: the four streaming batch twins were in the original r8 target
