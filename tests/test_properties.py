@@ -182,3 +182,50 @@ def test_chunk_slicing_engine_identical(spark, duck, docs):
         by_doc.setdefault(d, []).append(c)
     for doc_id, chunks in by_doc.items():
         assert " ".join(chunks) == pdf["text"][doc_id]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(1, 10**15),
+    st.lists(st.integers(1, 10**7), min_size=1, max_size=20),
+)
+def test_epoch_alloc_integer_split_identity(budget, weights):
+    """sample_epoch_plan's overflow-safe decomposition must equal the
+    true floor(B*w/S) for ANY budget/weights — pure arithmetic, verified
+    against python bignums (which cannot overflow)."""
+    ssum = sum(weights)
+    for w in weights:
+        decomposed = w * (budget // ssum) + (w * (budget % ssum)) // ssum
+        assert decomposed == (budget * w) // ssum
+        # int64-safety of the residual product (what the engines compute):
+        assert w * (budget % ssum) < w * ssum
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.decimals(
+            min_value=-10**6, max_value=10**6, places=2, allow_nan=False
+        ),
+        min_size=2,
+        max_size=200,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_dsum_is_permutation_and_partitioning_invariant(spark, values, rng):
+    """The decimal-routed sum (functions/exact.dsum) must yield the SAME
+    double for any row order and any partitioning — the property that
+    makes Spark's 32-way partial aggregation agree with DuckDB's serial
+    scan.  (A raw double sum fails this: float addition is not
+    associative.)"""
+    from sql2all_spark.functions.exact import dsum
+
+    floats = [float(v) for v in values]
+    shuffled = floats[:]
+    rng.shuffle(shuffled)
+    out = []
+    for data, parts in ((floats, 1), (shuffled, 7)):
+        pdf = pd.DataFrame({"x": data})
+        df = spark.createDataFrame(pdf).repartition(parts)
+        out.append(df.agg(dsum(F.col("x")).alias("s")).collect()[0]["s"])
+    assert out[0] == out[1]  # bit-identical, not approximately equal
