@@ -28,23 +28,30 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # round-1-green joins/aggregates/windows/setops/asof_range rotate behind
 # (their green rows are on record; tools/check.py still covers them locally).
 _QUERY_MODULES = [
-    # Round-8 front window.  Hand-counted position comments failed two
+    # Round-9 front window.  Hand-counted position comments failed two
     # rounds running, so the arithmetic lives in a TEST, not here:
     # tests/test_registry_window.py asserts (a) every registered query
     # without a non-stale driver-green CORRECTNESS row in
     # tools/driver_green.json sits at position <= 50, and (b) this
-    # round's explicit rotation targets do too.  This round: the four
-    # NEW operators (ann_batch/tokenize/reservoir) lead, then the
-    # freshness rotation — setops (newest green r01; slipped from r7 per
-    # NOTES), retrieval/udfs (r05), and the r06-green
-    # windows/aggregates/scalar_funcs/skew/asof_range/batch_twins
-    # families.  Everything r07-green rotates behind.
+    # round's explicit rotation targets do too.  This round: new r9
+    # operators lead, then the r8-stale set (contamination/neardup/
+    # dedup-shared families in text/dedup/graph/similarity) and the
+    # oldest remaining attestations — r05-green multimodal/timeseries/
+    # graph_pagerank and the r06-green dedup/similarity families.
+    # Everything r07/r08-green rotates behind.
+    "sql2all_spark.operators.tokenize",
+    "sql2all_spark.operators.multimodal",
+    "sql2all_spark.operators.timeseries",
+    "sql2all_spark.operators.reservoir",
+    "sql2all_spark.operators.graph",  # imports dedup, which registers first
+    "sql2all_spark.operators.dedup",
+    "sql2all_spark.operators.similarity",
+    "sql2all_spark.operators.text",
+    # --- position > 50 from here: driver-green rows on record (ledger) ---
+    "sql2all_spark.operators.lm",
     "sql2all_spark.operators.curation",
     "sql2all_spark.operators.bucketing",
     "sql2all_spark.operators.ann_batch",
-    "sql2all_spark.operators.tokenize",
-    "sql2all_spark.operators.reservoir",
-    "sql2all_spark.operators.lm",
     "sql2all_spark.operators.setops",
     "sql2all_spark.operators.retrieval",
     "sql2all_spark.operators.udfs",
@@ -54,11 +61,8 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.skew",
     "sql2all_spark.operators.asof_range",
     "sql2all_spark.streaming.batch_twins",
-    "sql2all_spark.operators.timeseries",
-    # --- position > 50 from here: driver-green rows on record (ledger) ---
     "sql2all_spark.operators.incremental",
     "sql2all_spark.operators.sampling",
-    "sql2all_spark.operators.text",
     "sql2all_spark.operators.relational",
     "sql2all_spark.operators.joins",
     "sql2all_spark.operators.udf_scalar",
@@ -69,10 +73,6 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.layout",
     "sql2all_spark.operators.embed_screen",
     "sql2all_spark.operators.tpch",
-    "sql2all_spark.operators.multimodal",
-    "sql2all_spark.operators.graph",  # imports dedup, which registers first
-    "sql2all_spark.operators.dedup",
-    "sql2all_spark.operators.similarity",
 ]
 
 

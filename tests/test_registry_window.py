@@ -28,77 +28,45 @@ REPO = Path(__file__).resolve().parent.parent
 
 # Queries the CURRENT round explicitly rotated into the window — update
 # this set each round alongside registry._QUERY_MODULES (the per-round
-# rotation contract; prior rounds' sets live in git history).  Round 8:
-# the four NEW operators plus the freshness rotation of the oldest
-# attestations — setops (newest green r01; slipped from r7 per NOTES),
-# retrieval/udfs (r05), and the r06-green windows/aggregates/
-# scalar_funcs/skew/asof_range/batch_twins families.
+# rotation contract; prior rounds' sets live in git history).  Round 9:
+# the r8-stale set (text_contamination_check, sim_neardup_pairs, and the
+# dedup_shared-touched dedup/cluster family) plus the freshness rotation
+# of the oldest attestations — r05-green multimodal/timeseries/
+# graph_pagerank and the r06-green dedup/similarity families.  New r9
+# operators are appended to this set as they land.
 ROTATION_TARGETS = {
-    # new this round (second batch: curation + bucketing)
-    "text_boilerplate_chunks",
-    "dedup_source_overlap",
-    "sample_epoch_plan",
-    "layout_bucketed_join",
-    "text_vocab_coverage",
-    "dedup_keeper_select",
-    "sim_hard_negatives",
-    # new this round
-    "sim_grouped_ann",
-    "text_bpe_merge_mine",
-    "text_length_buckets",
-    "sample_reservoir_weighted",
-    "text_bigram_lm_score",
-    # newest green row r01 (setops — slipped from round 7)
-    "setop_union_all_distinct",
-    "setop_intersect_except",
-    "setop_intersect_except_all",
-    "subquery_scalar_and_in",
-    "subquery_correlated_cte",
-    # newest green row r05 (retrieval/udfs)
-    "text_bm25_retrieval",
-    "text_tfidf_topterms",
-    "udaf_zscore_group",
-    "udtf_sentence_split",
-    # newest green row r06 (windows/aggregates/scalar_funcs/skew/
-    # asof_range/batch_twins)
-    "window_ranking",
-    "window_lag_lead",
-    "window_running_frame",
-    "window_range_frame",
-    "window_topk_per_group",
-    "window_distribution_ranks",
-    "agg_having",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_cube_grouping",
-    "agg_stats_moments",
-    "agg_corr_moments",
-    "agg_percentile_minmax",
-    "agg_string_agg",
-    "agg_approx_count_distinct",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_unpivot",
-    "agg_hll_sketch_rollup",
-    "agg_approx_quantiles",
-    "func_array_family",
-    "func_string_family",
-    "func_date_family",
-    "func_math_family",
-    "func_json_family",
-    "func_struct_map",
-    "func_variant_json",
-    "func_regexp_family",
-    "join_skew_salted",
-    # join_asof_attribution (r06-green) rotated behind when
-    # sim_hard_negatives took its window slot.
-    # join_range_interval (r06-green) rotated behind when dedup_keeper_select
-    # took its window slot.
-    # NOTE: the four streaming batch twins were in the original r8 target
-    # set; adding the 5 curation/bucketing/vocab operators pushed all four
-    # past position 50 (they are r06-green, so the window invariant is
-    # unaffected — new, never-checked queries take priority for driver
-    # slots).
+    # r8-stale (marked in tools/driver_green.json; must re-attest)
+    "text_contamination_check",
+    "sim_neardup_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    # newest green row r05 (multimodal/timeseries/graph)
+    "mm_binary_metadata",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_resize",
+    "mm_audio_energy",
+    "ts_rollup_hierarchy",
+    "ts_gap_fill",
+    "ts_funnel_conversion",
+    "ts_minmax_decimate",
+    "ts_anomaly_zscore",
+    "graph_pagerank_suppliers",
+    # newest green row r06 (dedup/similarity)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_incremental_screen",
+    "sim_topk_bruteforce",
+    "sim_lsh_ann",
+    "sim_lsh_ann_indexed",
+    "sim_ann_index_refresh",
+    "sim_ivf_topk",
+    "sim_kmeans_iteration",
+    "sim_doc_retrieval",
+    "sim_embed_quantize",
+    "sim_ann_recall",
 }
 
 
