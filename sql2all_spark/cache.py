@@ -24,29 +24,49 @@ Releasing is always CORRECTNESS-safe: ``unpersist`` never invalidates a
 DataFrame, it only drops the cached blocks (a consumer that still holds the
 plan recomputes it).  Streaming jobs that pin a corpus across micro-batches
 use raw ``.persist()`` deliberately and are not tracked here.
+
+Contract (ADVICE r8): tracking is PER-THREAD.  The registry releases the
+previous query's pins at the start of every builder call, which assumes the
+build-then-execute-immediately pattern every shipped runner follows (driver
+gate, check.py, bench.py).  A runner that builds several queries before
+executing any of them keeps only the LAST query's pins warm — correct but
+slower, the earlier branches recompute.  Thread-local storage means
+concurrent builders (parallel bench, notebook threads) cannot release each
+other's pins; each thread manages its own list.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_TRACKED: list[DataFrame] = []
+_LOCAL = threading.local()
+
+
+def _tracked() -> list[DataFrame]:
+    lst = getattr(_LOCAL, "tracked", None)
+    if lst is None:
+        lst = _LOCAL.tracked = []
+    return lst
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
-    """``df.persist()``, recorded for later bulk release."""
+    """``df.persist()``, recorded (per-thread) for later bulk release."""
     df.persist()
-    _TRACKED.append(df)
+    _tracked().append(df)
     return df
 
 
 def release_tracked() -> None:
-    """Unpersist every DataFrame recorded by :func:`persist_tracked`.
+    """Unpersist every DataFrame recorded by :func:`persist_tracked` on
+    THIS thread.
 
     Safe to call at any time (double-unpersist is a no-op; unpersisting a
     plan that never ran is a no-op)."""
-    while _TRACKED:
-        df = _TRACKED.pop()
+    lst = _tracked()
+    while lst:
+        df = lst.pop()
         try:
             df.unpersist()
         except Exception:

@@ -32,7 +32,10 @@ surface exists there; this is part of the beyond-reference scale family.
 
 from __future__ import annotations
 
+import atexit
 import re
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,18 +45,36 @@ from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
 N_BUCKETS = 8
-BUCKET_ROOT = "/tmp/sql2all_spark_bucketed"
+
+# Bucket files live in a PRIVATE per-process tempdir (mkdtemp: mode 0700,
+# unpredictable suffix), not a fixed world-readable /tmp path — a fixed
+# path lets concurrent sessions on the same sf_dir clobber each other's
+# bucketed data mid-join and trusts a pre-existing attacker-created
+# directory (ADVICE r8).  Catalog table names carry the same per-process
+# suffix so two local sessions sharing a metastore do not collide.
+_BUCKET_ROOT: str | None = None
+
+
+def _bucket_root() -> str:
+    global _BUCKET_ROOT
+    if _BUCKET_ROOT is None:
+        _BUCKET_ROOT = tempfile.mkdtemp(prefix="sql2all_spark_bucketed_")
+        atexit.register(shutil.rmtree, _BUCKET_ROOT, ignore_errors=True)
+    return _BUCKET_ROOT
 
 
 def _sf_key(sf_dir: str) -> str:
-    return re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    sf = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    # per-process disambiguator, derived from the private tempdir name
+    proc = _bucket_root().rsplit("_", 1)[-1].lower()
+    return f"{sf}_{proc}"
 
 
 def write_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize slim orders/lineitem projections bucketed on the order
     key; returns the two table names.  ``bucketBy`` requires the table
     write path (bucket metadata lives in the catalog, not the files), so
-    these are external tables rooted under BUCKET_ROOT."""
+    these are external tables rooted under the per-process tempdir."""
     key = _sf_key(sf_dir)
     t_orders, t_lineitem = f"bk_orders_{key}", f"bk_lineitem_{key}"
     (
@@ -63,7 +84,7 @@ def write_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .format("parquet")
         .bucketBy(N_BUCKETS, "o_orderkey")
         .sortBy("o_orderkey")
-        .option("path", f"{BUCKET_ROOT}/{key}/orders")
+        .option("path", f"{_bucket_root()}/{key}/orders")
         .saveAsTable(t_orders)
     )
     (
@@ -73,7 +94,7 @@ def write_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .format("parquet")
         .bucketBy(N_BUCKETS, "l_orderkey")
         .sortBy("l_orderkey")
-        .option("path", f"{BUCKET_ROOT}/{key}/lineitem")
+        .option("path", f"{_bucket_root()}/{key}/lineitem")
         .saveAsTable(t_lineitem)
     )
     return t_orders, t_lineitem

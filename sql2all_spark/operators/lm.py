@@ -149,15 +149,19 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .transform(persist_tracked)
     )
-    # corpus total: 1-value scalar off the already-aggregated count table
-    t = float(counts.agg(F.sum("c")).collect()[0][0])
+    # Corpus total: a LAZY 1-row aggregate broadcast onto both consumers
+    # (the sim_neardup_pairs ppb pattern) — plan construction runs no job
+    # and the total reflects execution-time state (ADVICE r8).  The
+    # aggregate reads the persisted (token, count) table, not the corpus.
+    tot = counts.agg(F.sum("c").cast("double").alias("t"))
     scale = F.lit(float(LM_SCALE))
     scored = (
         counts.orderBy(F.col("c").desc_nulls_last(), F.col("token").asc_nulls_first())
         .limit(4096)
+        .join(F.broadcast(tot), F.lit(True))
         .select(
             "token",
-            F.floor(scale * -F.log(F.col("c").cast("double") / F.lit(t)) + F.lit(0.5))
+            F.floor(scale * -F.log(F.col("c").cast("double") / F.col("t")) + F.lit(0.5))
             .cast("long")
             .alias("s_uni"),
         )
@@ -185,12 +189,13 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s_bi"),
     )
-    oov = F.floor(scale * -F.log(F.lit(1.0) / F.lit(t)) + F.lit(0.5)).cast("long")
+    oov = F.floor(scale * -F.log(F.lit(1.0) / F.col("t")) + F.lit(0.5)).cast("long")
     tok = (
         pr.join(F.broadcast(bscored), ["w1", "w2"], "left")
         .join(
             F.broadcast(scored.withColumnRenamed("token", "w2")), "w2", "left"
         )
+        .join(F.broadcast(tot), F.lit(True))
         .select(
             "doc_id",
             F.when(F.col("s_bi").isNotNull(), 1).otherwise(0).alias("bigram_hit"),

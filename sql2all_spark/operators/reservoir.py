@@ -47,6 +47,7 @@ WITH keyed AS (
                   / {_TWO60!r})
                / CAST(n_chars AS DOUBLE), 9) AS key
   FROM documents
+  WHERE n_chars >= 1
 ),
 ranked AS (
   SELECT source, doc_id, n_chars, key,
@@ -67,8 +68,13 @@ ORDER BY source ASC NULLS FIRST, rank ASC NULLS FIRST
     " sampler; no global sort, no driver state.",
 )
 def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
-        "source", "doc_id", "n_chars"
+    # A-ES keys are undefined for w <= 0, and ln(u)/0 disagrees across
+    # engines (Spark NULL vs DuckDB -inf), so zero-length docs are
+    # excluded on BOTH sides (ADVICE r8).
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", "n_chars")
+        .filter(F.col("n_chars") >= 1)
     )
     u = (
         base_hash(F.concat(F.lit(_SEED), F.col("doc_id").cast("string"))).cast(

@@ -655,27 +655,33 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c")).transform(persist_tracked)
-    # Corpus token total: a 1-value driver scalar (like similarity.py's
-    # centroid reads) — the distinct-token table is already aggregated, so
-    # this reads n_distinct partial rows, not the corpus.
-    t = float(counts.agg(F.sum("c")).collect()[0][0])
+    # Corpus token total: derived LAZILY as a 1-row aggregate broadcast
+    # onto both consumers (the sim_neardup_pairs ppb pattern) — plan
+    # construction runs no job, and the total reflects the corpus at
+    # execution time, not build time (ADVICE r8).  The aggregate reads
+    # the already-persisted (token, count) table, not the corpus.
+    tot = counts.agg(F.sum("c").cast("double").alias("t"))
     vocab = counts.orderBy(
         F.col("c").desc_nulls_last(), F.col("token").asc_nulls_first()
     ).limit(UNIGRAM_VOCAB)
     scale = F.lit(float(UNIGRAM_SCALE))
-    scored = vocab.select(
+    scored = vocab.join(F.broadcast(tot), F.lit(True)).select(
         "token",
-        F.floor(scale * -F.log(F.col("c").cast("double") / F.lit(t)) + F.lit(0.5))
+        F.floor(scale * -F.log(F.col("c").cast("double") / F.col("t")) + F.lit(0.5))
         .cast("long")
         .alias("s"),
     )
-    oov_score = F.floor(scale * -F.log(F.lit(1.0) / F.lit(t)) + F.lit(0.5)).cast(
+    oov_score = F.floor(scale * -F.log(F.lit(1.0) / F.col("t")) + F.lit(0.5)).cast(
         "long"
     )
-    doc = toks.join(F.broadcast(scored), "token", "left").select(
-        "doc_id",
-        F.when(F.col("s").isNull(), 1).otherwise(0).alias("is_oov"),
-        F.coalesce(F.col("s"), oov_score).alias("s_scaled"),
+    doc = (
+        toks.join(F.broadcast(scored), "token", "left")
+        .join(F.broadcast(tot), F.lit(True))
+        .select(
+            "doc_id",
+            F.when(F.col("s").isNull(), 1).otherwise(0).alias("is_oov"),
+            F.coalesce(F.col("s"), oov_score).alias("s_scaled"),
+        )
     )
     return doc.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),

@@ -75,6 +75,17 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Inferred parquet schemas, cached per (path, nanos-conf) — every
+# ``spark.read.parquet`` without an explicit schema runs a footer-reading
+# job, so a suite that builds 144 plans pays hundreds of tiny jobs for
+# schemas that never change.  With the cache, repeat loads pass
+# ``.schema(...)`` and plan construction is job-free after first touch.
+# Keyed on the resolved path (testdata is immutable per sf_dir); the
+# nanos conf is in the key because it changes how TIMESTAMP(NANOS)
+# columns type.
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
@@ -87,7 +98,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    key = (os.path.abspath(path), name == "events")
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    df = spark.read.schema(schema).parquet(path)
     if name == "events":
         df = normalize_events_ts(df)
     return df

@@ -37,7 +37,7 @@ def test_release_tracked_unpersists_everything(spark, sf_dir):
     assert not df.storageLevel.useMemory
     # releasing again is a no-op, and the tracker is empty
     cache.release_tracked()
-    assert cache._TRACKED == []
+    assert cache._tracked() == []
 
 
 def test_registry_builder_releases_previous_querys_caches(spark, sf_dir):
@@ -47,10 +47,10 @@ def test_registry_builder_releases_previous_querys_caches(spark, sf_dir):
     specs = all_specs()
     a = specs["tpch_q15_top_supplier"].builder(spark, sf_dir)
     a.collect()  # consume A: its slim revenue agg is now cached
-    assert len(cache._TRACKED) >= 1
-    tracked_before = list(cache._TRACKED)
+    assert len(cache._tracked()) >= 1
+    tracked_before = list(cache._tracked())
     specs["q1_pricing_summary"].builder(spark, sf_dir)  # build only
-    assert cache._TRACKED == []  # A's entries were released at B's build
+    assert cache._tracked() == []  # A's entries were released at B's build
     for df in tracked_before:
         assert not df.storageLevel.useMemory
 

@@ -713,3 +713,26 @@ def test_hard_negatives_broadcast_anchor_batch(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # per-anchor bounded top-k via window on the candidate set
     assert "Window" in plan
+
+
+def test_lm_plan_construction_is_job_free(spark, sf_dir):
+    """Building the LM-score plans must run NO Spark job (ADVICE r8): the
+    corpus totals attach as lazy 1-row broadcast aggregates, not eager
+    collects — plan-only consumers (explain, registration sweeps) pay
+    nothing.  sim_neardup_pairs got the same fix in r8; pin all three."""
+    from sql2all_spark.tables import load_table
+
+    # first touch of a table infers its schema (one footer job, cached);
+    # warm that up so the assertion isolates BUILDER-caused jobs
+    for t in ("documents", "embeddings"):
+        load_table(spark, sf_dir, t)
+    st = spark.sparkContext.statusTracker()
+    for name in (
+        "text_unigram_lm_score",
+        "text_bigram_lm_score",
+        "sim_neardup_pairs",
+    ):
+        before = set(st.getJobIdsForGroup())
+        all_specs()[name].builder(spark, sf_dir)
+        after = set(st.getJobIdsForGroup())
+        assert after == before, f"{name} plan construction ran jobs: {sorted(after - before)}"

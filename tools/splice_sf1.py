@@ -38,10 +38,23 @@ def parse_log(path: str) -> dict[str, dict]:
     dict syntactically rather than by line."""
     out: dict[str, dict] = {}
     text = open(path, errors="replace").read()
-    for m in re.finditer(r"\{'name': '[a-z0-9_]+'.*?\}", text):
-        try:
-            d = ast.literal_eval(m.group(0))
-        except (ValueError, SyntaxError):
+    # brace-aware: from each "{'name': ..." anchor, extend the candidate
+    # span to successive closing braces until it parses — a result dict
+    # containing a nested dict no longer truncates at the first '}'
+    for m in re.finditer(r"\{'name': '[a-z0-9_]+'", text):
+        start = m.start()
+        d = None
+        end = start
+        for _ in range(8):  # results nest at most a level or two
+            end = text.find("}", end + 1)
+            if end < 0:
+                break
+            try:
+                d = ast.literal_eval(text[start : end + 1])
+                break
+            except (ValueError, SyntaxError):
+                continue
+        if d is None:
             continue
         if isinstance(d, dict) and "status" in d:
             d["method"] = "log-splice"
@@ -55,6 +68,14 @@ def main() -> int:
     ap.add_argument("--json", nargs="+", default=[])
     ap.add_argument("--sf-dir", default="/root/repo/.testdata_sf1")
     ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--no-expect",
+        action="store_true",
+        help="skip validating coverage against the registry (the default "
+        "check fails if the spliced keyset differs from the registered "
+        "oracle-paired query list — ADVICE r8: a query missing from both "
+        "inputs must not silently shrink the denominator)",
+    )
     args = ap.parse_args()
 
     results = parse_log(args.log)
@@ -64,6 +85,23 @@ def main() -> int:
         for name, r in part["results"].items():
             r["method"] = "live"
             results[name] = r  # live re-runs supersede log entries
+
+    if not args.no_expect:
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from sql2all_spark.registry import all_specs
+
+        expected = set(all_specs())
+        missing = sorted(expected - set(results))
+        extra = sorted(set(results) - expected)
+        if missing or extra:
+            print(
+                f"coverage mismatch vs registry: missing={missing} "
+                f"extra={extra}",
+            )
+            return 1
 
     n_passed = sum(
         1 for r in results.values() if r["status"] in ("OK", "ROWS_ONLY")
