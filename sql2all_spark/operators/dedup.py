@@ -573,3 +573,108 @@ def screen_against_corpus(
             F.col("jaccard").alias("match_jaccard"),
         )
     )
+
+
+# --- asymmetric containment: the doc-in-doc / quotation detector ---------
+
+CONT_GRAM = 3  # word n-gram shingle length
+CONT_DF_CAP = 50  # stop-shingle cap: df above this is non-distinctive
+CONT_FLOOR = 0.5  # containment threshold on the distinctive inventory
+
+
+def _containment_oracle() -> str:
+    g = base_hash_sql("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= {CONT_GRAM}
+),
+g AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, len(w) - {CONT_GRAM - 2}), i -> {g})) AS hg
+  FROM d
+),
+x AS (SELECT doc_id, UNNEST(hg) AS h FROM g),
+df AS (SELECT h, COUNT(*) AS dfc FROM x GROUP BY h),
+xi AS (SELECT x.doc_id, x.h FROM x JOIN df USING (h)
+       WHERE df.dfc <= {CONT_DF_CAP}),
+inv AS (SELECT doc_id, COUNT(*) AS n FROM xi GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM xi a JOIN xi b USING (h)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.i AS BIGINT) AS shared,
+       CAST(na.n AS BIGINT) AS na,
+       ROUND(CAST(p.i AS DOUBLE) / na.n, 6) AS containment
+FROM p JOIN inv na ON na.doc_id = p.doc_a
+WHERE CAST(p.i AS DOUBLE) / na.n >= {CONT_FLOOR}
+"""
+
+
+@register(
+    "dedup_containment",
+    oracle=_containment_oracle(),
+    doc=f"Asymmetric containment near-dup — the doc-in-doc detector that"
+    " symmetric Jaccard misses (a paragraph quoted inside a much longer"
+    " document scores near-zero Jaccard but containment ~1): per ordered"
+    f" pair, |A∩B| / |A| over distinctive {CONT_GRAM}-gram shingles,"
+    " where 'distinctive' drops shingles appearing in more than"
+    f" {CONT_DF_CAP} documents (the stop-shingle cap every production"
+    " containment index applies).  doc_a is the CONTAINED side.  Scale"
+    " shape: the cap is the load-bearing bound — candidate fanout per"
+    " shingle is df² <= cap², so the inverted-index self-join is linear"
+    " in corpus size instead of df-skew-quadratic (the same reason the"
+    " cap exists in production); shingles are 60-bit ints before any"
+    " exchange (strings never shuffle); intersection counts partial-"
+    " aggregate.  Length-bucket blocking (dedup_ngram_jaccard) is"
+    " deliberately ABSENT: containment pairs have very different sizes.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= CONT_GRAM
+    )
+    hg = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - (CONT_GRAM - 1)),
+            lambda i: base_hash(
+                F.concat_ws(
+                    " ",
+                    F.element_at(F.col("w"), i),
+                    F.element_at(F.col("w"), i + F.lit(1)),
+                    F.element_at(F.col("w"), i + F.lit(2)),
+                )
+            ),
+        )
+    )
+    x = w.select("doc_id", F.explode(hg).alias("h"))
+    df_tbl = x.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
+    xi = (
+        x.join(df_tbl, "h")
+        .filter(F.col("dfc") <= CONT_DF_CAP)
+        .select("doc_id", "h")
+        .transform(persist_tracked)
+    )
+    inv = xi.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    p = (
+        xi.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(xi.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    cont = F.col("i").cast("double") / F.col("n")
+    return (
+        p.join(inv.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .filter(cont >= CONT_FLOOR)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("i").cast("long").alias("shared"),
+            F.col("n").cast("long").alias("na"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )

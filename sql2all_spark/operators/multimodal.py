@@ -342,3 +342,135 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         energy.cast("int").alias("energy_milli"),
         F.when(energy < SILENCE_MILLI, 1).otherwise(0).alias("is_silence"),
     )
+
+
+# --- perceptual-hash near-dup: the multimodal twin of dedup_simhash ------
+
+PHASH_BITS = 60
+PHASH_BANDS = 4
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS  # 15
+PHASH_MAX_HAMMING = 3
+_PHASH_SALT = "ph:"  # hash-domain separator vs dedup_simhash signatures
+
+
+def _phash_oracle() -> str:
+    from sql2all_spark.functions.hashing import base_hash_sql
+
+    base = base_hash_sql(f"'{_PHASH_SALT}' || t")
+    return f"""
+WITH sigs AS (
+  SELECT doc_id,
+    list_reduce(
+      list_transform(range(0, {PHASH_BITS}), j ->
+        CASE WHEN list_reduce(
+          list_transform(list_distinct(string_split(text, ' ')),
+                         t -> (({base} >> ({PHASH_BITS - 1} - j)) & 1) * 2 - 1),
+          (a, b) -> a + b) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+      (acc, bit) -> acc * 2 + bit) AS phash
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+"""
+
+
+def _phash_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB pHash "codec": decode payload → features → 60-bit signature.
+
+    A real pHash is DCT-of-downscaled-image sign bits; the container has
+    no image codec, so the stub "decodes" the payload as UTF-8, treats
+    distinct tokens as the low-frequency features, and folds the SAME
+    md5 bit-vote arithmetic as ``functions.hashing.base_hash`` (salted
+    with ``ph:`` so signatures differ from dedup_simhash's) — locality-
+    sensitive like a real pHash (similar payloads → small Hamming
+    distance) AND bit-replayable in SQL, so even the Python path is
+    value-checked by the oracle.  Swap this function for a PIL/DCT
+    implementation without touching the Spark plumbing.
+
+    Per-batch token memoization: a token's ±1 bit-vote vector is computed
+    once per Arrow batch, not once per occurrence.
+    """
+    import numpy as np
+
+    def _votes(tok: str, memo: dict) -> "np.ndarray":
+        v = memo.get(tok)
+        if v is None:
+            h = int(
+                hashlib.md5((_PHASH_SALT + tok).encode("utf-8")).hexdigest()[:15],
+                16,
+            )
+            bits = np.fromiter(
+                (((h >> (PHASH_BITS - 1 - j)) & 1) for j in range(PHASH_BITS)),
+                dtype=np.int64,
+                count=PHASH_BITS,
+            )
+            v = memo[tok] = bits * 2 - 1
+        return v
+
+    for pdf in batches:
+        memo: dict = {}
+        ids, hashes = [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            text = bytes(payload).decode("utf-8")
+            acc = None
+            for tok in set(text.split(" ")):
+                bv = _votes(tok, memo)
+                acc = bv.copy() if acc is None else acc + bv
+            ph = 0
+            for v in acc:
+                ph = ph * 2 + (1 if v >= 0 else 0)
+            ids.append(doc_id)
+            hashes.append(ph)
+        yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+
+@register(
+    "mm_phash_neardup",
+    oracle=_phash_oracle(),
+    doc="Perceptual-hash near-dup over the binary media column — the"
+    " multimodal twin of dedup_simhash: a 60-bit pHash per payload"
+    " computed in an Arrow-batched mapInPandas codec stub (deterministic"
+    " md5 bit-votes standing in for DCT sign bits; real plumbing, fake"
+    f" decoder), then {PHASH_BANDS} bands of {PHASH_BAND_BITS} bits and"
+    " an EQUI-join on the band key for candidates (pigeonhole: any pair"
+    f" within Hamming {PHASH_MAX_HAMMING} agrees on >= 1 band), exact"
+    " Hamming verification on candidates only.  Python touches each"
+    " payload exactly once (signature extraction — where a real codec"
+    " would run); banding, the candidate join, and verification are all"
+    " JVM-side, so the shape at 100 TB is 4 slim (band_key, doc_id, sig)"
+    " rows per image and candidate-density-bounded pairs, never"
+    " all-pairs.  The blocking-agnostic oracle proves banded recall.",
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql2all_spark.cache import persist_tracked
+
+    m = _media_df(spark, sf_dir).select("doc_id", "payload")
+    sigs = m.mapInPandas(_phash_pandas, schema="doc_id long, phash long")
+    band_vals = [
+        (
+            F.shiftright(
+                F.col("phash"), PHASH_BAND_BITS * (PHASH_BANDS - 1 - j)
+            ).bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1))
+            + F.lit(j << PHASH_BAND_BITS)
+        ).alias(f"b{j}")
+        for j in range(PHASH_BANDS)
+    ]
+    banded = sigs.select(
+        "doc_id", "phash", F.explode(F.array(*band_vals)).alias("band_key")
+    ).transform(persist_tracked)
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"), "band_key"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"), "band_key"
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

@@ -317,3 +317,92 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         F.when(F.abs(z) > ZSCORE_FLAG, 1).otherwise(0).alias("is_anomaly"),
     )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity ends a session
+
+
+@register(
+    "ts_sessionize",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+),
+l AS (
+  SELECT *, LAG(us) OVER (
+    PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS prev
+  FROM e
+),
+s AS (
+  SELECT *, CASE WHEN prev IS NULL OR us - prev > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM l
+),
+x AS (
+  SELECT *, SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY us ASC, event_id ASC
+    ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM s
+)
+SELECT user_id,
+       CAST(session_idx AS INT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(us) AS BIGINT) AS start_us,
+       CAST(MAX(us) AS BIGINT) AS end_us,
+       CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_sec,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM x
+GROUP BY user_id, session_idx
+ORDER BY user_id ASC NULLS FIRST, session_idx ASC NULLS FIRST
+""",
+    doc="Batch sessionization — the gaps-and-islands pattern: per user, a"
+    " new session starts after 30 minutes of inactivity (lag + running"
+    " sum of session starts), then one row per session with bounds,"
+    " duration, and exact decimal value totals.  The batch twin of"
+    " stream_session_window's session windows.  Scale shape: ONE shuffle"
+    " on user_id serves both window passes and the final rollup"
+    " (sessions of one user are in one partition by construction);"
+    " deterministic (ts, event_id) ordering; epoch-microsecond integers"
+    " end-to-end, so bounds and durations are exact in both engines.",
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    s = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        s.groupBy("user_id", F.col("session_idx").cast("int").alias("session_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("us").cast("long").alias("start_us"),
+            F.max("us").cast("long").alias("end_us"),
+            F.expr("CAST((MAX(us) - MIN(us)) div 1000000 AS BIGINT)").alias(
+                "duration_sec"
+            ),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy(
+            F.col("user_id").asc_nulls_first(),
+            F.col("session_idx").asc_nulls_first(),
+        )
+    )

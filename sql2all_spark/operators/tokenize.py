@@ -243,3 +243,190 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("vocab_size").asc_nulls_first())
     )
+
+
+BPE_MERGES = 8  # rank-ordered merge rules applied by the encoder
+
+
+def _bpe_pass_sql(k: int) -> str:
+    """One merge pass over ``syms`` for merge rank ``k`` (1-based), as a
+    DuckDB list expression.  Greedy left-to-right is PARALLEL here because
+    encode merges are restricted to sym_a <> sym_b: a match at i and i+1
+    would need syms[i+1] = sym_b = sym_a, so matches never overlap — the
+    mask needs no sequential scan.  An element is consumed iff its left
+    neighbor started a merge (which, for a <> b, always fires when the
+    pair matches)."""
+    a, b = f"merges[{k}].sym_a", f"merges[{k}].sym_b"
+    return f"""list_filter(list_transform(range(1, len(syms) + 1), i ->
+      CASE WHEN syms[i] = {a} AND syms[i + 1] = {b} THEN {a} || {b}
+           WHEN i > 1 AND syms[i - 1] = {a} AND syms[i] = {b} THEN NULL
+           ELSE syms[i] END), x -> x IS NOT NULL)"""
+
+
+def _bpe_encode_oracle() -> str:
+    passes = "".join(
+        f",\ne{k} AS (SELECT word, c, {_bpe_pass_sql(k)} AS syms, merges FROM e{k - 1})"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+WITH wc AS (
+  SELECT word, COUNT(*) AS c
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+prs AS (
+  SELECT substr(word, i, 1) AS sym_a, substr(word, i + 1, 1) AS sym_b,
+         SUM(c) AS pc
+  FROM (SELECT word, c, UNNEST(range(1, length(word))) AS i
+        FROM wc WHERE length(word) >= 2)
+  GROUP BY sym_a, sym_b
+),
+ranked AS (
+  SELECT sym_a, sym_b,
+         ROW_NUMBER() OVER (ORDER BY pc DESC, sym_a ASC, sym_b ASC) AS rank
+  FROM prs WHERE sym_a <> sym_b
+  ORDER BY pc DESC NULLS LAST, sym_a ASC NULLS FIRST, sym_b ASC NULLS FIRST
+  LIMIT {BPE_MERGES}
+),
+m AS (
+  SELECT list(struct_pack(rank := rank, sym_a := sym_a, sym_b := sym_b)
+              ORDER BY rank) AS merges
+  FROM ranked
+),
+e0 AS (
+  SELECT word, c,
+         list_transform(range(1, length(word) + 1),
+                        i -> substr(word, i, 1)) AS syms,
+         merges
+  FROM wc, m
+){passes},
+enc AS (SELECT word, len(syms) AS n_tok_word FROM e{BPE_MERGES}),
+dw AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+)
+SELECT dw.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(dw.word)) AS BIGINT) AS n_sym,
+       CAST(SUM(enc.n_tok_word) AS BIGINT) AS n_tok,
+       (CAST(SUM(enc.n_tok_word) AS BIGINT) * 1000)
+         // CAST(SUM(length(dw.word)) AS BIGINT) AS ratio_p1000
+FROM dw JOIN enc ON dw.word = enc.word
+WHERE dw.word <> ''
+GROUP BY dw.doc_id
+ORDER BY doc_id ASC NULLS FIRST
+"""
+
+
+def _bpe_pass_col(st, m):
+    """Spark twin of :func:`_bpe_pass_sql`: one parallel merge pass as a
+    higher-order expression (runs inside the aggregate fold, so the
+    expression appears ONCE in the plan — chained withColumns would let
+    CollapseProject inline each pass into the next, the exponential-
+    codegen trap pinned for text_contamination_check)."""
+    a, b = m["sym_a"], m["sym_b"]
+    step = F.transform(
+        F.sequence(F.lit(0), F.size(st) - 1),
+        lambda i: F.when(
+            (F.get(st, i) == a) & (F.get(st, i + 1) == b), F.concat(a, b)
+        )
+        .when(
+            (i > 0) & (F.get(st, i - 1) == a) & (F.get(st, i) == b),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.get(st, i)),
+    )
+    return F.filter(step, lambda x: x.isNotNull())
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    doc=f"BPE ENCODE — the consumer step of text_bpe_merge_mine: apply the"
+    f" top-{BPE_MERGES} mined merge rules (rank-ordered, sym_a <> sym_b"
+    " so passes parallelize; see _bpe_pass_sql) to every word and report"
+    " per-document symbol counts before/after and the compression ratio."
+    "  Scale shape: encoding runs over the DISTINCT-WORD vocabulary, not"
+    " the corpus (each word encodes once); the merge table is a bounded"
+    f" {BPE_MERGES}-row list broadcast as one row; passes fold inside ONE"
+    " aggregate expression (no chained projections, no exponential"
+    " codegen); per-doc stats arrive via a (word → encoded length) join"
+    " and partial-agg rollup — document text never carries encodings"
+    " across an exchange.",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    dw = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    wc = dw.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+
+    prs = (
+        wc.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.struct(
+                        F.col("word").substr(i, F.lit(1)).alias("sym_a"),
+                        F.col("word")
+                        .substr(i + F.lit(1), F.lit(1))
+                        .alias("sym_b"),
+                    ),
+                )
+            ).alias("pr"),
+            "c",
+        )
+        .select("pr.sym_a", "pr.sym_b", "c")
+        .groupBy("sym_a", "sym_b")
+        .agg(F.sum("c").alias("pc"))
+        .filter(F.col("sym_a") != F.col("sym_b"))
+    )
+    order = [
+        F.col("pc").desc_nulls_last(),
+        F.col("sym_a").asc_nulls_first(),
+        F.col("sym_b").asc_nulls_first(),
+    ]
+    ranked = (
+        prs.orderBy(*order)
+        .limit(BPE_MERGES)
+        .select(
+            F.row_number().over(Window.orderBy(*order)).alias("rank"),
+            "sym_a",
+            "sym_b",
+        )
+    )
+    mrow = ranked.agg(
+        F.array_sort(F.collect_list(F.struct("rank", "sym_a", "sym_b"))).alias(
+            "merges"
+        )
+    )
+
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    enc = (
+        wc.join(F.broadcast(mrow), F.lit(True))
+        .select(
+            "word",
+            F.size(
+                F.aggregate(F.col("merges"), chars, _bpe_pass_col)
+            ).alias("n_tok_word"),
+        )
+    )
+    return (
+        dw.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_sym"),
+            F.sum("n_tok_word").cast("long").alias("n_tok"),
+            F.expr(
+                "(CAST(SUM(n_tok_word) AS BIGINT) * 1000)"
+                " div CAST(SUM(length(word)) AS BIGINT)"
+            ).alias("ratio_p1000"),
+        )
+        .orderBy(F.col("doc_id").asc_nulls_first())
+    )

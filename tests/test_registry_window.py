@@ -35,6 +35,12 @@ REPO = Path(__file__).resolve().parent.parent
 # graph_pagerank and the r06-green dedup/similarity families.  New r9
 # operators are appended to this set as they land.
 ROTATION_TARGETS = {
+    # new this round (never attested — lead the window)
+    "dedup_semantic",
+    "text_bpe_encode",
+    "mm_phash_neardup",
+    "ts_sessionize",
+    "dedup_containment",
     # r8-stale (marked in tools/driver_green.json; must re-attest)
     "text_contamination_check",
     "sim_neardup_pairs",
