@@ -96,6 +96,40 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _calibrate(spark) -> dict[str, float]:
+    """Host-speed constants from CODE-INDEPENDENT workloads (pure Spark
+    built-ins over synthetic ranges — nothing from this repo's operators,
+    so the workload is bit-identical across rounds whatever the tree
+    looks like).  BENCH_rN.calib / BENCH_r{N-1}.calib measures HOST
+    drift, letting cross-round absolute comparisons be normalized instead
+    of resting on commit-message A/B claims (VERDICT r8).  Each timer is
+    the min of two runs (absorbs one-off JIT/scheduling noise)."""
+    from pyspark.sql import functions as F
+
+    def cpu():
+        spark.range(500_000_000).select(
+            F.sum((F.col("id") * 2 + 1) % 7)
+        ).write.format("noop").mode("overwrite").save()
+
+    def shuffle():
+        spark.range(20_000_000).groupBy(
+            (F.col("id") % 100_000).alias("k")
+        ).count().groupBy().agg(F.sum("count")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    out: dict[str, float] = {}
+    for name, fn in (("calib_cpu_sec", cpu), ("calib_shuffle_sec", shuffle)):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+    return out
+
+
 def main() -> None:
     start_load1 = _load1()
     spark = get_spark("bench")
@@ -104,6 +138,8 @@ def main() -> None:
 
     # Warmup: absorb JVM startup + first-parquet-footer costs.
     _run(specs["q1_pricing_summary"].builder(spark, SF_DIR))
+
+    calib = _calibrate(spark)
 
     times: dict[str, float] = {}
     for name in sorted(specs):
@@ -172,6 +208,7 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "start_load1": round(start_load1, 2),
         "contended": start_load1 > CONTENTION_LOAD1,
+        **calib,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_full.json"), "w") as f:
