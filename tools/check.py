@@ -56,7 +56,12 @@ def run_one(spark, con, name, builder, oracle, sf_dir) -> dict:
     t0 = time.time()
     sdf = builder(spark, sf_dir).toPandas()
     spark_sec = time.time() - t0
-    out = {"name": name, "spark_rows": len(sdf), "spark_sec": round(spark_sec, 2)}
+    out = {
+        "name": name,
+        "spark_rows": len(sdf),
+        "spark_sec": round(spark_sec, 2),
+        "method": "live",
+    }
     if oracle is None:
         out["status"] = "ROWS_ONLY"
         return out

@@ -83,8 +83,11 @@ def main() -> int:
         with open(jpath) as f:
             part = json.load(f)
         for name, r in part["results"].items():
-            r["method"] = "live"
-            results[name] = r  # live re-runs supersede log entries
+            # keep an explicit provenance (check.py now stamps "live";
+            # the replay tools stamp "replay") — only default legacy
+            # method-less entries
+            r.setdefault("method", "live")
+            results[name] = r  # re-runs supersede log entries
 
     if not args.no_expect:
         import sys
