@@ -62,6 +62,12 @@ HEADLINE = [
     "mm_decode_features",
     "ts_rollup_hierarchy",
     "stream_session_window",
+    # round-9 additions
+    "dedup_semantic",
+    "dedup_containment",
+    "mm_phash_neardup",
+    "ts_sessionize",
+    "text_bpe_encode",
 ]
 
 
