@@ -229,3 +229,135 @@ def test_dsum_is_permutation_and_partitioning_invariant(spark, values, rng):
         df = spark.createDataFrame(pdf).repartition(parts)
         out.append(df.agg(dsum(F.col("x")).alias("s")).collect()[0]["s"])
     assert out[0] == out[1]  # bit-identical, not approximately equal
+
+
+# --- round-9 primitives --------------------------------------------------
+
+_WORD = st.text(alphabet="abc", min_size=0, max_size=12)
+
+
+@_SETTINGS
+@given(
+    st.lists(_WORD, min_size=1, max_size=30),
+    st.sampled_from(["ab", "ba", "ac", "ca", "bc", "cb"]),
+)
+def test_bpe_pass_matches_greedy_reference_in_both_engines(spark, duck, words, merge):
+    """The parallel-mask BPE merge pass (legal because sym_a != sym_b ⇒
+    matches can't overlap) must equal TRUE greedy left-to-right merging —
+    in the Spark higher-order formulation AND the DuckDB lambda twin —
+    on arbitrary words, not just the fixture vocabulary."""
+    from sql2all_spark.operators.tokenize import _bpe_pass_col, _bpe_pass_sql
+
+    a, b = merge[0], merge[1]
+
+    def greedy(word: str) -> list[str]:
+        syms, out, i = list(word), [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    want = [greedy(w) for w in words]
+
+    pdf = pd.DataFrame({"word": words})
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    merges = F.array(
+        F.struct(
+            F.lit(1).alias("rank"), F.lit(a).alias("sym_a"), F.lit(b).alias("sym_b")
+        )
+    )
+    got_spark = [
+        r["enc"]
+        for r in spark.createDataFrame(pdf)
+        .select(
+            F.when(F.length("word") > 0, F.aggregate(merges, chars, _bpe_pass_col))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("enc")
+        )
+        .collect()
+    ]
+    assert got_spark == want
+
+    duck.register("prop_bpe", pdf)
+    sql = f"""
+WITH e0 AS (
+  SELECT word,
+         list_transform(range(1, length(word) + 1),
+                        i -> substr(word, i, 1)) AS syms,
+         [struct_pack(rank := 1, sym_a := '{a}', sym_b := '{b}')] AS merges
+  FROM prop_bpe
+)
+SELECT {_bpe_pass_sql(1)} AS enc FROM e0
+"""
+    got_duck = [list(e) for (e,) in duck.execute(sql).fetchall()]
+    duck.unregister("prop_bpe")
+    assert got_duck == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_union_find_components_match_transitive_closure(edges):
+    """The sf1 replay verifier's union-find must agree with a brute-force
+    transitive closure (min-label semantics) on arbitrary graphs."""
+    sys.path.insert(0, "/root/repo/tools")
+    from verify_clusters_sf1 import components
+
+    pairs = pd.DataFrame(
+        {"doc_a": [a for a, _ in edges], "doc_b": [b for _, b in edges]}
+    )
+    got = components(pairs)
+    # brute force: BFS from every node over the undirected edge set
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for start in adj:
+        seen, todo = {start}, [start]
+        while todo:
+            x = todo.pop()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    todo.append(y)
+        want[start] = min(seen)
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(alphabet="ab c", max_size=30), min_size=1, max_size=12))
+def test_phash_stub_matches_oracle_sql(duck, texts):
+    """The mapInPandas pHash stub (Python md5 bit-votes) must equal the
+    oracle's SQL formulation bit-for-bit on arbitrary payloads — the
+    property that lets a Python codec path be value-checked by a SQL
+    oracle at all."""
+    from sql2all_spark.operators.multimodal import _phash_pandas, _phash_oracle
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "payload": [t.encode("utf-8") for t in texts],
+        }
+    )
+    got = pd.concat(list(_phash_pandas(iter([pdf]))))
+    got_map = dict(zip(got["doc_id"], got["phash"]))
+
+    duck.register("documents_prop", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    sigs_cte = _phash_oracle().split("SELECT a.doc_id")[0]
+    sql = sigs_cte.replace("FROM documents", "FROM documents_prop") + "SELECT doc_id, phash FROM sigs"
+    want_map = dict(duck.execute(sql).fetchall())
+    duck.unregister("documents_prop")
+    assert got_map == want_map
