@@ -52,7 +52,7 @@ def frame_rows(df) -> list[tuple]:
     return sorted(rows)
 
 
-def run_one(spark, con, name, builder, oracle, sf_dir) -> dict:
+def run_one(spark, con, name, builder, oracle, sf_dir, cache_dir=None) -> dict:
     t0 = time.time()
     sdf = builder(spark, sf_dir).toPandas()
     spark_sec = time.time() - t0
@@ -65,7 +65,34 @@ def run_one(spark, con, name, builder, oracle, sf_dir) -> dict:
     if oracle is None:
         out["status"] = "ROWS_ONLY"
         return out
-    ddf = con.execute(oracle).fetchdf()
+    ddf = None
+    cache_path = None
+    if cache_dir is not None:
+        # Key on the ORACLE TEXT + data location: the Spark side always
+        # runs live, so a cached oracle result stays valid as long as
+        # neither the oracle SQL nor the (immutable) sf_dir changed —
+        # exactly the reuse VERDICT r8 asked for on the 45-55 min
+        # recursive-CTE soak oracles.
+        import hashlib
+        import os
+
+        import pandas as pd
+
+        os.makedirs(cache_dir, exist_ok=True)
+        key = hashlib.md5(
+            (oracle + "\n@" + os.path.abspath(sf_dir)).encode()
+        ).hexdigest()
+        cache_path = os.path.join(cache_dir, f"{key}.parquet")
+        if os.path.exists(cache_path):
+            ddf = pd.read_parquet(cache_path)
+            out["method"] = "live-spark/oracle-cached"
+    if ddf is None:
+        ddf = con.execute(oracle).fetchdf()
+        if cache_path is not None:
+            try:
+                ddf.to_parquet(cache_path)
+            except Exception:
+                pass  # uncacheable dtype: next run just re-executes
     out["oracle_rows"] = len(ddf)
     s_cols, d_cols = sorted(sdf.columns), sorted(ddf.columns)
     if s_cols != d_cols:
@@ -95,6 +122,15 @@ def main() -> int:
         "(the round's committed full-coverage record, e.g. "
         "CHECK_FULL_r3.json)",
     )
+    ap.add_argument(
+        "--oracle-cache",
+        default=None,
+        help="directory for cached DuckDB oracle RESULTS keyed by "
+        "md5(oracle_sql + sf_dir).  The Spark side always runs live; a "
+        "hit skips only the oracle execution and stamps the entry "
+        "method: live-spark/oracle-cached.  Use for sf1 soaks where "
+        "single oracles cost minutes.",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -121,7 +157,10 @@ def main() -> int:
             failures += 1
             continue
         try:
-            res = run_one(spark, con, name, qs[name], oracles.get(name), args.sf_dir)
+            res = run_one(
+                spark, con, name, qs[name], oracles.get(name), args.sf_dir,
+                cache_dir=args.oracle_cache,
+            )
         except Exception as exc:  # surface which side blew up
             res = {"name": name, "status": "ERROR", "error": f"{type(exc).__name__}: {exc}"}
         ok = res["status"] in ("OK", "ROWS_ONLY")
