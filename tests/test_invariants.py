@@ -257,3 +257,50 @@ def test_phash_band_recall_pigeonhole(spark, sf_dir):
     assert PHASH_MAX_HAMMING < PHASH_BANDS  # the pigeonhole precondition
     for r in rows:
         assert 0 <= r["hamming"] <= PHASH_MAX_HAMMING
+
+
+def test_retention_cohort_day_zero_is_complete(spark, sf_dir):
+    """Every user is active on their cohort day by construction, so the
+    offset-0 cell of every cohort has n_active == cohort_size and
+    retention exactly 1000; later offsets never exceed it; offsets are
+    non-negative."""
+    rows = all_specs()["ts_retention_cohorts"].builder(spark, sf_dir).collect()
+    assert rows
+    zero = {r["cohort_day"]: r for r in rows if r["day_offset"] == 0}
+    cohorts = {r["cohort_day"] for r in rows}
+    assert set(zero) == cohorts  # offset 0 present for every cohort
+    for r in rows:
+        assert r["day_offset"] >= 0
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        assert r["retention_p1000"] == r["n_active"] * 1000 // r["cohort_size"]
+    for r in zero.values():
+        assert r["n_active"] == r["cohort_size"] and r["retention_p1000"] == 1000
+
+
+def test_range_search_is_recall_complete_vs_bruteforce(spark, sf_dir):
+    """Radius search must return EXACTLY the vectors within θ — verified
+    against an independent numpy brute-force over the raw parquet."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sql2all_spark.operators.range_search import (
+        RANGE_N_PROBES,
+        RANGE_THETA,
+    )
+
+    rows = all_specs()["sim_range_search"].builder(spark, sf_dir).collect()
+    got = {(r["query_id"], r["vec_id"]) for r in rows}
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    vecs = np.array([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    ids = t["vec_id"].to_numpy()
+    probes, corpus = ids < RANGE_N_PROBES, ids >= RANGE_N_PROBES
+    qm, cm = vecs[probes], vecs[corpus]
+    sims = (cm @ qm.T) / (
+        np.linalg.norm(cm, axis=1)[:, None] * np.linalg.norm(qm, axis=1)[None, :]
+    )
+    want = {
+        (int(ids[probes][j]), int(ids[corpus][i]))
+        for i, j in zip(*np.where(np.round(sims, 6) >= RANGE_THETA))
+    }
+    assert got == want

@@ -794,3 +794,23 @@ def test_bpe_encode_merge_table_is_bounded_topk(spark, sf_dir):
     # vocabulary
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_search_single_scan_no_corpus_shuffle(spark, sf_dir):
+    """Radius search must be one corpus scan with the probe batch
+    broadcast: no shuffle may touch the corpus (the only exchange is the
+    presentation sort of the small result), and the probe-set filter is
+    pushed to the parquet scan."""
+    plan = _plan(spark, sf_dir, "sim_range_search")
+    assert "LessThan(vec_id,10)" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_two_slim_exchanges(spark, sf_dir):
+    """The retention matrix needs exactly the user_id aggs + cell agg
+    exchanges; cohort sizes must arrive via broadcast, never a shuffle
+    join."""
+    plan = _plan(spark, sf_dir, "ts_retention_cohorts")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final on both aggs

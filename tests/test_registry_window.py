@@ -36,6 +36,8 @@ REPO = Path(__file__).resolve().parent.parent
 # operators are appended to this set as they land.
 ROTATION_TARGETS = {
     # new this round (never attested — lead the window)
+    "ts_retention_cohorts",
+    "sim_range_search",
     "dedup_semantic",
     "text_bpe_encode",
     "mm_phash_neardup",
