@@ -32,6 +32,43 @@ def davg(col: Column, scale: int = 2) -> Column:
     return dsum(col, scale) / F.count(col)
 
 
+def _floor_div(x: str, div_op: str, divisor: int) -> str:
+    return (
+        f"(({x}) {div_op} {divisor}) - (CASE WHEN ({x}) % {divisor} < 0 "
+        f"THEN 1 ELSE 0 END)"
+    )
+
+
+def floor_div_sql(expr: str, divisor: int) -> str:
+    """Spark SQL text for FLOOR division of an integer expression.
+
+    ADVICE r9 flagged ``unix_micros(ts) div DAY_US`` vs the oracle's
+    ``epoch_us(ts) // DAY_US`` as a trunc-vs-floor divergence.  Measured
+    reality (pinned in ``test_floor_div_sql_matches_duckdb_floor_semantics``):
+    BOTH engines truncate toward zero on integers — DuckDB's integer
+    ``//`` is NOT Python's floor division — so the pair agreed but was
+    semantically wrong for pre-1970 timestamps (1 µs before the epoch
+    bucketed into day 0, not day -1).  Fix: explicit floor arithmetic on
+    BOTH sides — subtract 1 from the truncated quotient when a negative
+    remainder exists (both engines give ``%`` the dividend's sign).
+    Positive literal divisors only.
+
+    Use this (not ``floor(x / d)``) to bucket epoch values: the
+    double-division form can mis-floor at exact bucket boundaries once
+    ``x`` exceeds 2^53 / d in magnitude.
+    """
+    if divisor <= 0:
+        raise ValueError("floor_div_sql requires a positive divisor")
+    return _floor_div(expr, "div", divisor)
+
+
+def floor_div_duck_sql(expr: str, divisor: int) -> str:
+    """DuckDB twin of :func:`floor_div_sql` (``//`` truncates there too)."""
+    if divisor <= 0:
+        raise ValueError("floor_div_duck_sql requires a positive divisor")
+    return _floor_div(expr, "//", divisor)
+
+
 def dsum_sql(expr: str, scale: int = 2) -> str:
     """DuckDB twin of :func:`dsum`."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"

@@ -33,6 +33,7 @@ surface exists there; this is part of the beyond-reference scale family.
 from __future__ import annotations
 
 import atexit
+import os
 import re
 import shutil
 import tempfile
@@ -65,9 +66,11 @@ def _bucket_root() -> str:
 
 def _sf_key(sf_dir: str) -> str:
     sf = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
-    # per-process disambiguator, derived from the private tempdir name
-    proc = _bucket_root().rsplit("_", 1)[-1].lower()
-    return f"{sf}_{proc}"
+    # per-process disambiguator: pid + the FULL sanitized tempdir basename
+    # (mkdtemp's random suffix may itself contain underscores, so taking
+    # everything after the last one could shrink to 0-2 chars — ADVICE r9)
+    base = re.sub(r"[^0-9a-zA-Z]", "", os.path.basename(_bucket_root())).lower()
+    return f"{sf}_p{os.getpid()}_{base}"
 
 
 def write_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sql2all_spark.functions.exact import floor_div_duck_sql, floor_div_sql
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
@@ -34,7 +35,7 @@ DAY_US = 24 * 3600 * 1_000_000
     "ts_retention_cohorts",
     oracle=f"""
 WITH e AS (
-  SELECT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+  SELECT user_id, {floor_div_duck_sql('epoch_us(ts)', DAY_US)} AS day FROM events
 ),
 first_ev AS (
   SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id
@@ -71,7 +72,7 @@ ORDER BY cohort_day ASC NULLS FIRST, day_offset ASC NULLS FIRST
 def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
-        F.expr(f"unix_micros(ts) div {DAY_US}").alias("day"),
+        F.expr(floor_div_sql("unix_micros(ts)", DAY_US)).alias("day"),
     )
     first_ev = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     active = e.distinct()

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sql2all_spark.functions.exact import floor_div_duck_sql, floor_div_sql
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
@@ -186,13 +187,13 @@ DECIMATE_BUCKET_US = 15 * 60 * 1_000_000  # 15-minute buckets
     oracle=f"""
 WITH bucketed AS (
   SELECT event_id, ts, value,
-         make_timestamp((epoch_us(ts) // {DECIMATE_BUCKET_US})
+         make_timestamp(({floor_div_duck_sql('epoch_us(ts)', DECIMATE_BUCKET_US)})
                         * {DECIMATE_BUCKET_US}) AS bucket_start,
          ROW_NUMBER() OVER (
-           PARTITION BY epoch_us(ts) // {DECIMATE_BUCKET_US}
+           PARTITION BY {floor_div_duck_sql('epoch_us(ts)', DECIMATE_BUCKET_US)}
            ORDER BY value ASC,  ts ASC, event_id ASC) AS rn_min,
          ROW_NUMBER() OVER (
-           PARTITION BY epoch_us(ts) // {DECIMATE_BUCKET_US}
+           PARTITION BY {floor_div_duck_sql('epoch_us(ts)', DECIMATE_BUCKET_US)}
            ORDER BY value DESC, ts ASC, event_id ASC) AS rn_max
   FROM events
 )
@@ -216,13 +217,13 @@ def ts_minmax_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "events")
-    bucket_us = F.expr(f"unix_micros(ts) div {DECIMATE_BUCKET_US}")
+    bucket_us = F.expr(floor_div_sql("unix_micros(ts)", DECIMATE_BUCKET_US))
     b = e.select(
         "event_id",
         "ts",
         "value",
         F.expr(
-            f"timestamp_micros((unix_micros(ts) div {DECIMATE_BUCKET_US})"
+            f"timestamp_micros(({floor_div_sql('unix_micros(ts)', DECIMATE_BUCKET_US)})"
             f" * {DECIMATE_BUCKET_US})"
         ).alias("bucket_start"),
         bucket_us.alias("bucket_key"),

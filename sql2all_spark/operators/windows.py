@@ -19,6 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sql2all_spark.functions.exact import floor_div_duck_sql, floor_div_sql
+
+MS = floor_div_duck_sql("epoch_us(ts)", 1000)
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
@@ -58,11 +61,11 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_lag_lead",
-    oracle="""
+    oracle=f"""
 SELECT user_id, event_id, event_type, ts,
        LAG(event_type)  OVER w AS prev_type,
        LEAD(event_type) OVER w AS next_type,
-       epoch_us(ts) // 1000 - LAG(epoch_us(ts) // 1000) OVER w AS ms_since_prev
+       {MS} - LAG({MS}) OVER w AS ms_since_prev
 FROM events
 WHERE user_id % 25 = 0
 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
@@ -75,7 +78,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     # floor each timestamp to ms BEFORE differencing (duration truncation
     # and boundary counting disagree when the lag ts sits above x.5 ms)
-    ms = F.expr("unix_micros(ts) div 1000")
+    ms = F.expr(floor_div_sql("unix_micros(ts)", 1000))
     gap_ms = ms - F.lag(ms).over(w)
     return e.select(
         "user_id",

@@ -264,14 +264,22 @@ def write_avro(df, path: str) -> str:
         import pyarrow as pa
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         ppath = os.path.join(tmpdir, f"part-{pid:05d}.avro")
+        # Each ATTEMPT writes its own temp file, atomically renamed into
+        # the fixed part path on success: speculative execution or a
+        # retry racing a zombie attempt must never interleave writes into
+        # one file (silent corruption before the merge — ADVICE r9).
+        # os.replace is atomic on a POSIX filesystem, so whichever
+        # complete attempt lands last wins whole.
+        apath = f"{ppath}.attempt-{ctx.taskAttemptId()}"
         f = None
         pending: list[dict] = []
         try:
             for batch in batches:
                 if f is None:
-                    f = open(ppath, "wb")
+                    f = open(apath, "wb")
                     f.write(header)
                 pending.extend(batch.to_pylist())
                 while len(pending) >= BLOCK_RECORDS:
@@ -284,13 +292,14 @@ def write_avro(df, path: str) -> str:
             if pending and f is not None:
                 f.write(_encode_block(field_names, field_types, pending))
             if f is None and pid == 0:
-                f = open(ppath, "wb")
+                f = open(apath, "wb")
                 f.write(header)  # schema-only part: empty result parity
         finally:
             if f is not None:
                 f.close()
         if f is None:
             return  # empty non-zero partition: no file, no summary row
+        os.replace(apath, ppath)
         yield pa.record_batch(
             [pa.array([os.path.basename(ppath)])], names=["file"]
         )
@@ -299,10 +308,20 @@ def write_avro(df, path: str) -> str:
         summary = df.mapInArrow(write_part, "file string").collect()
         with open(path, "wb") as out:
             out.write(header)
-            for r in sorted(summary, key=lambda r: r.file):
-                with open(os.path.join(tmpdir, r.file), "rb") as pf:
+            # set(): two successful attempts of one task report the same
+            # part path; the merge must copy it once
+            for fname in sorted({r.file for r in summary}):
+                with open(os.path.join(tmpdir, fname), "rb") as pf:
                     got = pf.read(len(header))
-                    assert got == header, "avro part header drift"
+                    if got != header:
+                        # a real exception, not assert: asserts compile
+                        # out under python -O and this guards the merge's
+                        # byte-concatenation precondition (ADVICE r9)
+                        raise IOError(
+                            f"avro part header drift in {fname}: the "
+                            "block-concat merge requires byte-identical "
+                            "part headers"
+                        )
                     shutil.copyfileobj(pf, out)
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)

@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql2all_spark.functions.exact import dsum, dsum_sql
+from sql2all_spark.functions.exact import (
+    dsum,
+    dsum_sql,
+    floor_div_duck_sql,
+    floor_div_sql,
+)
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
@@ -29,7 +34,7 @@ SESSION_GAP_MIN = 30
 @register(
     "stream_tumbling_window",
     oracle=f"""
-SELECT make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US}) AS window_start,
+SELECT make_timestamp(({floor_div_duck_sql('epoch_us(ts)', HOUR_US)}) * {HOUR_US}) AS window_start,
        event_type,
        COUNT(*) AS n_events,
        {dsum_sql('value')} AS total_value
@@ -60,7 +65,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH slid AS (
   SELECT e.*,
-         make_timestamp(((epoch_us(ts) - k.off * {FIVE_MIN_US}) // {2 * FIVE_MIN_US})
+         make_timestamp(({floor_div_duck_sql(f'epoch_us(ts) - k.off * {FIVE_MIN_US}', 2 * FIVE_MIN_US)})
                         * {2 * FIVE_MIN_US} + k.off * {FIVE_MIN_US}) AS window_start
   FROM events e
   CROSS JOIN (SELECT UNNEST([0, 1]) AS off) k
@@ -140,10 +145,10 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedup_watermark",
-    oracle="""
+    oracle=f"""
 WITH keyed AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type,
-                               (epoch_us(ts) // 60000000)
+                               ({floor_div_duck_sql('epoch_us(ts)', 60000000)})
                                ORDER BY ts, event_id) AS rn
   FROM events
 )
@@ -159,7 +164,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    minute = F.expr("unix_micros(ts) div 60000000")
+    minute = F.expr(floor_div_sql("unix_micros(ts)", 60000000))
     w = (
         Window.partitionBy("user_id", "event_type", minute.alias("m"))
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())

@@ -22,7 +22,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql2all_spark.functions.exact import dsum
+from sql2all_spark.functions.exact import dsum, floor_div_sql
 from sql2all_spark.streaming.batch_twins import SESSION_GAP_MIN
 from sql2all_spark.tables import load_table, normalize_events_ts, table_path
 
@@ -91,7 +91,9 @@ def dedup_stream(stream: DataFrame) -> DataFrame:
     """Streaming dedup on (user, type, minute) within the watermark —
     streaming form of ``stream_dedup_watermark`` (state is dropped once the
     watermark passes each key's minute)."""
-    keyed = stream.withColumn("minute", F.expr("unix_micros(ts) div 60000000"))
+    keyed = stream.withColumn(
+        "minute", F.expr(floor_div_sql("unix_micros(ts)", 60000000))
+    )
     return (
         keyed.withWatermark("ts", WATERMARK)
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])

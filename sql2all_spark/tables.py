@@ -86,6 +86,12 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 _SCHEMA_CACHE: dict = {}
 
 
+def clear_schema_cache() -> None:
+    """Drop cached inferred schemas (tests that mutate parquet fixtures or
+    reconfigure sessions mid-process call this; normal flows never need to)."""
+    _SCHEMA_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
@@ -99,7 +105,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass
     path = table_path(sf_dir, name)
-    key = (os.path.abspath(path), name == "events")
+    # Key the cache on the RESOLVED nanosAsLong conf (not just the table
+    # kind): a schema inferred before the conf was set — or after a failed
+    # set — differs from one inferred after, and a module-global cache
+    # outlives SparkSessions, so conf drift between loads must miss
+    # (ADVICE r9).  The conf read also verifies the set above took effect.
+    try:
+        nanos_conf = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        nanos_conf = "<unset>"
+    key = (os.path.abspath(path), name == "events", nanos_conf)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         schema = _SCHEMA_CACHE[key] = spark.read.parquet(path).schema

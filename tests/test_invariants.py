@@ -304,3 +304,45 @@ def test_range_search_is_recall_complete_vs_bruteforce(spark, sf_dir):
         for i, j in zip(*np.where(np.round(sims, 6) >= RANGE_THETA))
     }
     assert got == want
+
+
+def test_floor_div_sql_matches_duckdb_floor_semantics(spark, duck):
+    """ADVICE r9 claimed Spark ``div`` truncates while DuckDB ``//``
+    floors.  Measured reality: BOTH truncate toward zero on integers, so
+    the engines agreed but bucketed pre-1970 epochs semantically wrong
+    (1 µs before the epoch → day 0).  Pin (a) the raw-operator parity
+    that makes the old code safe-but-wrong, and (b) that BOTH floor
+    helpers now produce Python floor division for negative dividends and
+    exact bucket boundaries."""
+    from sql2all_spark.functions.exact import floor_div_duck_sql, floor_div_sql
+
+    vals = [-86400000001, -86400000000, -1, 0, 1, 86399999999, 86400000000]
+    d = 86400000000  # DAY_US
+    got = {
+        r["v"]: (r["fd"], r["raw"])
+        for r in spark.createDataFrame([(v,) for v in vals], "v long")
+        .selectExpr("v", f"{floor_div_sql('v', d)} AS fd", f"v div {d} AS raw")
+        .collect()
+    }
+    for v in vals:
+        duck_fd, duck_raw = duck.execute(
+            f"SELECT {floor_div_duck_sql(f'CAST({v} AS BIGINT)', d)},"
+            f"       CAST({v} AS BIGINT) // {d}"
+        ).fetchone()
+        trunc = int(v / d) if v >= 0 or v % d == 0 else -((-v) // d)
+        assert got[v][1] == duck_raw == trunc, (v, got[v][1], duck_raw)
+        assert got[v][0] == duck_fd == v // d, (v, got[v][0], duck_fd)
+
+
+def test_retention_day_bucketing_floors_pre_1970(spark):
+    """End-to-end guard on the retention day math: a synthetic pre-1970
+    event lands in the FLOOR day bucket (day -1 for one microsecond
+    before the epoch), not the truncated day 0."""
+    from sql2all_spark.functions.exact import floor_div_sql
+    from sql2all_spark.operators.retention import DAY_US
+
+    df = spark.createDataFrame(
+        [(-1,), (0,), (-DAY_US,), (DAY_US,)], "us long"
+    ).selectExpr("us", f"{floor_div_sql('us', DAY_US)} AS day")
+    got = {r["us"]: r["day"] for r in df.collect()}
+    assert got == {-1: -1, 0: 0, -DAY_US: -1, DAY_US: 1}

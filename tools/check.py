@@ -65,44 +65,54 @@ def run_one(spark, con, name, builder, oracle, sf_dir, cache_dir=None) -> dict:
     if oracle is None:
         out["status"] = "ROWS_ONLY"
         return out
-    ddf = None
+    cached = None
     cache_path = None
     if cache_dir is not None:
         # Key on the ORACLE TEXT + data location: the Spark side always
         # runs live, so a cached oracle result stays valid as long as
         # neither the oracle SQL nor the (immutable) sf_dir changed —
         # exactly the reuse VERDICT r8 asked for on the 45-55 min
-        # recursive-CTE soak oracles.
+        # recursive-CTE soak oracles.  The cache stores the CANONICAL
+        # comparison form (sorted cols + frame_rows output), not a raw
+        # DataFrame: a parquet round-trip can change dtypes (Decimal/
+        # hugeint/timestamp) relative to a live fetchdf and make a cache
+        # hit compare differently from a live run (ADVICE r9).
         import hashlib
+        import json as _json
         import os
-
-        import pandas as pd
 
         os.makedirs(cache_dir, exist_ok=True)
         key = hashlib.md5(
             (oracle + "\n@" + os.path.abspath(sf_dir)).encode()
         ).hexdigest()
-        cache_path = os.path.join(cache_dir, f"{key}.parquet")
+        cache_path = os.path.join(cache_dir, f"{key}.rows.json")
         if os.path.exists(cache_path):
-            ddf = pd.read_parquet(cache_path)
+            with open(cache_path) as f:
+                cached = _json.load(f)
             out["method"] = "live-spark/oracle-cached"
-    if ddf is None:
+    if cached is None:
         ddf = con.execute(oracle).fetchdf()
+        d_cols, d_rows = sorted(ddf.columns), frame_rows(ddf)
         if cache_path is not None:
-            try:
-                ddf.to_parquet(cache_path)
-            except Exception:
-                pass  # uncacheable dtype: next run just re-executes
-    out["oracle_rows"] = len(ddf)
-    s_cols, d_cols = sorted(sdf.columns), sorted(ddf.columns)
+            import json as _json
+
+            tmp = cache_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump({"cols": d_cols, "rows": d_rows}, f)
+            os.replace(tmp, cache_path)
+    else:
+        d_cols = list(cached["cols"])
+        d_rows = [tuple(r) for r in cached["rows"]]
+    out["oracle_rows"] = len(d_rows)
+    s_cols = sorted(sdf.columns)
     if s_cols != d_cols:
         out["status"] = "SCHEMA_MISMATCH"
         out["spark_cols"], out["oracle_cols"] = s_cols, d_cols
         return out
-    if len(sdf) != len(ddf):
+    if len(sdf) != len(d_rows):
         out["status"] = "ROWCOUNT_MISMATCH"
         return out
-    s_rows, d_rows = frame_rows(sdf), frame_rows(ddf)
+    s_rows = frame_rows(sdf)
     if s_rows == d_rows:
         out["status"] = "OK"
     else:
