@@ -39,6 +39,7 @@ _QUERY_MODULES = [
     # oldest remaining attestations — r05-green multimodal/timeseries/
     # graph_pagerank and the r06-green dedup/similarity families.
     # Everything r07/r08-green rotates behind.
+    "sql2all_spark.operators.substring_dedup",
     "sql2all_spark.operators.retention",
     "sql2all_spark.operators.range_search",
     "sql2all_spark.operators.semdedup",

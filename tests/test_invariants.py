@@ -346,3 +346,25 @@ def test_retention_day_bucketing_floors_pre_1970(spark):
     ).selectExpr("us", f"{floor_div_sql('us', DAY_US)} AS day")
     got = {r["us"]: r["day"] for r in df.collect()}
     assert got == {-1: -1, 0: 0, -DAY_US: -1, DAY_US: 1}
+
+
+def test_exact_substring_spans_are_verbatim_and_maximal(spark, sf_dir):
+    """Every reported pair-span must (a) match VERBATIM between the two
+    documents at the reported positions, and (b) be maximal — extending
+    one token left or right breaks the match or leaves a document."""
+    import pyarrow.parquet as pq
+
+    rows = (
+        all_specs()["text_exact_substring_dedup"].builder(spark, sf_dir).collect()
+    )
+    assert rows, "fixture should contain duplicated passages"
+    t = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    toks = {r.doc_id: r.text.split(" ") for r in t.itertuples()}
+    for r in rows:
+        a, b = toks[r["doc_a"]], toks[r["doc_b"]]
+        ia, ib, n = r["a_start"] - 1, r["b_start"] - 1, r["span_len"]
+        assert a[ia : ia + n] == b[ib : ib + n], (r, "span mismatch")
+        if ia > 0 and ib > 0:
+            assert a[ia - 1] != b[ib - 1], (r, "left-extensible")
+        if ia + n < len(a) and ib + n < len(b):
+            assert a[ia + n] != b[ib + n], (r, "right-extensible")

@@ -822,3 +822,28 @@ def test_retention_two_slim_exchanges(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_retention_cohorts")
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final on both aggs
+
+
+def test_exact_substring_dedup_is_chained_inverted_index(spark, sf_dir):
+    """Suffix-array-style dedup must be the inverted-index + diagonal-
+    chain shape: no all-pairs join, gram table persisted (df-count and
+    self-join share it), grams hashed to ints before any exchange, and
+    the span groupBy reuses the chain window's (doc_a, doc_b, diag)
+    exchange instead of adding its own."""
+    import re
+
+    plan = _plan(spark, sf_dir, "text_exact_substring_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryRelation" in plan
+    # exactly ONE exchange mentions the diagonal key: window + groupBy
+    # share it (group keys are a superset of the window partition keys)
+    diag_exchanges = [
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        if "diag" in m.group(1)
+    ]
+    assert len(diag_exchanges) == 1, diag_exchanges
+    # raw text never reaches the persisted gram index
+    for seg in plan.split("InMemoryTableScan [")[1:]:
+        assert "text" not in seg[:120]
