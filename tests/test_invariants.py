@@ -368,3 +368,43 @@ def test_exact_substring_spans_are_verbatim_and_maximal(spark, sf_dir):
             assert a[ia - 1] != b[ib - 1], (r, "left-extensible")
         if ia + n < len(a) and ib + n < len(b):
             assert a[ia + n] != b[ib + n], (r, "right-extensible")
+
+
+def test_bpe_train_rules_consistent_with_encoder_fold(spark, sf_dir):
+    """Folding the TRAINED merge table through the encoder's pass
+    machinery (tokenize._bpe_pass_col) must reproduce the training
+    loop's final vocabulary state exactly — train and encode share one
+    merge semantics (VERDICT r9 #4's consistency requirement).  Counts
+    are deliberately NOT asserted monotone: in true BPE a merge can
+    create a pair more frequent than remaining original pairs, so only
+    positivity, contiguous rank order, and the a<>b parallel-pass
+    restriction are invariant."""
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.operators.bpe_train import (
+        _initial_vocab,
+        train_bpe,
+    )
+    from sql2all_spark.operators.tokenize import _bpe_pass_col
+
+    rules, final_vocab = train_bpe(spark, sf_dir)
+    assert [r[0] for r in rules] == list(range(1, len(rules) + 1))
+    assert all(r[4] > 0 for r in rules)
+    assert all(r[1] != r[2] for r in rules)  # parallel-pass restriction
+
+    merges = F.array(
+        *[
+            F.struct(
+                F.lit(rank).alias("rank"),
+                F.lit(a).alias("sym_a"),
+                F.lit(b).alias("sym_b"),
+            )
+            for rank, a, b, _, _ in rules
+        ]
+    )
+    folded = _initial_vocab(spark, sf_dir).select(
+        "c", F.aggregate(merges, F.col("syms"), _bpe_pass_col).alias("syms")
+    )
+    a = sorted(map(tuple, folded.select("c", "syms").collect()))
+    b = sorted(map(tuple, final_vocab.select("c", "syms").collect()))
+    assert [(c, tuple(s)) for c, s in a] == [(c, tuple(s)) for c, s in b]

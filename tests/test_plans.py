@@ -847,3 +847,17 @@ def test_exact_substring_dedup_is_chained_inverted_index(spark, sf_dir):
     # raw text never reaches the persisted gram index
     for seg in plan.split("InMemoryTableScan [")[1:]:
         assert "text" not in seg[:120]
+
+
+def test_bpe_train_mine_round_is_vocab_agg_with_bounded_argmax(spark, sf_dir):
+    """One training round's mining plan: row-local pair explode over the
+    vocab, partial->final aggregation, and a 1-row bounded heap — never
+    a global sort or positional self-join."""
+    from sql2all_spark.operators.bpe_train import _initial_vocab, _mine_best
+    from sql2all_spark.plans import physical_plan
+
+    plan = physical_plan(_mine_best(_initial_vocab(spark, sf_dir)))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
