@@ -41,6 +41,7 @@ _QUERY_MODULES = [
     # Everything r07/r08-green rotates behind.
     "sql2all_spark.operators.substring_dedup",
     "sql2all_spark.operators.bpe_train",
+    "sql2all_spark.operators.dsir",
     "sql2all_spark.operators.retention",
     "sql2all_spark.operators.range_search",
     "sql2all_spark.operators.semdedup",

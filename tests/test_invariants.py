@@ -408,3 +408,40 @@ def test_bpe_train_rules_consistent_with_encoder_fold(spark, sf_dir):
     a = sorted(map(tuple, folded.select("c", "syms").collect()))
     b = sorted(map(tuple, final_vocab.select("c", "syms").collect()))
     assert [(c, tuple(s)) for c, s in a] == [(c, tuple(s)) for c, s in b]
+
+
+def test_importance_resample_weights_and_rescale_invariance(spark, sf_dir):
+    """(a) every weight is a positive integer within the documented
+    factor bounds; (b) the 1e6 key rescale is order-invariant: ranking
+    by raw ln(u)/w (no rescale, no rounding) reproduces the selected
+    doc set and order — so the rescale changed resolution, not the
+    sample; (c) ranks are contiguous from 1."""
+    import math
+
+    from sql2all_spark.operators.dsir import DSIR_K, _SEED, _TWO60
+    from sql2all_spark.functions.hashing import base_hash
+    from pyspark.sql import functions as F
+
+    rows = (
+        all_specs()["text_importance_resample"].builder(spark, sf_dir).collect()
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == DSIR_K
+    for r in rows:
+        assert 1 <= r["weight"] <= 10 * 1000 * 1000 * 1000 * 2
+        assert r["key"] <= 0
+
+    # independent replay WITHOUT the rescale or rounding: recompute each
+    # selected doc's raw A-ES key ln(u)/w in pure Python (md5 uniforms,
+    # libm ln) and assert the reported rank order is exactly raw-key
+    # descending — the rescale is a monotone map, so order must survive
+    import hashlib
+
+    def raw_key(doc_id: int, weight: int) -> float:
+        h = hashlib.md5(f"{_SEED}{doc_id}".encode()).hexdigest()[:15]
+        u = (int(h, 16) + 1) / _TWO60
+        return math.log(u) / weight
+
+    raws = [raw_key(r["doc_id"], r["weight"]) for r in rows]
+    # reported order (rank asc) must equal raw-key descending order
+    assert raws == sorted(raws, reverse=True)

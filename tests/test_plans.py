@@ -861,3 +861,27 @@ def test_bpe_train_mine_round_is_vocab_agg_with_bounded_argmax(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "Join" not in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_importance_resample_fuses_signals_single_join_bounded_topk(spark, sf_dir):
+    """DSIR composite: all row-local signals (gate/repetition/stopword/
+    language) fuse into ONE documents scan; the LM frame is the only
+    doc_id join; the resample is a bounded heap.  A regression to
+    per-signal builder joins would add scans and doc_id exchanges."""
+    import re
+
+    plan = _plan(spark, sf_dir, "text_importance_resample")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # scans: 1 fused signal scan + the LM operator's own (token counts,
+    # doc scoring, and its persisted/broadcast internals) — the
+    # 4-registered-builder join shape would need two more
+    assert plan.count("FileScan parquet") <= 5
+    # the only BroadcastNestedLoopJoins are the LM score's 1-row corpus
+    # totals (the tolerated scalar-broadcast pattern)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # sorts above the heap may only touch the K-row result (presentation
+    # rank order) — never the corpus
+    above_heap = plan.split("TakeOrderedAndProject")[0]
+    for m in re.finditer(r"Sort \[(\w+)", above_heap):
+        assert m.group(1).startswith(("rank", "key")), m.group(0)
