@@ -31,6 +31,55 @@ from sql2all_spark.tables import load_table
 DAY_US = 24 * 3600 * 1_000_000
 
 
+def user_day_pairs(events: DataFrame) -> DataFrame:
+    """(user_id, day) projection with the shared floor-division day key.
+
+    The retention state IS the distinct set of these pairs (plus nothing
+    else): first-event extraction, cohort sizes, and every matrix cell
+    derive from it.  Exposed so the streaming leg folds arriving batches
+    into the same representation (streaming/jobs.py:retention_stream)."""
+    return events.select(
+        "user_id",
+        F.expr(floor_div_sql("unix_micros(ts)", DAY_US)).alias("day"),
+    )
+
+
+def matrix_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Retention matrix from a (user_id, day) pair set (need not be
+    pre-deduplicated; the fold distincts).  Shared by the batch operator
+    and the streaming state derivation — equality of the two paths is
+    pinned in tests/test_streaming.py."""
+    first_ev = pairs.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = pairs.distinct()
+    sizes = first_ev.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        active.join(first_ev, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.col("cohort_day").cast("long").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.expr("(n_active * 1000) div cohort_size").alias(
+                "retention_p1000"
+            ),
+        )
+        .orderBy(
+            F.col("cohort_day").asc_nulls_first(),
+            F.col("day_offset").asc_nulls_first(),
+        )
+    )
+
+
 @register(
     "ts_retention_cohorts",
     oracle=f"""
@@ -70,36 +119,6 @@ ORDER BY cohort_day ASC NULLS FIRST, day_offset ASC NULLS FIRST
     " as an invariant test.",
 )
 def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.expr(floor_div_sql("unix_micros(ts)", DAY_US)).alias("day"),
-    )
-    first_ev = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    active = e.distinct()
-    sizes = first_ev.groupBy("cohort_day").agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
-    cells = (
-        active.join(first_ev, "user_id")
-        .groupBy(
-            "cohort_day",
-            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_active"))
-    )
-    return (
-        cells.join(F.broadcast(sizes), "cohort_day")
-        .select(
-            F.col("cohort_day").cast("long").alias("cohort_day"),
-            F.col("day_offset").cast("long").alias("day_offset"),
-            F.col("n_active").cast("long").alias("n_active"),
-            F.col("cohort_size").cast("long").alias("cohort_size"),
-            F.expr("(n_active * 1000) div cohort_size").alias(
-                "retention_p1000"
-            ),
-        )
-        .orderBy(
-            F.col("cohort_day").asc_nulls_first(),
-            F.col("day_offset").asc_nulls_first(),
-        )
+    return matrix_from_pairs(
+        user_day_pairs(load_table(spark, sf_dir, "events"))
     )

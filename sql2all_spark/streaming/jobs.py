@@ -466,3 +466,58 @@ def grouped_ann_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def retention_stream(
+    event_stream: DataFrame, state_dir: str, checkpoint: str
+) -> object:
+    """Incremental cohort-retention maintenance: every arriving
+    micro-batch of events folds into a standing state from which the
+    full retention matrix derives — the streaming leg of the
+    ``ts_retention_cohorts`` batch operator (VERDICT r9 #6).
+
+    State design: the matrix is a pure function of the DISTINCT
+    (user_id, day) pair set (``operators.retention.user_day_pairs`` —
+    first-event cohorts, cohort sizes, and every cell all derive from
+    it), and that set is a SEMILATTICE under union.  So the fold is an
+    O(batch) append of each batch's deduplicated pairs, and replayed or
+    duplicated batches are semantically idempotent — re-unioning already-
+    present pairs cannot change the derived matrix.  No exactly-once
+    marker machinery is needed (contrast ``ann_refresh_stream``, whose
+    append state is NOT a set).  Late events fold in like any others:
+    an earlier-day arrival simply moves its user's min-day cohort at the
+    next derivation — nothing in the state needs rewriting, which is the
+    property that makes cohort REASSIGNMENT (the hard case for
+    incremental matrix maintenance) free here.
+
+    Per-batch cost is O(batch) (dedup + append); deriving the matrix via
+    :func:`retention_matrix_from_state` is O(state) = O(users x days),
+    orders of magnitude below O(events).  Production note: the appended
+    pair files compact via ``incremental_file_compaction``'s policy when
+    small-file count grows.
+    """
+    from sql2all_spark.operators.retention import user_day_pairs
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            user_day_pairs(batch_df)
+            .distinct()
+            .write.mode("append")
+            .parquet(state_dir)
+        )
+
+    return (
+        event_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def retention_matrix_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Derive the retention matrix from the standing pair-set state
+    written by :func:`retention_stream` (matrix_from_pairs re-distincts,
+    so cross-batch duplicate pairs are harmless)."""
+    from sql2all_spark.operators.retention import matrix_from_pairs
+
+    return matrix_from_pairs(spark.read.parquet(state_dir))

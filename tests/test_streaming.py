@@ -379,3 +379,46 @@ def test_grouped_ann_stream_matches_batch_operator(spark, sf_dir, tmp_path):
     got = spark.read.option("recursiveFileLookup", "true").parquet(out)
     want = all_specs()["sim_grouped_ann"].builder(spark, sf_dir)
     assert _rows(got) == _rows(want)
+
+
+def test_retention_stream_matches_batch_operator(spark, sf_dir, tmp_path):
+    """Incremental cohort retention: events land as THREE day-range
+    files (three micro-batches, simulating daily loads), each folded
+    into the standing (user, day) pair-set state — the derived matrix
+    must equal the all-at-once ts_retention_cohorts batch operator.
+    A replayed batch is also folded twice to prove the semilattice
+    idempotency claim (set-union state → at-least-once == exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.registry import all_specs
+    from sql2all_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cut1 = lo + (hi - lo) / 3
+    cut2 = lo + 2 * (hi - lo) / 3
+
+    landing = str(tmp_path / "landing")
+    splits = [
+        e.filter(F.col("ts") <= F.lit(cut1)),
+        e.filter((F.col("ts") > F.lit(cut1)) & (F.col("ts") <= F.lit(cut2))),
+        e.filter(F.col("ts") > F.lit(cut2)),
+    ]
+    for part in splits:
+        part.coalesce(1).write.mode("append").parquet(landing)
+
+    state = str(tmp_path / "state")
+    stream = jobs.parquet_dir_stream(spark, landing, e.schema)
+    q = jobs.retention_stream(stream, state, checkpoint=str(tmp_path / "cp"))
+    q.awaitTermination(120)
+
+    got = jobs.retention_matrix_from_state(spark, state)
+    want = all_specs()["ts_retention_cohorts"].builder(spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+    # replay a batch out-of-band: the state is a set semilattice, so a
+    # duplicate fold must not change the derived matrix
+    from sql2all_spark.operators.retention import user_day_pairs
+
+    user_day_pairs(splits[1]).distinct().write.mode("append").parquet(state)
+    assert _rows(jobs.retention_matrix_from_state(spark, state)) == _rows(want)
