@@ -28,21 +28,33 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # round-1-green joins/aggregates/windows/setops/asof_range rotate behind
 # (their green rows are on record; tools/check.py still covers them locally).
 _QUERY_MODULES = [
-    # Round-9 front window.  Hand-counted position comments failed two
-    # rounds running, so the arithmetic lives in a TEST, not here:
-    # tests/test_registry_window.py asserts (a) every registered query
-    # without a non-stale driver-green CORRECTNESS row in
-    # tools/driver_green.json sits at position <= 50, and (b) this
-    # round's explicit rotation targets do too.  This round: new r9
-    # operators lead, then the r8-stale set (contamination/neardup/
-    # dedup-shared families in text/dedup/graph/similarity) and the
-    # oldest remaining attestations — r05-green multimodal/timeseries/
-    # graph_pagerank and the r06-green dedup/similarity families.
-    # Everything r07/r08-green rotates behind.
+    # Round-10 front window (positions 1-50; the arithmetic is ENFORCED
+    # by tests/test_registry_window.py, not hand-counted here).  This
+    # round: the three new operators lead (substring_dedup / bpe_train /
+    # dsir — NOTE dsir imports operators.text at module scope to reuse
+    # its signal helpers and the registered unigram-LM oracle, so the
+    # whole 14-query text family registers at dsir's position and
+    # re-attests with it); then the oldest remaining attestations — the
+    # r05-green incremental/tpch families and r06-green asof_range +
+    # stream twins — and r07-green sampling/relational/skew/udf/pipeline/
+    # profiling/layout fill the window to exactly 50.
     "sql2all_spark.operators.substring_dedup",
     "sql2all_spark.operators.bpe_train",
-    "sql2all_spark.operators.dsir",
+    "sql2all_spark.operators.dsir",  # registers text's queries too (import)
+    "sql2all_spark.operators.text",  # no-op: already registered via dsir
     "sql2all_spark.operators.retention",
+    "sql2all_spark.operators.incremental",
+    "sql2all_spark.operators.tpch",
+    "sql2all_spark.operators.asof_range",
+    "sql2all_spark.streaming.batch_twins",
+    "sql2all_spark.operators.sampling",
+    "sql2all_spark.operators.relational",
+    "sql2all_spark.operators.skew",
+    "sql2all_spark.operators.udf_scalar",
+    "sql2all_spark.operators.pipeline",
+    "sql2all_spark.operators.profiling",
+    "sql2all_spark.operators.layout",
+    # --- position > 50 from here: driver-green rows on record (ledger) ---
     "sql2all_spark.operators.range_search",
     "sql2all_spark.operators.semdedup",
     "sql2all_spark.operators.tokenize",
@@ -52,8 +64,6 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.graph",  # imports dedup, which registers first
     "sql2all_spark.operators.dedup",
     "sql2all_spark.operators.similarity",
-    "sql2all_spark.operators.text",
-    # --- position > 50 from here: driver-green rows on record (ledger) ---
     "sql2all_spark.operators.lm",
     "sql2all_spark.operators.curation",
     "sql2all_spark.operators.bucketing",
@@ -64,21 +74,10 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.windows",
     "sql2all_spark.operators.aggregates",
     "sql2all_spark.operators.scalar_funcs",
-    "sql2all_spark.operators.skew",
-    "sql2all_spark.operators.asof_range",
-    "sql2all_spark.streaming.batch_twins",
-    "sql2all_spark.operators.incremental",
-    "sql2all_spark.operators.sampling",
-    "sql2all_spark.operators.relational",
     "sql2all_spark.operators.joins",
-    "sql2all_spark.operators.udf_scalar",
-    "sql2all_spark.operators.pipeline",
-    "sql2all_spark.operators.profiling",
-    "sql2all_spark.operators.tpch_extra",
-    "sql2all_spark.operators.sketches",
-    "sql2all_spark.operators.layout",
     "sql2all_spark.operators.embed_screen",
-    "sql2all_spark.operators.tpch",
+    "sql2all_spark.operators.sketches",
+    "sql2all_spark.operators.tpch_extra",
 ]
 
 

@@ -28,53 +28,69 @@ REPO = Path(__file__).resolve().parent.parent
 
 # Queries the CURRENT round explicitly rotated into the window — update
 # this set each round alongside registry._QUERY_MODULES (the per-round
-# rotation contract; prior rounds' sets live in git history).  Round 9:
-# the r8-stale set (text_contamination_check, sim_neardup_pairs, and the
-# dedup_shared-touched dedup/cluster family) plus the freshness rotation
-# of the oldest attestations — r05-green multimodal/timeseries/
-# graph_pagerank and the r06-green dedup/similarity families.  New r9
-# operators are appended to this set as they land.
+# rotation contract; prior rounds' sets live in git history).  Round 10:
+# the three new operators lead; the text family re-attests alongside
+# (operators.dsir imports operators.text at module scope, so the whole
+# family registers at dsir's position — see registry._QUERY_MODULES);
+# then the oldest remaining attestations (r05-green incremental/tpch,
+# r06-green asof_range + stream twins) and the r07-green sampling/
+# relational/skew/udf/pipeline/profiling/layout families fill the
+# window.
 ROTATION_TARGETS = {
     # new this round (never attested — lead the window)
-    "ts_retention_cohorts",
-    "sim_range_search",
-    "dedup_semantic",
-    "text_bpe_encode",
-    "mm_phash_neardup",
-    "ts_sessionize",
-    "dedup_containment",
-    # r8-stale (marked in tools/driver_green.json; must re-attest)
+    "text_exact_substring_dedup",
+    "text_bpe_train",
+    "text_importance_resample",
+    # text family (registers at dsir's position; oldest greens r07)
+    "text_language_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "text_heavy_hitters",
+    "text_chunk_windows",
+    "text_pack_sequences",
+    "text_repetition_score",
     "text_contamination_check",
-    "sim_neardup_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    # newest green row r05 (multimodal/timeseries/graph)
-    "mm_binary_metadata",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "mm_resize",
-    "mm_audio_energy",
-    "ts_rollup_hierarchy",
-    "ts_gap_fill",
-    "ts_funnel_conversion",
-    "ts_minmax_decimate",
-    "ts_anomaly_zscore",
-    "graph_pagerank_suppliers",
-    # newest green row r06 (dedup/similarity)
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_incremental_screen",
-    "sim_topk_bruteforce",
-    "sim_lsh_ann",
-    "sim_lsh_ann_indexed",
-    "sim_ann_index_refresh",
-    "sim_ivf_topk",
-    "sim_kmeans_iteration",
-    "sim_doc_retrieval",
-    "sim_embed_quantize",
-    "sim_ann_recall",
+    "text_unigram_lm_score",
+    "text_dup_ngram_spans",
+    "text_pmi_collocations",
+    "text_winnow_fingerprint",
+    # newest green row r05 (incremental + tpch)
+    "merge_upsert",
+    "change_capture_diff",
+    "scd2_apply_changes",
+    "incremental_file_compaction",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q4_order_priority",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "tpch_q18_large_volume_customers",
+    # newest green row r06 (asof/range joins + stream twins)
+    "join_asof_attribution",
+    "join_range_interval",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    # r07-green freshness rotation
+    "sample_hash_deterministic",
+    "sample_stratified_cap",
+    "sample_weighted_mix",
+    "sample_temperature_mix",
+    "sample_split_assign",
+    "q1_pricing_summary",
+    "projection_expressions",
+    "filter_predicates",
+    "sort_limit_offset",
+    "distinct_values",
+    "case_when_conditional",
+    "join_skew_salted",
+    "udf_pandas_readability",
+    "pipeline_curation",
+    "profile_corpus",
+    "layout_zorder_cluster",
 }
 
 
