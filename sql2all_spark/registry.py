@@ -30,16 +30,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERY_MODULES = [
     # Round-10 front window (positions 1-50; the arithmetic is ENFORCED
     # by tests/test_registry_window.py, not hand-counted here).  This
-    # round: the three new operators lead (substring_dedup / bpe_train /
-    # dsir — NOTE dsir imports operators.text at module scope to reuse
-    # its signal helpers and the registered unigram-LM oracle, so the
-    # whole 14-query text family registers at dsir's position and
-    # re-attests with it); then the oldest remaining attestations — the
-    # r05-green incremental/tpch families and r06-green asof_range +
-    # stream twins — and r07-green sampling/relational/skew/udf/pipeline/
-    # profiling/layout fill the window to exactly 50.
+    # round: the new operators lead (substring_dedup / bpe_train /
+    # lm_trigram / dsir — NOTE lm_trigram imports operators.lm and dsir
+    # imports operators.text at module scope to reuse their helpers and
+    # constants, so the bigram-LM query and the whole 14-query text
+    # family register at their importers' positions and re-attest with
+    # them); then the oldest remaining attestations — the r05-green
+    # incremental/tpch families and r06-green asof_range + stream
+    # twins — and r07-green sampling/relational/skew/udf/pipeline fill
+    # the window to exactly 50.
     "sql2all_spark.operators.substring_dedup",
     "sql2all_spark.operators.bpe_train",
+    "sql2all_spark.operators.lm_trigram",  # registers lm's bigram too (import)
+    "sql2all_spark.operators.lm",  # no-op: already registered via lm_trigram
     "sql2all_spark.operators.dsir",  # registers text's queries too (import)
     "sql2all_spark.operators.text",  # no-op: already registered via dsir
     "sql2all_spark.operators.retention",
@@ -52,9 +55,9 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.skew",
     "sql2all_spark.operators.udf_scalar",
     "sql2all_spark.operators.pipeline",
+    # --- position > 50 from here: driver-green rows on record (ledger) ---
     "sql2all_spark.operators.profiling",
     "sql2all_spark.operators.layout",
-    # --- position > 50 from here: driver-green rows on record (ledger) ---
     "sql2all_spark.operators.range_search",
     "sql2all_spark.operators.semdedup",
     "sql2all_spark.operators.tokenize",
@@ -64,7 +67,6 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.graph",  # imports dedup, which registers first
     "sql2all_spark.operators.dedup",
     "sql2all_spark.operators.similarity",
-    "sql2all_spark.operators.lm",
     "sql2all_spark.operators.curation",
     "sql2all_spark.operators.bucketing",
     "sql2all_spark.operators.ann_batch",

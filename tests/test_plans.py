@@ -715,6 +715,24 @@ def test_hard_negatives_broadcast_anchor_batch(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_trigram_lm_models_broadcast_and_bounded(spark, sf_dir):
+    """text_trigram_lm_score scale shape: all three model tables reach the
+    scoring pass as BROADCASTS (the corpus token stream never shuffles for
+    a model join), each bounded by a TakeOrderedAndProject heap, and
+    n-grams generate row-local (no positional self-join → no
+    CartesianProduct)."""
+    plan = _plan(spark, sf_dir, "text_trigram_lm_score")
+    assert "CartesianProduct" not in plan
+    # tri + bi + uni model joins, plus the 1-row total: >= 3 broadcast
+    # hash joins (the scalar total rides a BNLJ, the accepted pattern)
+    assert plan.count("BroadcastHashJoin") >= 3
+    # bounded model-cell selection: vocab / bigram / trigram heaps
+    assert plan.count("TakeOrderedAndProject") >= 3
+    # the (token, count) and (w2, w3, c23) model-count tables persist
+    # once and feed both their consumers (scored cells + context counts)
+    assert "InMemoryRelation" in plan
+
+
 def test_lm_plan_construction_is_job_free(spark, sf_dir):
     """Building the LM-score plans must run NO Spark job (ADVICE r8): the
     corpus totals attach as lazy 1-row broadcast aggregates, not eager
@@ -730,6 +748,7 @@ def test_lm_plan_construction_is_job_free(spark, sf_dir):
     for name in (
         "text_unigram_lm_score",
         "text_bigram_lm_score",
+        "text_trigram_lm_score",
         "sim_neardup_pairs",
     ):
         before = set(st.getJobIdsForGroup())

@@ -41,6 +41,9 @@ ROTATION_TARGETS = {
     "text_exact_substring_dedup",
     "text_bpe_train",
     "text_importance_resample",
+    "text_trigram_lm_score",
+    # lm family (registers at lm_trigram's position; bigram green r08)
+    "text_bigram_lm_score",
     # text family (registers at dsir's position; oldest greens r07)
     "text_language_id",
     "text_quality_score",
@@ -89,8 +92,6 @@ ROTATION_TARGETS = {
     "join_skew_salted",
     "udf_pandas_readability",
     "pipeline_curation",
-    "profile_corpus",
-    "layout_zorder_cluster",
 }
 
 
