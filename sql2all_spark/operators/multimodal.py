@@ -346,34 +346,17 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- perceptual-hash near-dup: the multimodal twin of dedup_simhash ------
 
-PHASH_BITS = 60
-PHASH_BANDS = 4
-PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS  # 15
-PHASH_MAX_HAMMING = 3
-_PHASH_SALT = "ph:"  # hash-domain separator vs dedup_simhash signatures
-
-
-def _phash_oracle() -> str:
-    from sql2all_spark.functions.hashing import base_hash_sql
-
-    base = base_hash_sql(f"'{_PHASH_SALT}' || t")
-    return f"""
-WITH sigs AS (
-  SELECT doc_id,
-    list_reduce(
-      list_transform(range(0, {PHASH_BITS}), j ->
-        CASE WHEN list_reduce(
-          list_transform(list_distinct(string_split(text, ' ')),
-                         t -> (({base} >> ({PHASH_BITS - 1} - j)) & 1) * 2 - 1),
-          (a, b) -> a + b) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
-      (acc, bit) -> acc * 2 + bit) AS phash
-  FROM documents
+# Constants + the blocking-agnostic pair oracle moved verbatim to
+# multimodal_shared.py (non-registering) so mm_cluster.py can import them
+# at decoration time without registering this module's family early.
+from sql2all_spark.operators.multimodal_shared import (  # noqa: E402
+    PHASH_BANDS,
+    PHASH_BAND_BITS,
+    PHASH_BITS,
+    PHASH_MAX_HAMMING,
+    _PHASH_SALT,
+    phash_pairs_oracle as _phash_oracle,
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.phash, b.phash)) AS hamming
-FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
-"""
 
 
 def _phash_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -84,6 +84,20 @@ def get_spark(
     extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the session.  Idempotent per JVM."""
+    # Python workers unpickle pandas UDFs BY REFERENCE (cloudpickle keeps
+    # module-level functions as module imports), so every worker must be
+    # able to import sql2all_spark.  Launched from the repo root that
+    # happens via cwd; launched from anywhere else (the driver-contract
+    # snippet runs from /tmp) it fails with ModuleNotFoundError inside
+    # read_udfs.  Export the package root on PYTHONPATH before the JVM —
+    # and hence the worker daemon — starts; on a real cluster the package
+    # ships via --py-files / a site install and this is a no-op.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     cpus = cpu_count()
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"

@@ -259,6 +259,30 @@ def test_phash_band_recall_pigeonhole(spark, sf_dir):
         assert 0 <= r["hamming"] <= PHASH_MAX_HAMMING
 
 
+def test_phash_cluster_labels_consistent_with_edges(spark, sf_dir):
+    """mm_phash_clusters is the transitive closure of mm_phash_neardup:
+    every edge's endpoints share a cluster label, every cluster id is the
+    min doc_id of its members (so exactly one keeper per cluster), and
+    cluster_size counts members exactly — checked directly against the
+    pair operator, independent of the oracle's recursive-CTE form."""
+    labels = {
+        r["doc_id"]: r
+        for r in all_specs()["mm_phash_clusters"].builder(spark, sf_dir).collect()
+    }
+    pairs = all_specs()["mm_phash_neardup"].builder(spark, sf_dir).collect()
+    assert pairs
+    for p in pairs:
+        assert labels[p["doc_a"]]["cluster_id"] == labels[p["doc_b"]]["cluster_id"]
+    by_cluster: dict = {}
+    for r in labels.values():
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["doc_id"] for m in members)
+        keepers = [m for m in members if m["is_keeper"] == 1]
+        assert len(keepers) == 1 and keepers[0]["doc_id"] == cid
+        assert all(m["cluster_size"] == len(members) for m in members)
+
+
 def test_retention_cohort_day_zero_is_complete(spark, sf_dir):
     """Every user is active on their cohort day by construction, so the
     offset-0 cell of every cohort has n_active == cohort_size and

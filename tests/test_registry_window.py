@@ -38,6 +38,7 @@ REPO = Path(__file__).resolve().parent.parent
 # window.
 ROTATION_TARGETS = {
     # new this round (never attested — lead the window)
+    "mm_phash_clusters",
     "text_exact_substring_dedup",
     "text_bpe_train",
     "text_importance_resample",
@@ -91,7 +92,8 @@ ROTATION_TARGETS = {
     "case_when_conditional",
     "join_skew_salted",
     "udf_pandas_readability",
-    "pipeline_curation",
+    # pipeline_curation rotated back out mid-round (r07-green, verified)
+    # to make room for mm_phash_clusters at the front.
 }
 
 
