@@ -283,6 +283,27 @@ def test_phash_cluster_labels_consistent_with_edges(spark, sf_dir):
         assert all(m["cluster_size"] == len(members) for m in members)
 
 
+def test_pq_codebook_complete_and_adc_bounds_exact(spark, sf_dir):
+    """PQ structural invariants, independent of the oracle: every result
+    carries exactly M codes each in [0, K); and for each returned vector
+    the ADC score equals the sum of its per-subspace table entries, which
+    lower-bounds nothing exotic — it is exactly the quantized distance, so
+    it must be >= 0 and the result must be sorted by it."""
+    from sql2all_spark.operators.pq import PQ_K, PQ_M
+
+    rows = all_specs()["sim_pq_adc_topk"].builder(spark, sf_dir).collect()
+    assert rows
+    prev = None
+    for r in rows:
+        codes = r["pq_code"].split("-")
+        assert len(codes) == PQ_M
+        assert all(0 <= int(c) < PQ_K for c in codes)
+        assert r["adc_dist2"] >= 0
+        if prev is not None:
+            assert (r["adc_dist2"], r["vec_id"]) > prev
+        prev = (r["adc_dist2"], r["vec_id"])
+
+
 def test_retention_cohort_day_zero_is_complete(spark, sf_dir):
     """Every user is active on their cohort day by construction, so the
     offset-0 cell of every cohort has n_active == cohort_size and

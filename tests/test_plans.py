@@ -882,6 +882,20 @@ def test_bpe_train_mine_round_is_vocab_agg_with_bounded_argmax(spark, sf_dir):
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
 
 
+def test_pq_adc_is_broadcast_joined_bounded_topk(spark, sf_dir):
+    """PQ/ADC shape: codebooks and the ADC table reach every stage as
+    broadcasts (the M×K tables must never shuffle the corpus side), the
+    subvector table is persisted once and reused (refine / encode /
+    probe), and the ranking is a bounded heap, not a global sort."""
+    plan = _plan(spark, sf_dir, "sim_pq_adc_topk")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # codebook/ADC joins are broadcast-hash (cb0, cb1, adctab, labels)
+    assert plan.count("BroadcastHashJoin") >= 3
+    # (vec_id, m, sv) persisted once, reused by all three consumers
+    assert "InMemoryRelation" in plan
+
+
 def test_importance_resample_fuses_signals_single_join_bounded_topk(spark, sf_dir):
     """DSIR composite: all row-local signals (gate/repetition/stopword/
     language) fuse into ONE documents scan; the LM frame is the only
