@@ -68,6 +68,12 @@ HEADLINE = [
     "mm_phash_neardup",
     "ts_sessionize",
     "text_bpe_encode",
+    # round-10 additions
+    "text_exact_substring_dedup",
+    "text_bpe_train",
+    "text_importance_resample",
+    "mm_phash_clusters",
+    "sim_pq_adc_topk",
 ]
 
 
