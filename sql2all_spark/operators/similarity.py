@@ -216,7 +216,15 @@ def query_ann_index(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
     bucket of an ALREADY-BUILT index.  Split out so bench.py can report
     build vs query separately — the build is a one-time cost amortized over
     every query, and folding it into the query latency made the round-3
-    bench read as if the pruned scan cost 7s (VERDICT r3 perf audit)."""
+    bench read as if the pruned scan cost 7s (VERDICT r3 perf audit).
+
+    The 1-row collect below is deliberate: resolving the single probe's
+    bucket to a driver scalar makes the partition pruning STATIC (a
+    PartitionFilters entry on the scan — asserted in test_plans) without
+    needing dynamic partition pruning.  It is O(1) at any corpus size,
+    but it is a SINGLE-probe design: a multi-probe/batch variant must
+    switch to a join on the bucket column (the sim_grouped_ann shape)
+    rather than loop this collect per probe."""
     e = load_table(spark, sf_dir, "embeddings")
     qrow = (
         e.filter(F.col("vec_id") == 0)
