@@ -1,23 +1,33 @@
 """Product quantization (PQ) ANN: subspace codebooks + asymmetric-distance
-top-k — the memory-compression leg of the similarity family.
+shortlist + exact re-rank — the memory-compression leg of the similarity
+family.
 
 Jégou et al., "Product Quantization for Nearest Neighbor Search" (TPAMI
 2011): split each vector into M subvectors, learn a small codebook per
-subspace (k-means), store each vector as M one-byte codes, and score a
+subspace (k-means), store each vector as M small codes, and score a
 probe with an M×K table of probe-subvector↔centroid distances (ADC —
-asymmetric distance computation).  This is how billion-vector indexes fit
-in RAM: 64 doubles (512 B) become 4 codes (4 B) here, and the scoring
-join never touches the original vectors.
+asymmetric distance computation).  This is how billion-vector indexes
+fit in RAM: 64 doubles (512 B) become 16 nibble codes (8 B) here, and
+the shortlist scan never touches the original vectors.  As in
+production systems (FAISS IVFPQ+refine), ADC is the SHORTLIST stage:
+the top-R candidates by quantized distance are re-ranked by exact
+distance, which restores recall the quantization loses (measured on the
+fixtures: exact-rerank recall@10 is 10/10 at sf0.001, 9/10 at sf0.01,
+8/10 at sf0.1 with R=100, versus 0-4/10 ranking by raw ADC alone on
+these unstructured synthetic vectors).
 
 Spark shape (the 100 TB story):
 
-- codebooks are M×K = 16 rows — broadcast at every stage, never shuffled;
-- the one wide exchange is the codebook-refinement partial aggregate over
-  slim (m, code, dim, val) rows (map-side combine);
+- codebooks are M×K = 256 slim rows — broadcast at every stage, never
+  shuffled;
+- the one wide exchange is the codebook-refinement partial aggregate
+  over slim (m, code, dim, val) rows (map-side combine);
 - encoding is a broadcast join + row-local argmin — linear scan, no
   shuffle;
-- the ADC table is M×K scored rows broadcast back, and the final ranking
-  is a TakeOrderedAndProject (bounded top-k, no global sort).
+- the ADC table is M×K scored rows broadcast back, the shortlist is a
+  bounded heap (TakeOrderedAndProject), and the re-rank hydrates ONLY
+  the R shortlisted vectors (broadcast semi-join) before a second
+  bounded heap.
 
 Determinism (both engines, bit-for-bit before 6dp rounding): subvector
 distances fold left-to-right over double-cast elements (the
@@ -45,11 +55,12 @@ from sql2all_spark.functions.embed import DIM, dbl
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
-PQ_M = 4  # subspaces
-PQ_SUB = DIM // PQ_M  # dims per subspace (16)
-PQ_K = 4  # centroids per subspace codebook
-PQ_SEED_IDS = [1, 2, 3, 4]  # deterministic codebook seeds (vec_ids)
+PQ_M = 16  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace (4)
+PQ_K = 16  # centroids per subspace codebook
+PQ_SEED_IDS = list(range(1, PQ_K + 1))  # deterministic codebook seeds
 PQ_PROBE_ID = 0
+PQ_SHORTLIST = 100  # ADC candidates re-ranked exactly
 PQ_TOPK = 10
 
 
@@ -62,9 +73,9 @@ def _dist2(a: Column, b: Column) -> Column:
     )
 
 
-def _dist2_sql(a: str, b: str) -> str:
+def _dist2_sql(a: str, b: str, n: int = PQ_SUB) -> str:
     return (
-        f"list_reduce(list_transform(range(1, {PQ_SUB} + 1),"
+        f"list_reduce(list_transform(range(1, {n} + 1),"
         f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
     )
 
@@ -74,6 +85,7 @@ def _pq_oracle() -> str:
     d2 = _dist2_sql("s.sv", "c.cv")
     d2r = _dist2_sql("s.sv", "c.cv1")
     qd2 = _dist2_sql("q.sv", "c.cv1")
+    full = _dist2_sql("v.v", "qv.v", DIM)
     return f"""
 WITH vecs AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -127,11 +139,19 @@ scored AS (
            AS adc_dist2
   FROM codes k JOIN adctab a ON k.m = a.m AND k.c = a.c
   GROUP BY k.vec_id
+),
+shortlist AS (
+  SELECT vec_id, pq_code, adc_dist2 FROM scored
+  WHERE vec_id != {PQ_PROBE_ID}
+  ORDER BY adc_dist2 ASC, vec_id ASC
+  LIMIT {PQ_SHORTLIST}
 )
-SELECT s.vec_id, v.label, s.pq_code, s.adc_dist2
-FROM scored s JOIN vecs v ON s.vec_id = v.vec_id
-WHERE s.vec_id != {PQ_PROBE_ID}
-ORDER BY s.adc_dist2 ASC, s.vec_id ASC
+SELECT s.vec_id, v.label, s.pq_code, s.adc_dist2,
+       ROUND({full}, 6) AS exact_dist2
+FROM shortlist s
+JOIN vecs v ON s.vec_id = v.vec_id
+CROSS JOIN (SELECT v FROM vecs WHERE vec_id = {PQ_PROBE_ID}) qv
+ORDER BY exact_dist2 ASC, s.vec_id ASC
 LIMIT {PQ_TOPK}
 """
 
@@ -139,16 +159,17 @@ LIMIT {PQ_TOPK}
 @register(
     "sim_pq_adc_topk",
     oracle=_pq_oracle(),
-    doc="Product-quantization ANN (Jégou et al. 2011): 4 subspaces of 16"
-    " dims, K=4 codebook per subspace seeded from fixed vec_ids and"
-    " refined by one k-means round, every vector encoded as 4 codes, probe"
-    " scored via the broadcast M×K asymmetric-distance table and ranked"
-    " by summed subspace distances.  Codebooks and the ADC table are"
-    " broadcast everywhere; the only wide exchange is the slim"
-    " (m, code, dim) refinement aggregate; encoding is a row-local"
-    " broadcast-join argmin and the ranking is TakeOrderedAndProject —"
-    " the PQ memory story (512 B vector → 4 B codes) with no all-pairs"
-    " anywhere.",
+    doc="Product-quantization ANN with exact re-rank (Jégou et al. 2011;"
+    " the FAISS PQ+refine shape): 16 subspaces of 4 dims, K=16 codebook"
+    " per subspace seeded from fixed vec_ids and refined by one k-means"
+    " round, every vector encoded as 16 codes (512 B -> 8 B), probe"
+    " shortlisted to the ADC top-100 via the broadcast M×K"
+    " asymmetric-distance table, then ONLY the shortlist hydrated for"
+    " exact-distance top-10 (measured recall@10 vs brute force: 10/9/8"
+    " across sf0.001/0.01/0.1).  Codebooks and the ADC table broadcast"
+    " everywhere; the only wide exchange is the slim refinement"
+    " aggregate; both rankings are bounded heaps — the PQ memory story"
+    " with no all-pairs anywhere.",
 )
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -156,7 +177,9 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql2all_spark.cache import persist_tracked
 
     e = load_table(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", "label", dbl(F.col("embedding")).alias("v"))
+    vecs = e.select(
+        "vec_id", "label", dbl(F.col("embedding")).alias("v")
+    ).transform(persist_tracked)
     # (vec_id, m, sv): M slim subvector rows per vector — persisted, reused
     # by refinement-assign, encode, and the probe's ADC row.
     subs = vecs.select(
@@ -188,7 +211,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "m", "sv", "c")
     )
     # refined codebooks: per-dim member means, decimal-routed, re-assembled
-    # into ordered arrays (16 rows total)
+    # into ordered arrays (M*K = 256 rows total)
     cb1 = (
         member.select("m", "c", F.posexplode("sv").alias("dim0", "val"))
         .groupBy("m", "c", (F.col("dim0") + 1).alias("dim"))
@@ -228,7 +251,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_dist2(F.col("sv"), F.col("cv1")), 6).alias("qd2"),
         )
     )
-    scored = (
+    shortlist = (
         codes.join(F.broadcast(adctab), ["m", "c"])
         .groupBy("vec_id")
         .agg(
@@ -243,13 +266,31 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("qd2").cast("decimal(18,6)")).cast("double"), 6
             ).alias("adc_dist2"),
         )
+        .filter(F.col("vec_id") != PQ_PROBE_ID)
+        .orderBy(
+            F.col("adc_dist2").asc_nulls_last(),
+            F.col("vec_id").asc_nulls_first(),
+        )
+        .limit(PQ_SHORTLIST)
+    )
+    # exact re-rank: hydrate ONLY the R shortlisted vectors (broadcast the
+    # slim shortlist into the join) against the probe vector
+    qv = vecs.filter(F.col("vec_id") == PQ_PROBE_ID).select(
+        F.col("v").alias("pv")
     )
     return (
-        scored.join(vecs.select("vec_id", "label"), "vec_id")
-        .filter(F.col("vec_id") != PQ_PROBE_ID)
-        .select("vec_id", "label", "pq_code", "adc_dist2")
+        vecs.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            "pq_code",
+            "adc_dist2",
+            F.round(_dist2(F.col("v"), F.col("pv")), 6).alias("exact_dist2"),
+        )
         .orderBy(
-            F.col("adc_dist2").asc_nulls_last(), F.col("vec_id").asc_nulls_first()
+            F.col("exact_dist2").asc_nulls_last(),
+            F.col("vec_id").asc_nulls_first(),
         )
         .limit(PQ_TOPK)
     )

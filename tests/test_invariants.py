@@ -283,25 +283,46 @@ def test_phash_cluster_labels_consistent_with_edges(spark, sf_dir):
         assert all(m["cluster_size"] == len(members) for m in members)
 
 
-def test_pq_codebook_complete_and_adc_bounds_exact(spark, sf_dir):
-    """PQ structural invariants, independent of the oracle: every result
-    carries exactly M codes each in [0, K); and for each returned vector
-    the ADC score equals the sum of its per-subspace table entries, which
-    lower-bounds nothing exotic — it is exactly the quantized distance, so
-    it must be >= 0 and the result must be sorted by it."""
-    from sql2all_spark.operators.pq import PQ_K, PQ_M
+def test_pq_codes_valid_rerank_sorted_and_recall(spark, sf_dir):
+    """PQ semantic invariants, independent of the oracle: every result
+    carries exactly M codes each in [0, K); results are sorted by the
+    exact re-rank distance; exact_dist2 matches a numpy brute-force
+    recomputation; and — the reason the operator exists — the
+    shortlist+rerank pipeline actually FINDS the true neighbors:
+    recall@10 vs global numpy brute force is >= 8/10 on the fixture
+    (measured 10/10 at sf0.001; ADC-only ranking scores 0-4/10 on these
+    unstructured vectors, which is why the rerank stage is load-bearing)."""
+    import numpy as np
+    import duckdb as ddb
+
+    from sql2all_spark.operators.pq import PQ_K, PQ_M, PQ_PROBE_ID
 
     rows = all_specs()["sim_pq_adc_topk"].builder(spark, sf_dir).collect()
     assert rows
+    emb = ddb.sql(
+        f"select vec_id, embedding from '{sf_dir}/embeddings.parquet'"
+        " order by vec_id"
+    ).fetchnumpy()
+    V = np.stack([np.asarray(v, dtype=float) for v in emb["embedding"]])
+    ids = np.asarray(emb["vec_id"])
+    q = V[ids == PQ_PROBE_ID][0]
+    d2 = ((V - q) ** 2).sum(axis=1)
+    exact10 = set(
+        ids[np.argsort(d2 + (ids == PQ_PROBE_ID) * 1e18, kind="stable")[:10]]
+        .tolist()
+    )
+    truth = {int(i): float(x) for i, x in zip(ids, d2)}
     prev = None
     for r in rows:
         codes = r["pq_code"].split("-")
         assert len(codes) == PQ_M
         assert all(0 <= int(c) < PQ_K for c in codes)
         assert r["adc_dist2"] >= 0
+        assert abs(r["exact_dist2"] - truth[r["vec_id"]]) < 1e-4
         if prev is not None:
-            assert (r["adc_dist2"], r["vec_id"]) > prev
-        prev = (r["adc_dist2"], r["vec_id"])
+            assert (r["exact_dist2"], r["vec_id"]) > prev
+        prev = (r["exact_dist2"], r["vec_id"])
+    assert len({r["vec_id"] for r in rows} & exact10) >= 8
 
 
 def test_retention_cohort_day_zero_is_complete(spark, sf_dir):
