@@ -39,6 +39,7 @@ _QUERY_MODULES = [
     # incremental/tpch families and r06-green asof_range + stream
     # twins — and r07-green sampling/relational/skew/udf/pipeline fill
     # the window to exactly 50.
+    "sql2all_spark.operators.ann_multiprobe",
     "sql2all_spark.operators.pq",
     "sql2all_spark.operators.mm_cluster",
     "sql2all_spark.operators.substring_dedup",

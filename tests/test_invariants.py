@@ -325,6 +325,37 @@ def test_pq_codes_valid_rerank_sorted_and_recall(spark, sf_dir):
     assert len({r["vec_id"] for r in rows} & exact10) >= 8
 
 
+def test_multiprobe_dominates_single_bucket_rank_for_rank(spark, sf_dir):
+    """The multi-probe recall guarantee, checked directly: probe 0's
+    candidate set is a superset of the single-bucket operator's (its own
+    bucket is always probed), so at every rank the multi-probe cosine is
+    >= the single-bucket cosine.  Also pins batch completeness (every
+    probe id present) and contiguous ranks."""
+    from sql2all_spark.operators.ann_multiprobe import MP_PROBE_IDS, MP_TOPK
+
+    rows = all_specs()["sim_ann_multiprobe"].builder(spark, sf_dir).collect()
+    by_probe: dict = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert set(by_probe) == set(MP_PROBE_IDS)
+    for pid, rs in by_probe.items():
+        ranks = sorted(r["rk"] for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= MP_TOPK
+    single = sorted(
+        (
+            r["cosine"]
+            for r in all_specs()["sim_lsh_ann"].builder(spark, sf_dir).collect()
+        ),
+        reverse=True,
+    )[:MP_TOPK]
+    multi = [
+        r["cosine"] for r in sorted(by_probe[0], key=lambda r: r["rk"])
+    ]
+    for i, s in enumerate(single[: len(multi)]):
+        assert multi[i] >= s
+
+
 def test_retention_cohort_day_zero_is_complete(spark, sf_dir):
     """Every user is active on their cohort day by construction, so the
     offset-0 cell of every cohort has n_active == cohort_size and

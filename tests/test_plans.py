@@ -896,6 +896,24 @@ def test_pq_adc_is_broadcast_joined_bounded_topk(spark, sf_dir):
     assert "InMemoryRelation" in plan
 
 
+def test_multiprobe_is_bucket_equi_join_no_corpus_shuffle(spark, sf_dir):
+    """Multi-probe ANN shape: the probe×bucket expansion reaches the index
+    as a broadcast (bucket equi-join — never a cross join), and the only
+    exchange above the index scan carries candidates keyed by probe for
+    the ranking window (hashpartitioning on probe_id), not the corpus."""
+    plan = _plan(spark, sf_dir, "sim_ann_multiprobe")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "bucket" in plan
+    # exchanges: candidate ranking on probe_id only — no exchange keyed
+    # on the corpus row identity
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\((\w+)", plan):
+        assert m.group(1).startswith("probe_id"), m.group(0)
+
+
 def test_importance_resample_fuses_signals_single_join_bounded_topk(spark, sf_dir):
     """DSIR composite: all row-local signals (gate/repetition/stopword/
     language) fuse into ONE documents scan; the LM frame is the only

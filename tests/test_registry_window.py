@@ -38,6 +38,7 @@ REPO = Path(__file__).resolve().parent.parent
 # window.
 ROTATION_TARGETS = {
     # new this round (never attested — lead the window)
+    "sim_ann_multiprobe",
     "sim_pq_adc_topk",
     "mm_phash_clusters",
     "text_exact_substring_dedup",
@@ -91,10 +92,10 @@ ROTATION_TARGETS = {
     "sort_limit_offset",
     "distinct_values",
     "case_when_conditional",
-    "join_skew_salted",
-    # udf_pandas_readability + pipeline_curation rotated back out
-    # mid-round (both r07-green, verified) to make room for
-    # sim_pq_adc_topk + mm_phash_clusters at the front.
+    # join_skew_salted + udf_pandas_readability + pipeline_curation
+    # rotated back out mid-round (all r07-green, verified) to make room
+    # for sim_ann_multiprobe + sim_pq_adc_topk + mm_phash_clusters at
+    # the front.
 }
 
 
