@@ -74,6 +74,7 @@ HEADLINE = [
     "text_importance_resample",
     "mm_phash_clusters",
     "sim_pq_adc_topk",
+    "sim_ann_multiprobe",
 ]
 
 
