@@ -173,7 +173,13 @@ m{k} AS (
   ORDER BY pc DESC NULLS LAST, sym_a ASC NULLS FIRST, sym_b ASC NULLS FIRST
   LIMIT 1
 ),
-v{k} AS (SELECT c, {pass_sql(f"m{k}")} AS syms FROM v{k - 1}, m{k})""")
+v{k} AS (
+  -- LEFT JOIN ON TRUE (not a cross join) carries the vocab through an
+  -- empty mining round: NULL sym_a/sym_b make the merge pass an
+  -- identity (both CASE arms are NULL-falsy), instead of wiping the
+  -- v-chain for all later rounds (ADVICE r10).
+  SELECT c, {pass_sql(f"m{k}")} AS syms
+  FROM v{k - 1} LEFT JOIN m{k} ON TRUE)""")
     union = "\nUNION ALL\n".join(
         f"SELECT {k} AS rank, sym_a, sym_b, sym_a || sym_b AS merged,"
         f" CAST(pc AS BIGINT) AS pair_count FROM m{k}"

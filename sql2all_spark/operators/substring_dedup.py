@@ -25,6 +25,19 @@ reports maximal spans shared between a SPECIFIC ordered pair of documents
      the distributed equivalent of walking a suffix array's LCP
      intervals, with O(matches) work instead of a global sort.
 
+Stop-gram cap caveat (ADVICE r10): a gram with df > SUB_DF_CAP inside a
+long verbatim-shared passage is dropped from the inverted index, which
+splits the diagonal run at that position — so a reported span can be
+extensible across a capped gram, and a long duplicated span whose capped
+fragments each fall below SUB_MIN_SPAN is not reported.  Both engines
+apply the identical cap (the cross-engine gate compares like with like),
+and production suffix-array dedup accepts the same trade: pathological
+grams (boilerplate, stop phrases) are exactly the spans one does NOT
+want driving dedup.  The maximality invariant is therefore "maximal
+modulo capped grams": tests/test_invariants.py verifies that any
+textually-possible extension of a reported span is blocked by a gram
+whose corpus df exceeds the cap.
+
 Scale shape: grams are 60-bit md5-derived ints BEFORE any exchange
 (strings never shuffle); the gram table is computed once and persisted
 (df-count + self-join both read it); the chain window's (doc_a, doc_b,

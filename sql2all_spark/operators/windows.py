@@ -20,10 +20,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sql2all_spark.functions.exact import floor_div_duck_sql, floor_div_sql
-
-MS = floor_div_duck_sql("epoch_us(ts)", 1000)
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
+
+# DuckDB oracle fragment: event timestamp floored to epoch milliseconds
+# (true floor division, negative-epoch safe) — used only by the
+# window_lag_lead oracle below.
+_MS_EPOCH_DUCK = floor_div_duck_sql("epoch_us(ts)", 1000)
 
 
 @register(
@@ -65,7 +68,7 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, event_id, event_type, ts,
        LAG(event_type)  OVER w AS prev_type,
        LEAD(event_type) OVER w AS next_type,
-       {MS} - LAG({MS}) OVER w AS ms_since_prev
+       {_MS_EPOCH_DUCK} - LAG({_MS_EPOCH_DUCK}) OVER w AS ms_since_prev
 FROM events
 WHERE user_id % 25 = 0
 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

@@ -447,9 +447,17 @@ def test_retention_day_bucketing_floors_pre_1970(spark):
 
 def test_exact_substring_spans_are_verbatim_and_maximal(spark, sf_dir):
     """Every reported pair-span must (a) match VERBATIM between the two
-    documents at the reported positions, and (b) be maximal — extending
-    one token left or right breaks the match or leaves a document."""
+    documents at the reported positions, and (b) be maximal MODULO the
+    stop-gram cap — a textually-possible one-token extension is allowed
+    only when the seed gram that would have chained it was dropped from
+    the inverted index by the df > SUB_DF_CAP cap (ADVICE r10: both
+    engines apply the cap, so unconditional maximality is not the
+    operator's contract; cap-blocked extensibility is)."""
+    import collections
+
     import pyarrow.parquet as pq
+
+    from sql2all_spark.operators.substring_dedup import SUB_DF_CAP, SUB_GRAM
 
     rows = (
         all_specs()["text_exact_substring_dedup"].builder(spark, sf_dir).collect()
@@ -457,14 +465,30 @@ def test_exact_substring_spans_are_verbatim_and_maximal(spark, sf_dir):
     assert rows, "fixture should contain duplicated passages"
     t = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
     toks = {r.doc_id: r.text.split(" ") for r in t.itertuples()}
+    k = SUB_GRAM
+    df = collections.Counter()
+    for w in toks.values():
+        for i in range(len(w) - k + 1):
+            df[" ".join(w[i : i + k])] += 1
+
+    def capped(w, i0):
+        """Gram starting at 0-based token index i0 was cap-dropped."""
+        return df[" ".join(w[i0 : i0 + k])] > SUB_DF_CAP
+
     for r in rows:
         a, b = toks[r["doc_a"]], toks[r["doc_b"]]
         ia, ib, n = r["a_start"] - 1, r["b_start"] - 1, r["span_len"]
         assert a[ia : ia + n] == b[ib : ib + n], (r, "span mismatch")
-        if ia > 0 and ib > 0:
-            assert a[ia - 1] != b[ib - 1], (r, "left-extensible")
-        if ia + n < len(a) and ib + n < len(b):
-            assert a[ia + n] != b[ib + n], (r, "right-extensible")
+        if ia > 0 and ib > 0 and a[ia - 1] == b[ib - 1]:
+            # the extension's seed gram (tokens ia-1 .. ia-1+k-1) matches
+            # between the docs, so it can only be missing because the cap
+            # dropped it from the index
+            assert capped(a, ia - 1), (r, "left-extensible, gram not capped")
+        if ia + n < len(a) and ib + n < len(b) and a[ia + n] == b[ib + n]:
+            assert capped(a, ia + n - k + 1), (
+                r,
+                "right-extensible, gram not capped",
+            )
 
 
 def test_bpe_train_rules_consistent_with_encoder_fold(spark, sf_dir):

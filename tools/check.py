@@ -18,6 +18,12 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+# Version of the canonicalization rules below (normalize_cell + frame_rows).
+# BUMP THIS whenever either function's output can change for any input —
+# it salts the oracle-result cache key, so stale cached canonical rows are
+# never compared against freshly-normalized Spark rows (ADVICE r10).
+CANON_VERSION = 1
+
 
 def normalize_cell(v):
     """Stable string form of one cell for order-insensitive comparison."""
@@ -83,7 +89,11 @@ def run_one(spark, con, name, builder, oracle, sf_dir, cache_dir=None) -> dict:
 
         os.makedirs(cache_dir, exist_ok=True)
         key = hashlib.md5(
-            (oracle + "\n@" + os.path.abspath(sf_dir)).encode()
+            (
+                oracle
+                + "\n@" + os.path.abspath(sf_dir)
+                + f"\n#canon-v{CANON_VERSION}"
+            ).encode()
         ).hexdigest()
         cache_path = os.path.join(cache_dir, f"{key}.rows.json")
         if os.path.exists(cache_path):
