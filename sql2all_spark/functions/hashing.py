@@ -36,3 +36,19 @@ def hash_bucket(col: Column, buckets: int) -> Column:
 def hash_bucket_sql(expr: str, buckets: int) -> str:
     """DuckDB twin of :func:`hash_bucket`."""
     return f"{base_hash_sql(f'CAST({expr} AS VARCHAR)')} % {buckets}"
+
+
+# Percent-resolution bucket shared by sampling.py and pipeline.py (moved
+# here from sampling.py so pipeline doesn't import an operator module at
+# load time — registry front-window positions depend on import order).
+SAMPLE_BUCKETS = 100  # hash-mod space: 1% resolution
+
+
+def pct_bucket(col: Column) -> Column:
+    """Deterministic [0,100) bucket of a key column."""
+    return hash_bucket(col, SAMPLE_BUCKETS)
+
+
+def pct_bucket_sql(expr: str) -> str:
+    """DuckDB twin of :func:`pct_bucket`."""
+    return hash_bucket_sql(expr, SAMPLE_BUCKETS)

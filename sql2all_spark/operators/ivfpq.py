@@ -1,0 +1,367 @@
+"""IVF-PQ ANN: coarse-cell routing + product-quantized shortlist + exact
+re-rank — the composition of the repo's IVF leg (similarity.sim_ivf_topk)
+and PQ leg (pq.sim_pq_adc_topk), i.e. the FAISS ``IVFPQ + refine`` shape
+that is the production billion-vector index (Jégou et al. 2011 §V;
+Johnson et al. 2017 "Billion-scale similarity search with GPUs").
+
+Pipeline:
+
+  1. ROUTE — every vector is assigned to its nearest of 8 coarse
+     centroids (squared L2, 6dp rounding, centroid-id tiebreak); the
+     probe routes to its nprobe=2 nearest cells.  At 100 TB the cell id
+     is a stored partition column, so a probe scan prunes to nprobe/K of
+     the corpus at the parquet level (the sim_lsh_ann_indexed pattern).
+  2. ADC — ONLY the probed cells' members are PQ-encoded and scored
+     against the probe's broadcast M×K asymmetric-distance table; the
+     shortlist is a bounded heap.  Codebooks are trained corpus-wide
+     (index build time, one slim partial-aggregated exchange).
+  3. REFINE — only the R shortlisted vectors are hydrated for exact
+     squared-L2 top-k (broadcast semi-join + second bounded heap).
+
+  This index scores ``nprobe/K``-th of the corpus with 8-byte codes and
+  touches full vectors for R rows only — memory AND scan win at once.
+
+Non-residual variant: codes quantize the raw vectors, not the
+vector-minus-centroid residuals (FAISS ``by_residual=false``) — one
+codebook set serves all cells, which is what lets the encode stage stay
+a broadcast join here and lets a stored index share one code dictionary
+across partitions.
+
+The batch multi-probe variant (``sim_ivf_batch_multiprobe``) applies
+the ann_multiprobe.py lesson to IVF routing: a BATCH of probes routes
+to each probe's nprobe nearest cells via one equi-join on the cell id —
+no per-probe collect, no per-probe job — and ranks exactly within the
+gathered candidates (bounded per-probe heap via WindowGroupLimit).
+
+Reference parity: SQL2ALL has no vector surface (its 658-line core
+delegates SQL to the attached DB — src/db/sqlite.rs:79); this module
+belongs to the LLM-pipeline extension surface (SURVEY.md §2 extension
+table, VERDICT r10 next-round items 2-3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql2all_spark.cache import persist_tracked
+from sql2all_spark.functions.embed import DIM, dbl
+from sql2all_spark.functions.pqmath import (
+    PQ_K,
+    PQ_M,
+    PQ_SEED_IDS,
+    PQ_SUB,
+    adc_score,
+    adc_table,
+    dist2,
+    dist2_sql,
+    encode,
+    refined_codebook,
+    subvector_frame,
+)
+from sql2all_spark.registry import register
+from sql2all_spark.tables import load_table
+
+IVFPQ_CENT_IDS = list(range(1, 9))  # deterministic "trained" coarse centroids
+IVFPQ_NPROBE = 2
+IVFPQ_PROBE_ID = 0
+IVFPQ_SHORTLIST = 64  # ADC candidates re-ranked exactly
+IVFPQ_TOPK = 10
+
+BATCH_PROBE_IDS = [0, 101, 202, 303]  # the query batch
+BATCH_TOPK = 5
+
+
+def _cells_sql() -> str:
+    """Shared oracle CTEs: coarse assignment + per-vector cell (rk=1)."""
+    cents = ", ".join(str(i) for i in IVFPQ_CENT_IDS)
+    d2 = dist2_sql("v.v", "c.cv", DIM)
+    return f"""
+vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id IN ({cents})
+),
+assign AS (
+  SELECT v.vec_id, v.label, v.v, c.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND({d2}, 6) ASC, c.cent_id ASC) AS rk
+  FROM vecs v CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, label, v, cent_id FROM assign WHERE rk = 1)"""
+
+
+def _ivfpq_oracle() -> str:
+    seeds = ", ".join(str(i) for i in PQ_SEED_IDS)
+    d2c = dist2_sql("s.sv", "c.cv")
+    d2r = dist2_sql("s.sv", "c.cv1")
+    qd2 = dist2_sql("q.sv", "c.cv1")
+    full = dist2_sql("d.v", "qv.v", DIM)
+    return f"""
+WITH {_cells_sql()},
+probes AS (
+  SELECT cent_id FROM assign
+  WHERE vec_id = {IVFPQ_PROBE_ID} AND rk <= {IVFPQ_NPROBE}
+),
+cand AS (
+  SELECT c.vec_id, c.label, c.v, c.cent_id
+  FROM cells c JOIN probes p USING (cent_id)
+  WHERE c.vec_id <> {IVFPQ_PROBE_ID}
+),
+subs AS (
+  SELECT vec_id, m,
+         list_slice(v, m * {PQ_SUB} + 1, (m + 1) * {PQ_SUB}) AS sv
+  FROM vecs, (SELECT UNNEST(range(0, {PQ_M})) AS m)
+),
+cb0 AS (
+  SELECT s.m, ROW_NUMBER() OVER (PARTITION BY s.m ORDER BY s.vec_id) - 1 AS c,
+         s.sv AS cv
+  FROM subs s WHERE s.vec_id IN ({seeds})
+),
+assign0 AS (
+  SELECT s.vec_id, s.m, s.sv, c.c,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY ROUND({d2c}, 6) ASC, c.c ASC) AS rk
+  FROM subs s JOIN cb0 c ON s.m = c.m
+),
+member AS (SELECT vec_id, m, sv, c FROM assign0 WHERE rk = 1),
+dims AS (
+  SELECT m, c, UNNEST(range(1, {PQ_SUB} + 1)) AS dim, UNNEST(sv) AS val
+  FROM member
+),
+cb1 AS (
+  SELECT m, c, list(mean_val ORDER BY dim) AS cv1
+  FROM (
+    SELECT m, c, dim,
+           ROUND(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_val
+    FROM dims GROUP BY m, c, dim
+  ) GROUP BY m, c
+),
+enc AS (
+  SELECT s.vec_id, s.m, c.c,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY ROUND({d2r}, 6) ASC, c.c ASC) AS rk
+  FROM subs s JOIN cb1 c ON s.m = c.m
+  WHERE s.vec_id IN (SELECT vec_id FROM cand)
+),
+codes AS (SELECT vec_id, m, c FROM enc WHERE rk = 1),
+adctab AS (
+  SELECT q.m, c.c, ROUND({qd2}, 6) AS qd2
+  FROM subs q JOIN cb1 c ON q.m = c.m
+  WHERE q.vec_id = {IVFPQ_PROBE_ID}
+),
+scored AS (
+  SELECT k.vec_id,
+         string_agg(CAST(k.c AS VARCHAR), '-' ORDER BY k.m) AS pq_code,
+         ROUND(CAST(SUM(CAST(a.qd2 AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS adc_dist2
+  FROM codes k JOIN adctab a ON k.m = a.m AND k.c = a.c
+  GROUP BY k.vec_id
+),
+shortlist AS (
+  SELECT vec_id, pq_code, adc_dist2 FROM scored
+  ORDER BY adc_dist2 ASC, vec_id ASC
+  LIMIT {IVFPQ_SHORTLIST}
+)
+SELECT s.vec_id, d.label, d.cent_id, s.pq_code, s.adc_dist2,
+       ROUND({full}, 6) AS exact_dist2
+FROM shortlist s
+JOIN cand d ON s.vec_id = d.vec_id
+CROSS JOIN (SELECT v FROM vecs WHERE vec_id = {IVFPQ_PROBE_ID}) qv
+ORDER BY exact_dist2 ASC, s.vec_id ASC
+LIMIT {IVFPQ_TOPK}
+"""
+
+
+def _route_cells(vecs: DataFrame, nprobe: int = IVFPQ_NPROBE):
+    """(cells, probes): coarse assignment of every vector to its nearest
+    centroid, and the probe's top-``nprobe`` cell ids (slim, broadcast).
+    The centroid pass is a broadcast cross of 8 rows — no shuffle."""
+    from pyspark.sql.window import Window
+
+    cents = vecs.filter(F.col("vec_id").isin(IVFPQ_CENT_IDS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(
+            F.round(F.col("d2"), 6).asc(), F.col("cent_id").asc()
+        )
+    )
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("d2", dist2(F.col("v"), F.col("cv")))
+        .withColumn("rk", rk)
+    )
+    cells = assign.filter(F.col("rk") == 1).select(
+        "vec_id", "label", "v", "cent_id"
+    )
+    probes = assign.filter(
+        (F.col("vec_id") == IVFPQ_PROBE_ID) & (F.col("rk") <= nprobe)
+    ).select("cent_id")
+    return cells, probes
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    doc="IVF-PQ with exact refine (FAISS IVFPQ+refine, non-residual): route"
+    f" every vector to its nearest of {len(IVFPQ_CENT_IDS)} coarse cells and"
+    f" the probe to its nprobe={IVFPQ_NPROBE} nearest; PQ-encode and"
+    " ADC-score ONLY the probed cells' members against the broadcast M×K"
+    f" distance table; exact-re-rank the top-{IVFPQ_SHORTLIST} shortlist to"
+    f" the final top-{IVFPQ_TOPK}.  Cell routing and codebooks broadcast"
+    " everywhere; the candidate scan is cell-pruned BEFORE any scoring"
+    " (plan-pinned) — at 100 TB the cell is a partition column and the"
+    " probe reads nprobe/K of the corpus.",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "label", dbl(F.col("embedding")).alias("v")
+    ).transform(persist_tracked)
+    cells, probes = _route_cells(vecs)
+    cand = cells.filter(F.col("vec_id") != IVFPQ_PROBE_ID).join(
+        F.broadcast(probes), "cent_id"
+    )
+    subs = subvector_frame(vecs).transform(persist_tracked)
+    cb1 = refined_codebook(subs)
+    # encode ONLY the probed cells' members: the candidate id set prunes
+    # the subvector frame before any codebook work (at scale: a partition-
+    # pruned scan of the stored code table)
+    cand_subs = subs.join(cand.select("vec_id"), "vec_id")
+    codes = encode(cand_subs, cb1)
+    adctab = adc_table(subs, cb1, IVFPQ_PROBE_ID)
+    shortlist = (
+        adc_score(codes, adctab)
+        .orderBy(
+            F.col("adc_dist2").asc_nulls_last(),
+            F.col("vec_id").asc_nulls_first(),
+        )
+        .limit(IVFPQ_SHORTLIST)
+    )
+    qv = vecs.filter(F.col("vec_id") == IVFPQ_PROBE_ID).select(
+        F.col("v").alias("pv")
+    )
+    return (
+        cand.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            "cent_id",
+            "pq_code",
+            "adc_dist2",
+            F.round(dist2(F.col("v"), F.col("pv")), 6).alias("exact_dist2"),
+        )
+        .orderBy(
+            F.col("exact_dist2").asc_nulls_last(),
+            F.col("vec_id").asc_nulls_first(),
+        )
+        .limit(IVFPQ_TOPK)
+    )
+
+
+def _batch_oracle() -> str:
+    ids = ", ".join(str(i) for i in BATCH_PROBE_IDS)
+    d2p = dist2_sql("a.v", "c.cv", DIM)
+    full = dist2_sql("m.v", "p.v", DIM)
+    return f"""
+WITH {_cells_sql()},
+passign AS (
+  SELECT a.vec_id AS probe_id, a.v, c.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND({d2p}, 6) ASC, c.cent_id ASC) AS rk
+  FROM vecs a CROSS JOIN cents c
+  WHERE a.vec_id IN ({ids})
+),
+proutes AS (
+  SELECT probe_id, v, cent_id FROM passign WHERE rk <= {IVFPQ_NPROBE}
+),
+scored AS (
+  SELECT p.probe_id, m.vec_id, m.label, m.cent_id,
+         ROUND({full}, 6) AS dist2,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.probe_id
+           ORDER BY ROUND({full}, 6) ASC, m.vec_id ASC) AS rk
+  FROM proutes p JOIN cells m USING (cent_id)
+  WHERE m.vec_id <> p.probe_id
+)
+SELECT probe_id, CAST(rk AS INT) AS rk, vec_id, label, cent_id, dist2
+FROM scored WHERE rk <= {BATCH_TOPK}
+"""
+
+
+@register(
+    "sim_ivf_batch_multiprobe",
+    oracle=_batch_oracle(),
+    doc="Batch multi-probe IVF: a BATCH of probe vectors each routes to its"
+    f" nprobe={IVFPQ_NPROBE} nearest coarse cells and gathers candidates via"
+    " ONE equi-join on the cell id (the ann_multiprobe pattern applied to"
+    " IVF routing — no per-probe collect, no per-probe job), then exact"
+    f" top-{BATCH_TOPK} per probe through a bounded per-group heap"
+    " (row_number + filter → WindowGroupLimit).  The probe-route frame is"
+    " probes×nprobe slim rows, broadcast into the candidate join; the"
+    " candidate scan is cell-pruned, never the full corpus per probe.",
+)
+def sim_ivf_batch_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "label", dbl(F.col("embedding")).alias("v")
+    ).transform(persist_tracked)
+    cells, _ = _route_cells(vecs)
+    routes = batch_routes(vecs, IVFPQ_NPROBE)
+    rk = F.row_number().over(
+        Window.partitionBy("probe_id").orderBy(
+            F.col("dist2").asc(), F.col("vec_id").asc()
+        )
+    )
+    return (
+        cells.join(F.broadcast(routes), "cent_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            "cent_id",
+            F.round(dist2(F.col("v"), F.col("pv")), 6).alias("dist2"),
+        )
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= BATCH_TOPK)
+        .select(
+            "probe_id", F.col("rk").cast("int").alias("rk"),
+            "vec_id", "label", "cent_id", "dist2",
+        )
+    )
+
+
+def batch_routes(vecs: DataFrame, nprobe: int) -> DataFrame:
+    """(probe_id, pv, cent_id): each batch probe's ``nprobe`` nearest cell
+    ids, carried with the probe vector — |batch| × nprobe slim rows,
+    broadcast into the candidate equi-join.  Exposed (not inlined) so the
+    recall-superset invariant test can compare nprobe levels."""
+    from pyspark.sql.window import Window
+
+    cents = vecs.filter(F.col("vec_id").isin(IVFPQ_CENT_IDS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("probe_id").orderBy(
+            F.round(F.col("d2"), 6).asc(), F.col("cent_id").asc()
+        )
+    )
+    return (
+        vecs.filter(F.col("vec_id").isin(BATCH_PROBE_IDS))
+        .select(F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d2", dist2(F.col("pv"), F.col("cv")))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= nprobe)
+        .select("probe_id", "pv", "cent_id")
+    )

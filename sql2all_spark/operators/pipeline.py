@@ -13,7 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql2all_spark.operators.sampling import _hash_bucket, _hash_bucket_sql
+from sql2all_spark.functions.hashing import (
+    pct_bucket as _hash_bucket,
+    pct_bucket_sql as _hash_bucket_sql,
+)
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 

@@ -48,36 +48,34 @@ exists for the 100 TB LLM-pipeline north star.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql2all_spark.functions.embed import DIM, dbl
+
+# Core PQ math lives in functions/pqmath.py (non-registering) so the
+# IVF-PQ and train-loop operators can share it without import-order
+# coupling; constants/fragments are aliased to keep this module's oracle
+# text byte-identical to its pre-refactor form.
+from sql2all_spark.functions.pqmath import (
+    PQ_K,
+    PQ_M,
+    PQ_SEED_IDS,
+    PQ_SUB,
+    adc_score,
+    adc_table,
+    dist2 as _dist2,
+    dist2_sql as _dist2_sql,
+    encode,
+    refined_codebook,
+    subvector_frame,
+)
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
-PQ_M = 16  # subspaces
-PQ_SUB = DIM // PQ_M  # dims per subspace (4)
-PQ_K = 16  # centroids per subspace codebook
-PQ_SEED_IDS = list(range(1, PQ_K + 1))  # deterministic codebook seeds
 PQ_PROBE_ID = 0
 PQ_SHORTLIST = 100  # ADC candidates re-ranked exactly
 PQ_TOPK = 10
-
-
-def _dist2(a: Column, b: Column) -> Column:
-    """Squared L2 over double arrays, left-to-right fold (cross-engine)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _dist2_sql(a: str, b: str, n: int = PQ_SUB) -> str:
-    return (
-        f"list_reduce(list_transform(range(1, {n} + 1),"
-        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
-    )
 
 
 def _pq_oracle() -> str:
@@ -172,8 +170,6 @@ LIMIT {PQ_TOPK}
     " with no all-pairs anywhere.",
 )
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from sql2all_spark.cache import persist_tracked
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -182,90 +178,15 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(persist_tracked)
     # (vec_id, m, sv): M slim subvector rows per vector — persisted, reused
     # by refinement-assign, encode, and the probe's ADC row.
-    subs = vecs.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[F.slice("v", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
-            )
-        ).alias("m", "sv"),
-    ).transform(persist_tracked)
+    subs = subvector_frame(vecs).transform(persist_tracked)
 
-    cb0 = subs.filter(F.col("vec_id").isin(PQ_SEED_IDS)).select(
-        "m",
-        (
-            F.row_number().over(Window.partitionBy("m").orderBy("vec_id")) - 1
-        ).alias("c"),
-        F.col("sv").alias("cv"),
-    )
-    rk0 = F.row_number().over(
-        Window.partitionBy("vec_id", "m").orderBy(
-            F.round(F.col("d2"), 6).asc(), F.col("c").asc()
-        )
-    )
-    member = (
-        subs.join(F.broadcast(cb0), "m")
-        .withColumn("d2", _dist2(F.col("sv"), F.col("cv")))
-        .withColumn("rk", rk0)
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", "sv", "c")
-    )
-    # refined codebooks: per-dim member means, decimal-routed, re-assembled
-    # into ordered arrays (M*K = 256 rows total)
-    cb1 = (
-        member.select("m", "c", F.posexplode("sv").alias("dim0", "val"))
-        .groupBy("m", "c", (F.col("dim0") + 1).alias("dim"))
-        .agg(
-            F.round(
-                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("mean_val")
-        )
-        .groupBy("m", "c")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("dim", "mean_val"))),
-                lambda s: s.mean_val,
-            ).alias("cv1")
-        )
-    )
-    rk1 = F.row_number().over(
-        Window.partitionBy("vec_id", "m").orderBy(
-            F.round(F.col("d2"), 6).asc(), F.col("c").asc()
-        )
-    )
-    codes = (
-        subs.join(F.broadcast(cb1), "m")
-        .withColumn("d2", _dist2(F.col("sv"), F.col("cv1")))
-        .withColumn("rk", rk1)
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", "c")
-    )
-    adctab = (
-        subs.filter(F.col("vec_id") == PQ_PROBE_ID)
-        .join(F.broadcast(cb1), "m")
-        .select(
-            "m",
-            "c",
-            F.round(_dist2(F.col("sv"), F.col("cv1")), 6).alias("qd2"),
-        )
-    )
+    # seed codebooks + one k-means refinement round (pqmath; M*K = 256
+    # slim rows re-assembled into ordered arrays), then encode + ADC
+    cb1 = refined_codebook(subs)
+    codes = encode(subs, cb1)
+    adctab = adc_table(subs, cb1, PQ_PROBE_ID)
     shortlist = (
-        codes.join(F.broadcast(adctab), ["m", "c"])
-        .groupBy("vec_id")
-        .agg(
-            F.concat_ws(
-                "-",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("m", "c"))),
-                    lambda s: s.c.cast("string"),
-                ),
-            ).alias("pq_code"),
-            F.round(
-                F.sum(F.col("qd2").cast("decimal(18,6)")).cast("double"), 6
-            ).alias("adc_dist2"),
-        )
+        adc_score(codes, adctab)
         .filter(F.col("vec_id") != PQ_PROBE_ID)
         .orderBy(
             F.col("adc_dist2").asc_nulls_last(),

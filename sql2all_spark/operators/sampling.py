@@ -13,24 +13,22 @@ version their eval splits.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql2all_spark.functions.hashing import hash_bucket, hash_bucket_sql
 from sql2all_spark.cache import persist_tracked
+
+# Percent-bucket helpers moved to functions/hashing.py (non-registering)
+# so pipeline.py can share them without importing this operator module
+# at load time; aliased to keep this module's call sites stable.
+from sql2all_spark.functions.hashing import (
+    hash_bucket,
+    hash_bucket_sql,
+    pct_bucket as _hash_bucket,
+    pct_bucket_sql as _hash_bucket_sql,
+)
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
-
-SAMPLE_BUCKETS = 100  # hash-mod space: 1% resolution
-
-
-def _hash_bucket(col: Column) -> Column:
-    """Stable bucket in [0, 100) — see functions.hashing."""
-    return hash_bucket(col, SAMPLE_BUCKETS)
-
-
-def _hash_bucket_sql(expr: str) -> str:
-    return hash_bucket_sql(expr, SAMPLE_BUCKETS)
 
 
 @register(

@@ -28,17 +28,38 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # round-1-green joins/aggregates/windows/setops/asof_range rotate behind
 # (their green rows are on record; tools/check.py still covers them locally).
 _QUERY_MODULES = [
-    # Round-10 front window (positions 1-50; the arithmetic is ENFORCED
+    # Round-11 front window (positions 1-50; the arithmetic is ENFORCED
     # by tests/test_registry_window.py, not hand-counted here).  This
-    # round: the new operators lead (substring_dedup / bpe_train /
-    # lm_trigram / dsir — NOTE lm_trigram imports operators.lm and dsir
-    # imports operators.text at module scope to reuse their helpers and
-    # constants, so the bigram-LM query and the whole 14-query text
-    # family register at their importers' positions and re-attest with
-    # them); then the oldest remaining attestations — the r05-green
-    # incremental/tpch families and r06-green asof_range + stream
-    # twins — and r07-green sampling/relational/skew/udf/pipeline fill
-    # the window to exactly 50.
+    # round: the new operators lead (ivfpq / pq_train / kfold — all
+    # import only non-registering shared modules: functions/pqmath.py,
+    # dedup_shared.py), then the oldest remaining attestations — the
+    # r07-green udf_scalar/pipeline/profiling/layout/joins/embed_screen/
+    # sketches/tpch_extra families — and the r08-green skew/curation/
+    # bucketing/ann_batch/setops/retrieval/windows families fill the
+    # window to exactly 50.  udfs/aggregates/scalar_funcs (r08 greens)
+    # wait behind for the r12 rotation.
+    "sql2all_spark.operators.ivfpq",
+    "sql2all_spark.operators.pq_train",
+    "sql2all_spark.operators.kfold",
+    "sql2all_spark.operators.udf_scalar",
+    "sql2all_spark.operators.pipeline",
+    "sql2all_spark.operators.profiling",
+    "sql2all_spark.operators.layout",
+    "sql2all_spark.operators.joins",
+    "sql2all_spark.operators.embed_screen",
+    "sql2all_spark.operators.sketches",
+    "sql2all_spark.operators.tpch_extra",
+    "sql2all_spark.operators.skew",
+    "sql2all_spark.operators.curation",
+    "sql2all_spark.operators.bucketing",
+    "sql2all_spark.operators.ann_batch",
+    "sql2all_spark.operators.setops",
+    "sql2all_spark.operators.retrieval",
+    "sql2all_spark.operators.windows",
+    # --- position > 50 from here: driver-green rows on record (ledger) ---
+    "sql2all_spark.operators.udfs",
+    "sql2all_spark.operators.aggregates",
+    "sql2all_spark.operators.scalar_funcs",
     "sql2all_spark.operators.ann_multiprobe",
     "sql2all_spark.operators.pq",
     "sql2all_spark.operators.mm_cluster",
@@ -55,12 +76,6 @@ _QUERY_MODULES = [
     "sql2all_spark.streaming.batch_twins",
     "sql2all_spark.operators.sampling",
     "sql2all_spark.operators.relational",
-    "sql2all_spark.operators.skew",
-    "sql2all_spark.operators.udf_scalar",
-    "sql2all_spark.operators.pipeline",
-    # --- position > 50 from here: driver-green rows on record (ledger) ---
-    "sql2all_spark.operators.profiling",
-    "sql2all_spark.operators.layout",
     "sql2all_spark.operators.range_search",
     "sql2all_spark.operators.semdedup",
     "sql2all_spark.operators.tokenize",
@@ -70,19 +85,6 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.graph",  # imports dedup, which registers first
     "sql2all_spark.operators.dedup",
     "sql2all_spark.operators.similarity",
-    "sql2all_spark.operators.curation",
-    "sql2all_spark.operators.bucketing",
-    "sql2all_spark.operators.ann_batch",
-    "sql2all_spark.operators.setops",
-    "sql2all_spark.operators.retrieval",
-    "sql2all_spark.operators.udfs",
-    "sql2all_spark.operators.windows",
-    "sql2all_spark.operators.aggregates",
-    "sql2all_spark.operators.scalar_funcs",
-    "sql2all_spark.operators.joins",
-    "sql2all_spark.operators.embed_screen",
-    "sql2all_spark.operators.sketches",
-    "sql2all_spark.operators.tpch_extra",
 ]
 
 

@@ -566,3 +566,158 @@ def test_importance_resample_weights_and_rescale_invariance(spark, sf_dir):
     raws = [raw_key(r["doc_id"], r["weight"]) for r in rows]
     # reported order (rank asc) must equal raw-key descending order
     assert raws == sorted(raws, reverse=True)
+
+
+def test_ivfpq_refine_matches_exact_within_probed_cells(spark, sf_dir):
+    """IVF-PQ invariants (Jégou et al. 2011 §V): (a) every returned
+    candidate lives in a PROBED cell — the index never surfaces a vector
+    it could not have scanned; (b) the exact-refine leg recovers the
+    in-cell exact top-k up to ADC shortlist misses — overlap with the
+    brute-forced exact ranking RESTRICTED to probed cells is >= 8/10
+    (measured 9/10 at sf0.001: one true neighbor ranks below the R=64
+    ADC shortlist, the documented IVFPQ recall/R trade)."""
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.functions.embed import dbl
+    from sql2all_spark.functions.pqmath import dist2
+    from sql2all_spark.operators.ivfpq import (
+        IVFPQ_PROBE_ID,
+        IVFPQ_TOPK,
+        _route_cells,
+    )
+    from sql2all_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label", dbl(F.col("embedding")).alias("v"))
+    cells, probes = _route_cells(vecs)
+    probe_cells = {r.cent_id for r in probes.collect()}
+    qv = vecs.filter(F.col("vec_id") == IVFPQ_PROBE_ID).select(
+        F.col("v").alias("pv")
+    )
+    incell = (
+        cells.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("vec_id") != IVFPQ_PROBE_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", F.round(dist2(F.col("v"), F.col("pv")), 6).alias("d2")
+        )
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(IVFPQ_TOPK)
+    )
+    incell_ids = {r.vec_id for r in incell.collect()}
+    rows = all_specs()["sim_ivfpq_topk"].builder(spark, sf_dir).collect()
+    assert len(rows) == IVFPQ_TOPK
+    assert all(r.cent_id in probe_cells for r in rows)
+    assert len(incell_ids & {r.vec_id for r in rows}) >= 8
+    # exact_dist2 is the presentation order (refine leg actually ranked)
+    exact = [r.exact_dist2 for r in rows]
+    assert exact == sorted(exact)
+
+
+def test_ivf_batch_multiprobe_candidates_superset(spark, sf_dir):
+    """Routing to nprobe=2 cells must gather a SUPERSET of nprobe=1's
+    candidates for every probe (the ann_multiprobe superset pattern
+    applied to IVF): more probes can only widen the scanned set, so
+    recall is monotone in nprobe."""
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.functions.embed import dbl
+    from sql2all_spark.operators.ivfpq import _route_cells, batch_routes
+    from sql2all_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label", dbl(F.col("embedding")).alias("v"))
+    cells, _ = _route_cells(vecs)
+
+    def cand_sets(nprobe):
+        got = (
+            cells.join(F.broadcast(batch_routes(vecs, nprobe)), "cent_id")
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .select("probe_id", "vec_id")
+            .collect()
+        )
+        out = {}
+        for r in got:
+            out.setdefault(r.probe_id, set()).add(r.vec_id)
+        return out
+
+    one, two = cand_sets(1), cand_sets(2)
+    assert set(one) == set(two)  # same probe batch
+    for pid in one:
+        assert one[pid] <= two[pid], f"probe {pid} lost candidates"
+        assert len(two[pid]) > len(one[pid]), f"probe {pid} gained none"
+
+
+def test_pq_train_loop_quantization_error_monotone(spark, sf_dir):
+    """k-means monotonicity: each assign→recompute round is non-increasing
+    in total quantization error (assignment picks the argmin; the mean
+    minimizes within-cluster squared distance).  6dp centroid rounding
+    bounds the wobble — epsilon 1e-3 over a hundreds-scale total."""
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.functions.embed import dbl
+    from sql2all_spark.functions.pqmath import (
+        assign_nearest,
+        dist2,
+        recompute_codebook,
+        seed_codebook,
+        subvector_frame,
+    )
+    from sql2all_spark.operators.pq_train import PQ_TRAIN_ROUNDS
+    from sql2all_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", dbl(F.col("embedding")).alias("v"))
+    subs = subvector_frame(vecs).persist()
+    cb = seed_codebook(subs)
+    costs = []
+    for _ in range(PQ_TRAIN_ROUNDS + 1):
+        cost = (
+            subs.join(F.broadcast(cb), "m")
+            .withColumn("d2", dist2(F.col("sv"), F.col("cv")))
+            .groupBy("vec_id", "m")
+            .agg(F.min("d2").alias("md2"))
+            .agg(F.sum("md2").alias("cost"))
+            .collect()[0]
+            .cost
+        )
+        costs.append(cost)
+        rows = recompute_codebook(assign_nearest(subs, cb)).collect()
+        cb = vecs.sparkSession.createDataFrame(
+            rows, "m int, c int, cv array<double>"
+        )
+    subs.unpersist()
+    for a, b in zip(costs, costs[1:]):
+        assert b <= a + 1e-3, f"quantization error increased: {costs}"
+    assert costs[-1] < costs[0]  # training actually moved
+
+
+def test_group_kfold_no_neardup_pair_straddles_folds(spark, sf_dir):
+    """The leakage-safety contract: every near-dup pair above the cluster
+    floor has both documents in the SAME fold (fold is a pure function of
+    the shared cluster id), folds are in [0, K), and the whole corpus is
+    assigned exactly once."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.operators.dedup_shared import CLUSTER_JACCARD_FLOOR
+    from sql2all_spark.operators.kfold import K_FOLDS
+
+    rows = all_specs()["sample_group_kfold"].builder(spark, sf_dir).collect()
+    fold = {r.doc_id: r.fold for r in rows}
+    cluster = {r.doc_id: r.cluster_id for r in rows}
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    assert len(rows) == len(fold) == n_docs  # total, no dup assignment
+    assert all(0 <= r.fold < K_FOLDS for r in rows)
+    assert len({r.fold for r in rows}) == K_FOLDS  # all folds populated
+    pairs = (
+        all_specs()["dedup_ngram_jaccard"].builder(spark, sf_dir)
+        .filter(F.col("jaccard") >= CLUSTER_JACCARD_FLOOR)
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    assert pairs, "fixture should contain near-dup pairs"
+    for p in pairs:
+        assert fold[p.doc_a] == fold[p.doc_b], (p, "pair straddles folds")
+        assert cluster[p.doc_a] == cluster[p.doc_b]

@@ -936,3 +936,97 @@ def test_importance_resample_fuses_signals_single_join_bounded_topk(spark, sf_di
     above_heap = plan.split("TakeOrderedAndProject")[0]
     for m in re.finditer(r"Sort \[(\w+)", above_heap):
         assert m.group(1).startswith(("rank", "key")), m.group(0)
+
+
+def test_ivfpq_adc_scan_is_cell_pruned(spark, sf_dir):
+    """IVF-PQ shape: routing centroids, probe cells, codebooks, ADC table
+    and the shortlist all reach the corpus side as BROADCASTS; both
+    rankings are bounded heaps; and the candidate set entering ADC is
+    cell-pruned — a strict subset of the corpus (nprobe/K of it), never a
+    full-corpus ADC pass."""
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.functions.embed import dbl
+    from sql2all_spark.operators.ivfpq import IVFPQ_PROBE_ID, _route_cells
+    from sql2all_spark.tables import load_table
+
+    plan = _plan(spark, sf_dir, "sim_ivfpq_topk")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # cents / probes / cb / adctab / shortlist joins are broadcast-hash
+    assert plan.count("BroadcastHashJoin") >= 4
+    # subvector + vector frames persisted once, reused across stages
+    assert "InMemoryRelation" in plan
+    # behavioral pruning check: candidates entering ADC are the probed
+    # cells' members only — strictly fewer than the corpus
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label", dbl(F.col("embedding")).alias("v"))
+    cells, probes = _route_cells(vecs)
+    n_cand = (
+        cells.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("vec_id") != IVFPQ_PROBE_ID)
+        .count()
+    )
+    n_corpus = e.count()
+    assert 0 < n_cand < 0.6 * n_corpus, (n_cand, n_corpus)
+
+
+def test_ivf_batch_multiprobe_routes_broadcast_probe_keyed_exchange(
+    spark, sf_dir
+):
+    """Batch IVF shape: the probe-route frame reaches the cell-assigned
+    corpus as a broadcast equi-join on cent_id (one job for the whole
+    batch — no per-probe collect), and the only exchange above the scan
+    carries candidates keyed by probe_id for the bounded per-group heap."""
+    import re
+
+    plan = _plan(spark, sf_dir, "sim_ivf_batch_multiprobe")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "cent_id" in plan
+    for m in re.finditer(r"Exchange hashpartitioning\((\w+)", plan):
+        assert m.group(1).startswith(("probe_id", "vec_id")), m.group(0)
+    # WindowGroupLimit / bounded heap for the per-probe top-k
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_pq_train_loop_round_plans_identical(spark, sf_dir):
+    """The training loop's per-round physical plan must not grow or morph
+    with the round index: the codebook re-enters each round as a literal
+    local relation, so every round is the SAME broadcast-assign +
+    slim-recompute plan (lineage truncation actually worked)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.functions.embed import dbl
+    from sql2all_spark.functions.pqmath import (
+        assign_nearest,
+        recompute_codebook,
+        seed_codebook,
+        subvector_frame,
+    )
+    from sql2all_spark.operators.pq_train import PQ_TRAIN_ROUNDS
+    from sql2all_spark.plans import physical_plan
+    from sql2all_spark.tables import load_table
+
+    def shape(plan: str) -> list[str]:
+        # operator names only, stripped of ids/literals/codegen indices
+        ops = re.findall(r"^\s*[+:*-]*\s*\(?\d*\)?\s*([A-Za-z]+[A-Za-z ]*)",
+                         plan, re.M)
+        return [o.strip() for o in ops if o.strip()]
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", dbl(F.col("embedding")).alias("v"))
+    subs = subvector_frame(vecs).persist()
+    cb = seed_codebook(subs)
+    shapes = []
+    for _ in range(PQ_TRAIN_ROUNDS):
+        rows = recompute_codebook(assign_nearest(subs, cb)).collect()
+        cb = spark.createDataFrame(rows, "m int, c int, cv array<double>")
+        shapes.append(shape(physical_plan(
+            recompute_codebook(assign_nearest(subs, cb))
+        )))
+    subs.unpersist()
+    # rounds 1..N (all literal-codebook rounds) plan identically
+    assert all(s == shapes[0] for s in shapes[1:]), shapes

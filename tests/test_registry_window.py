@@ -28,74 +28,68 @@ REPO = Path(__file__).resolve().parent.parent
 
 # Queries the CURRENT round explicitly rotated into the window — update
 # this set each round alongside registry._QUERY_MODULES (the per-round
-# rotation contract; prior rounds' sets live in git history).  Round 10:
-# the three new operators lead; the text family re-attests alongside
-# (operators.dsir imports operators.text at module scope, so the whole
-# family registers at dsir's position — see registry._QUERY_MODULES);
-# then the oldest remaining attestations (r05-green incremental/tpch,
-# r06-green asof_range + stream twins) and the r07-green sampling/
-# relational/skew/udf/pipeline/profiling/layout families fill the
-# window.
+# rotation contract; prior rounds' sets live in git history).  Round 11:
+# the four new operators lead (ivfpq / pq_train / kfold modules, all
+# importing only non-registering shared code); then the oldest remaining
+# attestations — the r07-green udf_scalar/pipeline/profiling/layout/
+# joins/embed_screen/sketches/tpch_extra families — and the r08-green
+# skew/curation/bucketing/ann_batch/setops/retrieval/windows families
+# fill the window to exactly 50.  udfs/aggregates/scalar_funcs (r08
+# greens) wait behind for r12.
 ROTATION_TARGETS = {
     # new this round (never attested — lead the window)
-    "sim_ann_multiprobe",
-    "sim_pq_adc_topk",
-    "mm_phash_clusters",
-    "text_exact_substring_dedup",
-    "text_bpe_train",
-    "text_importance_resample",
-    "text_trigram_lm_score",
-    # lm family (registers at lm_trigram's position; bigram green r08)
-    "text_bigram_lm_score",
-    # text family (registers at dsir's position; oldest greens r07)
-    "text_language_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "text_pii_scrub",
-    "text_heavy_hitters",
-    "text_chunk_windows",
-    "text_pack_sequences",
-    "text_repetition_score",
-    "text_contamination_check",
-    "text_unigram_lm_score",
-    "text_dup_ngram_spans",
-    "text_pmi_collocations",
-    "text_winnow_fingerprint",
-    # newest green row r05 (incremental + tpch)
-    "merge_upsert",
-    "change_capture_diff",
-    "scd2_apply_changes",
-    "incremental_file_compaction",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q4_order_priority",
-    "tpch_q21_suppliers_who_kept_waiting",
-    "tpch_q18_large_volume_customers",
-    # newest green row r06 (asof/range joins + stream twins)
-    "join_asof_attribution",
-    "join_range_interval",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    # r07-green freshness rotation
-    "sample_hash_deterministic",
-    "sample_stratified_cap",
-    "sample_weighted_mix",
-    "sample_temperature_mix",
-    "sample_split_assign",
-    "q1_pricing_summary",
-    "projection_expressions",
-    "filter_predicates",
-    "sort_limit_offset",
-    "distinct_values",
-    "case_when_conditional",
-    # join_skew_salted + udf_pandas_readability + pipeline_curation
-    # rotated back out mid-round (all r07-green, verified) to make room
-    # for sim_ann_multiprobe + sim_pq_adc_topk + mm_phash_clusters at
-    # the front.
+    "sim_ivfpq_topk",
+    "sim_ivf_batch_multiprobe",
+    "sim_pq_train_loop",
+    "sample_group_kfold",
+    # newest green row r07
+    "udf_pandas_readability",
+    "pipeline_curation",
+    "profile_corpus",
+    "layout_zorder_cluster",
+    "join_inner_fact_fact",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_nonequi_theta",
+    "join_multiway_revenue",
+    "sim_embed_contamination",
+    "agg_cms_heavy_hitters",
+    "agg_bloom_filter_probe",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_dormant_customers",
+    # newest green row r08
+    "join_skew_salted",
+    "text_boilerplate_chunks",
+    "dedup_source_overlap",
+    "sample_epoch_plan",
+    "dedup_keeper_select",
+    "layout_bucketed_join",
+    "sim_grouped_ann",
+    "sim_hard_negatives",
+    "setop_union_all_distinct",
+    "setop_intersect_except",
+    "setop_intersect_except_all",
+    "subquery_scalar_and_in",
+    "subquery_correlated_cte",
+    "text_bm25_retrieval",
+    "text_tfidf_topterms",
+    "window_ranking",
+    "window_lag_lead",
+    "window_running_frame",
+    "window_range_frame",
+    "window_topk_per_group",
+    "window_distribution_ranks",
 }
 
 

@@ -1,9 +1,9 @@
 #!/usr/bin/env python
 """Union-find replay verification of the dedup cluster family for sf1 soaks.
 
-``dedup_clusters`` / ``dedup_clusters_star`` / ``dedup_keeper_select``
-share one registered oracle shape: a DuckDB RECURSIVE CTE transitive
-closure over the n-gram-Jaccard near-dup graph.  The closure is fine at
+``dedup_clusters`` / ``dedup_clusters_star`` / ``dedup_keeper_select`` /
+``sample_group_kfold`` share one registered oracle shape: a DuckDB
+RECURSIVE CTE transitive closure over the n-gram-Jaccard near-dup graph.  The closure is fine at
 the sf0.01 driver gate and the sf0.1 soak, but 45-55 MINUTES PER QUERY at
 sf1 (NOTES r8) while the Spark sides finish in ~30s — the soak's long
 poles.  Connected components are a sequential fixpoint, so this script
@@ -110,10 +110,25 @@ def expected_frames(con) -> dict[str, pd.DataFrame]:
             "dropped_tokens": (agg["tot"] - heads["n_tokens"]).astype("int64"),
         }
     ).reset_index(drop=True)
+    # group-aware k-fold: fold = md5 bucket of the cluster id (the same
+    # 60-bit base_hash both engines use, replayed in plain Python)
+    import hashlib
+
+    from sql2all_spark.operators.kfold import K_FOLDS
+
+    def _fold(cid: int) -> int:
+        h = int(hashlib.md5(str(int(cid)).encode()).hexdigest()[:15], 16)
+        return h % K_FOLDS
+
+    kfold = docs[["doc_id", "cluster_id", "cluster_size"]].copy()
+    kfold["fold"] = kfold["cluster_id"].map(_fold).astype("int32")
+    kfold = kfold[["doc_id", "cluster_id", "fold", "cluster_size"]]
+
     return {
         "dedup_clusters": clusters,
         "dedup_clusters_star": clusters,
         "dedup_keeper_select": keeper,
+        "sample_group_kfold": kfold,
     }
 
 
