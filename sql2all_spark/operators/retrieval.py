@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sql2all_spark.functions.bm25 import bm25_scored_sql, bm25_scores
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
@@ -30,34 +31,11 @@ def _tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
-BM25_QUERY = ["spark", "join", "vector"]
 BM25_TOP_K = 10
 
-BM25_ORACLE = f"""
-WITH dl AS (
-  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
-),
-corpus AS (
-  SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl, COUNT(*) AS n_docs FROM dl
-),
-tf AS (
-  SELECT doc_id, token, COUNT(*) AS tf
-  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
-  WHERE token IN ('spark', 'join', 'vector')
-  GROUP BY doc_id, token
-),
-dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
-SELECT doc_id,
-       ROUND(CAST(SUM(
-         CAST(ROUND(
-           ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)
-              + 1.0)
-           * tf * 2.2
-           / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
-         , 6) AS DECIMAL(18,6))
-       ) AS DOUBLE), 6) AS bm25
-FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN corpus
-GROUP BY doc_id
+# Scoring (CTE chain + Spark twin) lives in functions/bm25.py so the
+# hybrid-fusion operator can share it without import-order coupling.
+BM25_ORACLE = f"""{bm25_scored_sql()}
 ORDER BY bm25 DESC NULLS LAST, doc_id ASC NULLS FIRST
 LIMIT {BM25_TOP_K}
 """
@@ -76,40 +54,8 @@ LIMIT {BM25_TOP_K}
 )
 def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    dl = d.select("doc_id", F.size(_tokens(F.col("text"))).alias("dl"))
-    corpus = dl.agg(
-        F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs")
-    )
-    tf = (
-        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
-        .filter(F.col("token").isin(BM25_QUERY))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
-        / (F.col("df").cast("double") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    denom = F.col("tf") + F.lit(1.2) * (
-        F.lit(0.25) + F.lit(0.75) * F.col("dl") / avgdl
-    )
-    # Per-term scores are rounded to 6 dp and summed through DECIMAL: a raw
-    # double SUM's accumulation order differs between Spark's partial aggs
-    # and DuckDB's serial scan, so a doc near a rounding boundary could
-    # hash-mismatch (and even reorder the top-k).  Decimal addition is exact
-    # and associative — any order yields the same bm25.
-    term_score = F.round(idf * F.col("tf") * F.lit(2.2) / denom, 6).cast(
-        "decimal(18,6)"
-    )
     return (
-        tf.join(F.broadcast(dft), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(term_score).cast("double"), 6).alias("bm25"))
+        bm25_scores(d)
         .orderBy(F.col("bm25").desc_nulls_last(), F.col("doc_id").asc_nulls_first())
         .limit(BM25_TOP_K)
     )

@@ -721,3 +721,72 @@ def test_group_kfold_no_neardup_pair_straddles_folds(spark, sf_dir):
     for p in pairs:
         assert fold[p.doc_a] == fold[p.doc_b], (p, "pair straddles folds")
         assert cluster[p.doc_a] == cluster[p.doc_b]
+
+
+def test_hybrid_rrf_scores_recompute_from_ranks(spark, sf_dir):
+    """RRF's contract: the fused score is EXACTLY sum over legs of
+    1/(K+rank) (6dp per leg), zero for a missing leg; every fused doc
+    was ranked by at least one leg; output is fused-score-descending."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from sql2all_spark.operators.fusion import RRF_K
+
+    rows = all_specs()["sim_hybrid_rrf"].builder(spark, sf_dir).collect()
+    assert rows
+
+    def leg(rank):
+        if rank is None:
+            return Decimal(0)
+        return (Decimal(1) / (RRF_K + rank)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+
+    for r in rows:
+        assert r.rank_dense is not None or r.rank_sparse is not None
+        expect = float(leg(r.rank_dense) + leg(r.rank_sparse))
+        assert abs(r.rrf_score - expect) < 1e-9, (r, expect)
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_mmr_picks_distinct_monotone_and_first_is_top1(spark, sf_dir):
+    """MMR invariants (Carbonell & Goldstein 1998): pick 1 is the pure
+    relevance argmax; picked scores are non-increasing (each candidate's
+    penalty max-sim only grows as the selected set grows); picks are
+    distinct members of the dense shortlist."""
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.functions.embed import cosine, dbl
+    from sql2all_spark.operators.fusion import FUSE_PROBE_ID, LEG_TOP
+    from sql2all_spark.tables import load_table
+
+    rows = sorted(
+        all_specs()["sim_mmr_diversify"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.pick,
+    )
+    assert [r.pick for r in rows] == list(range(1, len(rows) + 1))
+    ids = [r.doc_id for r in rows]
+    assert len(set(ids)) == len(ids)
+    scores = [r.mmr_score for r in rows]
+    assert all(b <= a + 1e-9 for a, b in zip(scores, scores[1:])), scores
+    # shortlist + top-1 recomputed independently
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == FUSE_PROBE_ID).select(
+        dbl(F.col("embedding")).alias("qv")
+    )
+    cand = (
+        e.filter(F.col("vec_id") != FUSE_PROBE_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(dbl(F.col("embedding")), F.col("qv")), 6).alias(
+                "rel"
+            ),
+        )
+        .orderBy(F.col("rel").desc_nulls_last(), F.col("doc_id").asc())
+        .limit(LEG_TOP)
+        .collect()
+    )
+    shortlist = {r.doc_id for r in cand}
+    assert set(ids) <= shortlist
+    assert ids[0] == cand[0].doc_id  # pick 1 = relevance argmax

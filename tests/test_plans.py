@@ -1030,3 +1030,26 @@ def test_pq_train_loop_round_plans_identical(spark, sf_dir):
     subs.unpersist()
     # rounds 1..N (all literal-codebook rounds) plan identically
     assert all(s == shapes[0] for s in shapes[1:]), shapes
+
+
+def test_hybrid_rrf_legs_are_bounded_heaps(spark, sf_dir):
+    """Hybrid RRF shape: both legs rank via bounded heaps over single
+    corpus scans (TakeOrderedAndProject — never a corpus-wide sort);
+    post-shortlist work (rank windows, the full-outer rank join, fusion)
+    runs on <= 2×LEG_TOP slim rows; the only nested-loop broadcasts are
+    the 1-row query vector and corpus-stats scalar frames."""
+    plan = _plan(spark, sf_dir, "sim_hybrid_rrf")
+    assert "CartesianProduct" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2  # one per leg
+    # scalar/1-row broadcasts only (query vector, corpus stats)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # corpus scans: embeddings ×2 (probe + corpus) + documents ×2 (the
+    # persisted dl frame and the tf explode); a regression that re-scans
+    # per stage (e.g. dropping bm25's dl persist) would add more.  Count
+    # UNIQUE scans — a cached relation's FileScan prints once per
+    # InMemoryTableScan consumer.
+    import re
+
+    uniq = set(re.findall(r"FileScan parquet \[([^\]]+)\]", plan))
+    assert len(uniq) <= 4, sorted(uniq)
+    assert "InMemoryRelation" in plan  # the shared dl frame

@@ -42,6 +42,8 @@ ROTATION_TARGETS = {
     "sim_ivf_batch_multiprobe",
     "sim_pq_train_loop",
     "sample_group_kfold",
+    "sim_hybrid_rrf",
+    "sim_mmr_diversify",
     # newest green row r07
     "udf_pandas_readability",
     "pipeline_curation",
@@ -88,8 +90,10 @@ ROTATION_TARGETS = {
     "window_lag_lead",
     "window_running_frame",
     "window_range_frame",
-    "window_topk_per_group",
-    "window_distribution_ranks",
+    # window_topk_per_group + window_distribution_ranks slipped to
+    # positions 51-52 when the fusion module (sim_hybrid_rrf +
+    # sim_mmr_diversify) joined the front mid-round — both r08-green
+    # (verified), they re-attest with the r12 rotation instead.
 }
 
 
