@@ -42,6 +42,7 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.pq_train",
     "sql2all_spark.operators.kfold",
     "sql2all_spark.operators.fusion",
+    "sql2all_spark.operators.bitext",
     "sql2all_spark.operators.udf_scalar",
     "sql2all_spark.operators.pipeline",
     "sql2all_spark.operators.profiling",

@@ -790,3 +790,43 @@ def test_mmr_picks_distinct_monotone_and_first_is_top1(spark, sf_dir):
     shortlist = {r.doc_id for r in cand}
     assert set(ids) <= shortlist
     assert ids[0] == cand[0].doc_id  # pick 1 = relevance argmax
+
+
+def test_bitext_margin_pairs_share_band_and_accept_matches_floor(
+    spark, sf_dir
+):
+    """Bitext mining invariants: every mined pair really shares one of
+    the two 3-bit hyperplane bands (recomputed from raw embeddings —
+    the candidate generator never smuggles in an unbanded pair); sides
+    are the configured labels; one row per source vector with >= 1
+    candidate; accepted <=> margin >= MARGIN_FLOOR."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.functions.embed import dbl, sign_bucket
+    from sql2all_spark.operators.bitext import (
+        MARGIN_FLOOR,
+        SRC_LABEL,
+        TGT_LABEL,
+    )
+    from sql2all_spark.tables import load_table
+
+    rows = all_specs()["sim_bitext_margin_mine"].builder(spark, sf_dir).collect()
+    assert rows
+    e = load_table(spark, sf_dir, "embeddings")
+    sig = {
+        r.vec_id: (r.label, r.sig[:3], r.sig[3:6])
+        for r in e.select(
+            "vec_id", "label", sign_bucket(dbl(F.col("embedding"))).alias("sig")
+        ).collect()
+    }
+    src_seen = set()
+    for r in rows:
+        sl, sb1, sb2 = sig[r.src_id]
+        tl, tb1, tb2 = sig[r.tgt_id]
+        assert (sl, tl) == (SRC_LABEL, TGT_LABEL)
+        assert sb1 == tb1 or sb2 == tb2, (r, "pair shares no band")
+        assert r.src_id not in src_seen  # forward selection: one per src
+        src_seen.add(r.src_id)
+        assert (r.accepted == 1) == (r.margin >= MARGIN_FLOOR), r

@@ -1053,3 +1053,15 @@ def test_hybrid_rrf_legs_are_bounded_heaps(spark, sf_dir):
     uniq = set(re.findall(r"FileScan parquet \[([^\]]+)\]", plan))
     assert len(uniq) <= 4, sorted(uniq)
     assert "InMemoryRelation" in plan  # the shared dl frame
+
+
+def test_bitext_candidates_are_banded_equi_not_cartesian(spark, sf_dir):
+    """Bitext mining shape: the OR-amplified banding is TWO equi-joins on
+    band keys (never a src×tgt nested-loop product — a disjunctive join
+    predicate would plan as one), the candidate frame persists once for
+    the two side-average passes, and exchanges above the scans carry
+    only pair/band keys."""
+    plan = _plan(spark, sf_dir, "sim_bitext_margin_mine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryRelation" in plan  # persisted cand reused by ax/ay

@@ -44,6 +44,7 @@ ROTATION_TARGETS = {
     "sample_group_kfold",
     "sim_hybrid_rrf",
     "sim_mmr_diversify",
+    "sim_bitext_margin_mine",
     # newest green row r07
     "udf_pandas_readability",
     "pipeline_curation",
@@ -89,11 +90,11 @@ ROTATION_TARGETS = {
     "window_ranking",
     "window_lag_lead",
     "window_running_frame",
-    "window_range_frame",
-    # window_topk_per_group + window_distribution_ranks slipped to
-    # positions 51-52 when the fusion module (sim_hybrid_rrf +
-    # sim_mmr_diversify) joined the front mid-round — both r08-green
-    # (verified), they re-attest with the r12 rotation instead.
+    # window_range_frame + window_topk_per_group +
+    # window_distribution_ranks slipped to positions 51-53 when the
+    # fusion (sim_hybrid_rrf + sim_mmr_diversify) and bitext
+    # (sim_bitext_margin_mine) modules joined the front mid-round — all
+    # r08-green (verified), they re-attest with the r12 rotation.
 }
 
 
