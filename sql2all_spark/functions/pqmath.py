@@ -76,23 +76,32 @@ def seed_codebook(subs: DataFrame) -> DataFrame:
 
 
 def assign_nearest(subs: DataFrame, cb: DataFrame) -> DataFrame:
-    """Row-local argmin assignment of every subvector to its nearest
-    codebook centroid: broadcast the (M*K-row) codebook, rank by rounded
-    squared distance with a code-id tiebreak.  Returns
-    (vec_id, m, sv, c) — no shuffle beyond the window's local sort."""
-    from pyspark.sql.window import Window
+    """Argmin assignment of every subvector to its nearest codebook
+    centroid: broadcast the (M*K-row) codebook, pick the (rounded-d2,
+    code)-lexicographic minimum via a partial-aggregatable struct MIN
+    (the dedup_keeper_select pattern).  Returns (vec_id, m, sv, c).
 
-    rk = F.row_number().over(
-        Window.partitionBy("vec_id", "m").orderBy(
-            F.round(F.col("d2"), 6).asc(), F.col("c").asc()
-        )
-    )
+    Identical semantics to ranking by ROUND(d2,6) ASC, c ASC and keeping
+    rk=1 (c is unique within a (vec_id, m) group, so the comparison
+    never reaches the trailing sv field) — but the map-side combine
+    collapses the K joined rows per subvector to ONE before the
+    exchange, so the shuffle carries N*M rows instead of N*M*K and
+    nothing is sorted (a row_number window here exchanged all K
+    candidate rows and sorted each group; 16x the bytes at K=16)."""
     return (
         subs.join(F.broadcast(cb), "m")
         .withColumn("d2", dist2(F.col("sv"), F.col("cv")))
-        .withColumn("rk", rk)
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", "sv", "c")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(
+                    F.round(F.col("d2"), 6).alias("d"),
+                    F.col("c").alias("c"),
+                    F.col("sv").alias("sv"),
+                )
+            ).alias("b")
+        )
+        .select("vec_id", "m", F.col("b.sv").alias("sv"), F.col("b.c").alias("c"))
     )
 
 

@@ -180,28 +180,46 @@ LIMIT {IVFPQ_TOPK}
 def _route_cells(vecs: DataFrame, nprobe: int = IVFPQ_NPROBE):
     """(cells, probes): coarse assignment of every vector to its nearest
     centroid, and the probe's top-``nprobe`` cell ids (slim, broadcast).
-    The centroid pass is a broadcast cross of 8 rows — no shuffle."""
-    from pyspark.sql.window import Window
 
+    The corpus side is a broadcast cross of the 8 centroid rows followed
+    by a partial-aggregatable struct MIN keyed on (rounded-d2, cent_id)
+    — map-side combine collapses the 8 candidate rows per vector to ONE
+    before the exchange (same keeper-select pattern as
+    pqmath.assign_nearest; a row_number window here shuffled and sorted
+    all 8).  The probe's nprobe-cell route is a bounded heap over the
+    single probe row's 8 candidates."""
     cents = vecs.filter(F.col("vec_id").isin(IVFPQ_CENT_IDS)).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    rk = F.row_number().over(
-        Window.partitionBy("vec_id").orderBy(
-            F.round(F.col("d2"), 6).asc(), F.col("cent_id").asc()
-        )
-    )
-    assign = (
+    scored = (
         vecs.crossJoin(F.broadcast(cents))
         .withColumn("d2", dist2(F.col("v"), F.col("cv")))
-        .withColumn("rk", rk)
     )
-    cells = assign.filter(F.col("rk") == 1).select(
-        "vec_id", "label", "v", "cent_id"
+    cells = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.round(F.col("d2"), 6).alias("d"),
+                    F.col("cent_id").alias("cent_id"),
+                    F.col("label").alias("label"),
+                    F.col("v").alias("v"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            F.col("b.label").alias("label"),
+            F.col("b.v").alias("v"),
+            F.col("b.cent_id").alias("cent_id"),
+        )
     )
-    probes = assign.filter(
-        (F.col("vec_id") == IVFPQ_PROBE_ID) & (F.col("rk") <= nprobe)
-    ).select("cent_id")
+    probes = (
+        scored.filter(F.col("vec_id") == IVFPQ_PROBE_ID)
+        .orderBy(F.round(F.col("d2"), 6).asc(), F.col("cent_id").asc())
+        .limit(nprobe)
+        .select("cent_id")
+    )
     return cells, probes
 
 
