@@ -383,3 +383,216 @@ def batch_routes(vecs: DataFrame, nprobe: int) -> DataFrame:
         .filter(F.col("rk") <= nprobe)
         .select("probe_id", "pv", "cent_id")
     )
+
+
+def _residual_oracle() -> str:
+    seeds = ", ".join(str(i) for i in PQ_SEED_IDS)
+    d2c = dist2_sql("s.sv", "c.cv")
+    d2r = dist2_sql("s.sv", "c.cv1")
+    qd2 = dist2_sql("p.sv", "c.cv1")
+    full = dist2_sql("d.v", "qv.v", DIM)
+    sub_res = f"list_transform(range(1, {DIM} + 1), i -> c.v[i] - ct.cv[i])"
+    sub_pres = f"list_transform(range(1, {DIM} + 1), i -> q.v[i] - ct.cv[i])"
+    return f"""
+WITH {_cells_sql()},
+probes AS (
+  SELECT cent_id FROM assign
+  WHERE vec_id = {IVFPQ_PROBE_ID} AND rk <= {IVFPQ_NPROBE}
+),
+cand AS (
+  SELECT c.vec_id, c.label, c.v, c.cent_id
+  FROM cells c JOIN probes p USING (cent_id)
+  WHERE c.vec_id <> {IVFPQ_PROBE_ID}
+),
+res AS (
+  SELECT c.vec_id, {sub_res} AS v
+  FROM cells c JOIN cents ct USING (cent_id)
+),
+rsubs AS (
+  SELECT vec_id, m,
+         list_slice(v, m * {PQ_SUB} + 1, (m + 1) * {PQ_SUB}) AS sv
+  FROM res, (SELECT UNNEST(range(0, {PQ_M})) AS m)
+),
+cb0 AS (
+  SELECT s.m, ROW_NUMBER() OVER (PARTITION BY s.m ORDER BY s.vec_id) - 1 AS c,
+         s.sv AS cv
+  FROM rsubs s WHERE s.vec_id IN ({seeds})
+),
+assign0 AS (
+  SELECT s.vec_id, s.m, s.sv, c.c,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY ROUND({d2c}, 6) ASC, c.c ASC) AS rk
+  FROM rsubs s JOIN cb0 c ON s.m = c.m
+),
+member AS (SELECT vec_id, m, sv, c FROM assign0 WHERE rk = 1),
+dims AS (
+  SELECT m, c, UNNEST(range(1, {PQ_SUB} + 1)) AS dim, UNNEST(sv) AS val
+  FROM member
+),
+cb1 AS (
+  SELECT m, c, list(mean_val ORDER BY dim) AS cv1
+  FROM (
+    SELECT m, c, dim,
+           ROUND(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_val
+    FROM dims GROUP BY m, c, dim
+  ) GROUP BY m, c
+),
+enc AS (
+  SELECT s.vec_id, s.m, c.c,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY ROUND({d2r}, 6) ASC, c.c ASC) AS rk
+  FROM rsubs s JOIN cb1 c ON s.m = c.m
+  WHERE s.vec_id IN (SELECT vec_id FROM cand)
+),
+codesc AS (
+  SELECT e.vec_id, d.cent_id, e.m, e.c
+  FROM enc e JOIN cand d ON e.vec_id = d.vec_id
+  WHERE e.rk = 1
+),
+prres AS (
+  SELECT ct.cent_id, {sub_pres} AS v
+  FROM probes pr JOIN cents ct USING (cent_id)
+  CROSS JOIN (SELECT v FROM vecs WHERE vec_id = {IVFPQ_PROBE_ID}) q
+),
+psubs AS (
+  SELECT cent_id, m,
+         list_slice(v, m * {PQ_SUB} + 1, (m + 1) * {PQ_SUB}) AS sv
+  FROM prres, (SELECT UNNEST(range(0, {PQ_M})) AS m)
+),
+padc AS (
+  SELECT p.cent_id, p.m, c.c, ROUND({qd2}, 6) AS qd2
+  FROM psubs p JOIN cb1 c ON p.m = c.m
+),
+scored AS (
+  SELECT k.vec_id,
+         string_agg(CAST(k.c AS VARCHAR), '-' ORDER BY k.m) AS pq_code,
+         ROUND(CAST(SUM(CAST(a.qd2 AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS adc_dist2
+  FROM codesc k
+  JOIN padc a ON k.cent_id = a.cent_id AND k.m = a.m AND k.c = a.c
+  GROUP BY k.vec_id
+),
+shortlist AS (
+  SELECT vec_id, pq_code, adc_dist2 FROM scored
+  ORDER BY adc_dist2 ASC, vec_id ASC
+  LIMIT {IVFPQ_SHORTLIST}
+)
+SELECT s.vec_id, d.label, d.cent_id, s.pq_code, s.adc_dist2,
+       ROUND({full}, 6) AS exact_dist2
+FROM shortlist s
+JOIN cand d ON s.vec_id = d.vec_id
+CROSS JOIN (SELECT v FROM vecs WHERE vec_id = {IVFPQ_PROBE_ID}) qv
+ORDER BY exact_dist2 ASC, s.vec_id ASC
+LIMIT {IVFPQ_TOPK}
+"""
+
+
+def _residual(v, cv):
+    return F.zip_with(v, cv, lambda a, b: a - b)
+
+
+@register(
+    "sim_ivfpq_residual_topk",
+    oracle=_residual_oracle(),
+    doc="Residual IVF-PQ with exact refine (FAISS by_residual=true, the"
+    " production default): vectors are PQ-encoded as RESIDUALS from their"
+    " coarse centroid — residuals are smaller and better centered than raw"
+    " vectors, so the same byte budget quantizes finer.  The probe's"
+    " residual differs PER PROBED CELL, so the ADC table is nprobe x M x K"
+    " rows (still a broadcast); candidates join it on (cent_id, m, code)."
+    "  Routing, cell pruning, shortlist and refine are exactly the"
+    " non-residual sim_ivfpq_topk's — measured ADC fidelity of both is"
+    " recorded in PERF_NOTES.",
+)
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "label", dbl(F.col("embedding")).alias("v")
+    ).transform(persist_tracked)
+    cells, probes = _route_cells(vecs)
+    cells = cells.transform(persist_tracked)
+    cents_cv = vecs.filter(F.col("vec_id").isin(IVFPQ_CENT_IDS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    cand = cells.filter(F.col("vec_id") != IVFPQ_PROBE_ID).join(
+        F.broadcast(probes), "cent_id"
+    )
+    # residual frame: row-local subtraction after the (broadcast) centroid
+    # join — at scale this is computed once at index-build time and stored
+    res = cells.join(F.broadcast(cents_cv), "cent_id").select(
+        "vec_id", _residual(F.col("v"), F.col("cv")).alias("v")
+    )
+    rsubs = subvector_frame(res).transform(persist_tracked)
+    cb1 = refined_codebook(rsubs)
+    codes = encode(rsubs.join(cand.select("vec_id"), "vec_id"), cb1)
+    codesc = codes.join(cand.select("vec_id", "cent_id"), "vec_id")
+    # per-probed-cell ADC table: the probe's residual w.r.t. EACH probed
+    # cell's centroid — nprobe x M x K slim rows, broadcast
+    q1 = vecs.filter(F.col("vec_id") == IVFPQ_PROBE_ID).select("v")
+    prres = (
+        probes.join(F.broadcast(cents_cv), "cent_id")
+        .crossJoin(F.broadcast(q1))
+        .select("cent_id", _residual(F.col("v"), F.col("cv")).alias("rv"))
+    )
+    padc = (
+        prres.select(
+            "cent_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice("rv", m * PQ_SUB + 1, PQ_SUB)
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("m", "sv"),
+        )
+        .join(F.broadcast(cb1), "m")
+        .select(
+            "cent_id",
+            "m",
+            "c",
+            F.round(dist2(F.col("sv"), F.col("cv")), 6).alias("qd2"),
+        )
+    )
+    shortlist = (
+        codesc.join(F.broadcast(padc), ["cent_id", "m", "c"])
+        .groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("m", "c"))),
+                    lambda s: s.c.cast("string"),
+                ),
+            ).alias("pq_code"),
+            F.round(
+                F.sum(F.col("qd2").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("adc_dist2"),
+        )
+        .orderBy(
+            F.col("adc_dist2").asc_nulls_last(),
+            F.col("vec_id").asc_nulls_first(),
+        )
+        .limit(IVFPQ_SHORTLIST)
+    )
+    qv = vecs.filter(F.col("vec_id") == IVFPQ_PROBE_ID).select(
+        F.col("v").alias("pv")
+    )
+    return (
+        cand.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            "cent_id",
+            "pq_code",
+            "adc_dist2",
+            F.round(dist2(F.col("v"), F.col("pv")), 6).alias("exact_dist2"),
+        )
+        .orderBy(
+            F.col("exact_dist2").asc_nulls_last(),
+            F.col("vec_id").asc_nulls_first(),
+        )
+        .limit(IVFPQ_TOPK)
+    )

@@ -830,3 +830,30 @@ def test_bitext_margin_pairs_share_band_and_accept_matches_floor(
         assert r.src_id not in src_seen  # forward selection: one per src
         src_seen.add(r.src_id)
         assert (r.accepted == 1) == (r.margin >= MARGIN_FLOOR), r
+
+
+def test_residual_ivfpq_refine_order_and_probed_cells_only(spark, sf_dir):
+    """Residual IVF-PQ shares the non-residual contract: every returned
+    candidate lives in a probed cell, results come back exact-distance
+    ordered, and the pq_code is a full M-subspace code string.  (ADC
+    fidelity itself is regime-dependent — residuals only shrink when the
+    corpus clusters; measured both ways in PERF_NOTES.)"""
+    from sql2all_spark.functions.pqmath import PQ_M
+    from sql2all_spark.operators.ivfpq import IVFPQ_TOPK, _route_cells
+    from sql2all_spark.functions.embed import dbl
+    from sql2all_spark.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label", dbl(F.col("embedding")).alias("v"))
+    _, probes = _route_cells(vecs)
+    probe_cells = {r.cent_id for r in probes.collect()}
+    rows = (
+        all_specs()["sim_ivfpq_residual_topk"].builder(spark, sf_dir).collect()
+    )
+    assert len(rows) == IVFPQ_TOPK
+    assert all(r.cent_id in probe_cells for r in rows)
+    exact = [r.exact_dist2 for r in rows]
+    assert exact == sorted(exact)
+    assert all(len(r.pq_code.split("-")) == PQ_M for r in rows)

@@ -1065,3 +1065,15 @@ def test_bitext_candidates_are_banded_equi_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryRelation" in plan  # persisted cand reused by ax/ay
+
+
+def test_residual_ivfpq_adc_is_cell_pruned_and_broadcast(spark, sf_dir):
+    """Residual IVF-PQ shape: the per-probed-cell ADC table (nprobe x M x
+    K slim rows) and the codebooks reach the candidates as broadcasts;
+    the residual transform is row-local after a broadcast centroid join;
+    rankings are bounded heaps; no cartesian products."""
+    plan = _plan(spark, sf_dir, "sim_ivfpq_residual_topk")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "InMemoryRelation" in plan  # persisted vecs/cells/rsubs

@@ -40,6 +40,7 @@ ROTATION_TARGETS = {
     # new this round (never attested — lead the window)
     "sim_ivfpq_topk",
     "sim_ivf_batch_multiprobe",
+    "sim_ivfpq_residual_topk",
     "sim_pq_train_loop",
     "sample_group_kfold",
     "sim_hybrid_rrf",
@@ -89,12 +90,12 @@ ROTATION_TARGETS = {
     "text_tfidf_topterms",
     "window_ranking",
     "window_lag_lead",
-    "window_running_frame",
-    # window_range_frame + window_topk_per_group +
-    # window_distribution_ranks slipped to positions 51-53 when the
-    # fusion (sim_hybrid_rrf + sim_mmr_diversify) and bitext
-    # (sim_bitext_margin_mine) modules joined the front mid-round — all
-    # r08-green (verified), they re-attest with the r12 rotation.
+    # window_running_frame + window_range_frame + window_topk_per_group
+    # + window_distribution_ranks slipped to positions 51-54 as the
+    # fusion (sim_hybrid_rrf + sim_mmr_diversify), bitext
+    # (sim_bitext_margin_mine) and residual-IVFPQ queries joined the
+    # front mid-round — all r08-green (verified), they re-attest with
+    # the r12 rotation.
 }
 
 
