@@ -323,29 +323,50 @@ LIMIT 10
     " prunes to nprobe/K of the corpus at the parquet level.",
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", "label", _dbl(F.col("embedding")).alias("v"))
     cents = (
         e.filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
         .select(F.col("vec_id").alias("cent_id"), _dbl(F.col("embedding")).alias("cv"))
     )
-    rk = F.row_number().over(
-        Window.partitionBy("vec_id").orderBy(
-            F.round(_cosine(F.col("v"), F.col("cv")), 6).desc(),
-            F.col("cent_id").asc(),
+    # Argmax-cosine cell assignment as a partial-aggregatable struct MIN
+    # on (negated rounded cosine, cent_id) — the r11 pqmath pattern:
+    # map-side combine collapses the 8 broadcast-joined candidate rows
+    # per vector to ONE before the exchange (a row_number window here
+    # shuffled and sorted all 8).  Negating the 6dp-rounded cosine turns
+    # the (cos DESC, cent_id ASC) ranking into a plain lexicographic MIN.
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "nc", -F.round(_cosine(F.col("v"), F.col("cv")), 6)
+    )
+    cells = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("nc").alias("nc"),
+                    F.col("cent_id").alias("cent_id"),
+                    F.col("label").alias("label"),
+                    F.col("v").alias("v"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            F.col("b.label").alias("label"),
+            F.col("b.v").alias("v"),
+            F.col("b.cent_id").alias("cent_id"),
         )
     )
-    assign = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "label", "v", "cent_id", rk.alias("rk")
+    # the probe's nprobe-cell route: bounded heap over its 8 candidates
+    probes = (
+        scored.filter(F.col("vec_id") == 0)
+        .orderBy(F.col("nc").asc(), F.col("cent_id").asc())
+        .limit(IVF_NPROBE)
+        .select("cent_id")
     )
-    probes = assign.filter(
-        (F.col("vec_id") == 0) & (F.col("rk") <= IVF_NPROBE)
-    ).select("cent_id")
     q = vecs.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     return (
-        assign.filter((F.col("rk") == 1) & (F.col("vec_id") != 0))
+        cells.filter(F.col("vec_id") != 0)
         .join(F.broadcast(probes), "cent_id")
         .crossJoin(F.broadcast(q))
         .select(
@@ -406,25 +427,28 @@ GROUP BY cent_id, dim
     " output — the plan per step is identical at any corpus size.",
 )
 def sim_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", _dbl(F.col("embedding")).alias("v"))
     cents = (
         e.filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
         .select(F.col("vec_id").alias("cent_id"), _dbl(F.col("embedding")).alias("cv"))
     )
-    rk = F.row_number().over(
-        Window.partitionBy("vec_id").orderBy(
-            F.round(_cosine(F.col("v"), F.col("cv")), 6).desc(),
-            F.col("cent_id").asc(),
-        )
-    )
+    # struct-MIN assignment (see sim_ivf_topk): one row per vector over
+    # the exchange instead of 8, no per-group sort
     member = (
         vecs.crossJoin(F.broadcast(cents))
-        .withColumn("rk", rk)
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", "cent_id")
+        .withColumn("nc", -F.round(_cosine(F.col("v"), F.col("cv")), 6))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("nc").alias("nc"),
+                    F.col("cent_id").alias("cent_id"),
+                    F.col("v").alias("v"),
+                )
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.v").alias("v"), F.col("b.cent_id").alias("cent_id"))
     )
     dims = member.select(
         "cent_id",
