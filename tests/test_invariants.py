@@ -645,7 +645,12 @@ def test_ivf_batch_multiprobe_candidates_superset(spark, sf_dir):
     assert set(one) == set(two)  # same probe batch
     for pid in one:
         assert one[pid] <= two[pid], f"probe {pid} lost candidates"
-        assert len(two[pid]) > len(one[pid]), f"probe {pid} gained none"
+    # Strict gain is a property of the BATCH, not of every probe: a
+    # probe whose second-nearest cell happens to be empty gains nothing
+    # at nprobe=2 even though the superset contract holds (ADVICE r11).
+    assert any(len(two[pid]) > len(one[pid]) for pid in one), (
+        "nprobe=2 gained no candidates for any probe"
+    )
 
 
 def test_pq_train_loop_quantization_error_monotone(spark, sf_dir):
