@@ -772,8 +772,8 @@ def test_mmr_picks_distinct_monotone_and_first_is_top1(spark, sf_dir):
     assert [r.pick for r in rows] == list(range(1, len(rows) + 1))
     ids = [r.doc_id for r in rows]
     assert len(set(ids)) == len(ids)
-    scores = [r.mmr_score for r in rows]
-    assert all(b <= a + 1e-9 for a, b in zip(scores, scores[1:])), scores
+    scores = [r.mmr_score_tm for r in rows]
+    assert all(b <= a for a, b in zip(scores, scores[1:])), scores
     # shortlist + top-1 recomputed independently
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == FUSE_PROBE_ID).select(

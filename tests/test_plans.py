@@ -1077,3 +1077,36 @@ def test_residual_ivfpq_adc_is_cell_pruned_and_broadcast(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 4
     assert "InMemoryRelation" in plan  # persisted vecs/cells/rsubs
+
+
+def test_mmr_greedy_loop_runs_no_spark_jobs(spark, sf_dir):
+    """The MMR greedy loop is driver-side (VERDICT r11 #5): Spark jobs
+    fire only for the two pre-loop shortlist/pair-matrix collects, so
+    the builder's job count is INDEPENDENT of the number of picks, and
+    the returned frame is a local relation (consuming it re-runs no
+    distributed work)."""
+    import sql2all_spark.operators.fusion as fusion
+    from sql2all_spark.tables import load_table
+
+    for t in ("documents", "embeddings"):
+        load_table(spark, sf_dir, t)
+    st = spark.sparkContext.statusTracker()
+    builder = all_specs()["sim_mmr_diversify"].builder
+    builder(spark, sf_dir)  # warm broadcast/caches
+
+    def jobs_for(picks):
+        orig = fusion.MMR_PICKS
+        fusion.MMR_PICKS = picks
+        try:
+            before = set(st.getJobIdsForGroup())
+            df = builder(spark, sf_dir)
+            delta = len(set(st.getJobIdsForGroup()) - before)
+        finally:
+            fusion.MMR_PICKS = orig
+        return delta, df
+
+    d2, _ = jobs_for(2)
+    d5, df = jobs_for(5)
+    assert d5 == d2, f"job count grew with picks: {d2} -> {d5}"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
