@@ -177,7 +177,11 @@ LIMIT {IVFPQ_TOPK}
 """
 
 
-def _route_cells(vecs: DataFrame, nprobe: int = IVFPQ_NPROBE):
+def _route_cells(
+    vecs: DataFrame,
+    nprobe: int = IVFPQ_NPROBE,
+    cents: DataFrame | None = None,
+):
     """(cells, probes): coarse assignment of every vector to its nearest
     centroid, and the probe's top-``nprobe`` cell ids (slim, broadcast).
 
@@ -187,10 +191,16 @@ def _route_cells(vecs: DataFrame, nprobe: int = IVFPQ_NPROBE):
     before the exchange (same keeper-select pattern as
     pqmath.assign_nearest; a row_number window here shuffled and sorted
     all 8).  The probe's nprobe-cell route is a bounded heap over the
-    single probe row's 8 candidates."""
-    cents = vecs.filter(F.col("vec_id").isin(IVFPQ_CENT_IDS)).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    )
+    single probe row's 8 candidates.
+
+    ``cents`` overrides the centroid frame — the stored-index build
+    routes a PARTIAL source (e.g. the refresh demo's base corpus)
+    against the full trained centroid set, which the source may not
+    contain."""
+    if cents is None:
+        cents = vecs.filter(F.col("vec_id").isin(IVFPQ_CENT_IDS)).select(
+            F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+        )
     scored = (
         vecs.crossJoin(F.broadcast(cents))
         .withColumn("d2", dist2(F.col("v"), F.col("cv")))
@@ -596,3 +606,260 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(IVFPQ_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Stored IVF-PQ index: build / refresh / query split (VERDICT r11 #2).
+#
+# sim_ivfpq_topk trains codebooks and routes cells PER RUN — the correct
+# algorithm demo, but production (FAISS IVFPQ on disk, SPANN, ScaNN
+# serving) trains ONCE and stores.  The build leg materializes
+#
+#   {root}/{sf}.parquet/cent_id=<k>/...  (vec_id, label, v, codes[M])
+#   {root}/{sf}_codebook.parquet         (m, c, cv)     — 256 rows
+#   {root}/{sf}_centroids.parquet        (cent_id, cv)  — 8 rows
+#
+# and the query leg reads ONLY the probed cells' partitions (static
+# PartitionFilters, the sim_lsh_ann_indexed pattern): probe routing is a
+# 2-row collect against the 8 stored centroids, the ADC table collects
+# as 256 exact micro-unit longs into a literal map, and the scan itself
+# is JOIN-FREE — per-row ADC is a map lookup folded over the stored code
+# array, the shortlist and final ranking are bounded heaps, and the
+# exact refine reuses the stored vector column row-locally.  At 100 TB
+# the query touches nprobe/K of the files and shuffles NOTHING.
+# ---------------------------------------------------------------------------
+
+IVFPQ_INDEX_ROOT = "/tmp/sql2all_spark_ivfpq_index"
+# explicit read schema: partition-column inference must not narrow
+# cent_id (stored as dir names) away from the oracle's BIGINT
+IVFPQ_INDEX_SCHEMA = (
+    "vec_id bigint, label int, v array<double>, codes array<int>,"
+    " cent_id bigint"
+)
+
+
+def _index_path(sf_dir: str, suffix: str = "") -> str:
+    return (
+        f"{IVFPQ_INDEX_ROOT}/{sf_dir.strip('/').replace('/', '_')}"
+        f"{suffix}.parquet"
+    )
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+    train_source: DataFrame | None = None,
+    suffix: str = "",
+) -> str:
+    """Train coarse centroids + PQ codebooks from ``train_source`` and
+    materialize the cell-partitioned code table for ``source``.
+
+    ``train_source`` defaults to ``source`` (defaults to the full
+    embeddings table).  Separating the two is the FAISS contract —
+    ``train()`` sees a bounded sample, ``add()`` streams the corpus —
+    and it is what lets :func:`refresh_ivfpq_index` append a batch
+    without retraining: centroids and codebooks are FROZEN model
+    artifacts stored beside the codes."""
+    e = source if source is not None else load_table(spark, sf_dir, "embeddings")
+    t = train_source if train_source is not None else e
+    vecs = e.select(
+        "vec_id", "label", dbl(F.col("embedding")).alias("v")
+    ).transform(persist_tracked)
+    tvecs = t.select("vec_id", dbl(F.col("embedding")).alias("v"))
+    cents = tvecs.filter(F.col("vec_id").isin(IVFPQ_CENT_IDS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    cb = refined_codebook(subvector_frame(tvecs))
+    cells, _ = _route_cells(vecs, cents=cents)
+    codes = _pack_codes(encode(subvector_frame(vecs), cb))
+    idx = cells.join(codes, "vec_id").select(
+        "vec_id", "label", "v", "codes", "cent_id"
+    )
+    path = _index_path(sf_dir, suffix)
+    idx.write.mode("overwrite").partitionBy("cent_id").parquet(path)
+    cb.write.mode("overwrite").parquet(_sidecar(path, "codebook"))
+    cents.write.mode("overwrite").parquet(_sidecar(path, "centroids"))
+    return path
+
+
+def _sidecar(path: str, kind: str) -> str:
+    return path.replace(".parquet", f"_{kind}.parquet")
+
+
+def _pack_codes(code_rows: DataFrame) -> DataFrame:
+    """(vec_id, codes[M]): the exploded (vec_id, m, c) code rows packed
+    into one m-ordered int array per vector — the stored row shape."""
+    return code_rows.groupBy("vec_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("m", "c"))),
+            lambda s: s.c.cast("int"),
+        ).alias("codes")
+    )
+
+
+def refresh_ivfpq_index(
+    spark: SparkSession, path: str, new_batch: DataFrame
+) -> str:
+    """Incrementally add a batch of newly-arrived embeddings to an
+    ALREADY-BUILT index: route and PQ-encode the BATCH ONLY against the
+    stored (frozen) centroids and codebook — 8 + 256 rows read back —
+    and append files into exactly the ``cent_id=<k>`` partitions the
+    batch touches.  Cost is O(batch), never O(corpus); no retraining,
+    no existing file read or rewritten (the refresh_ann_index story
+    with a model sidecar)."""
+    cb = spark.read.schema("m int, c int, cv array<double>").parquet(
+        _sidecar(path, "codebook")
+    )
+    cents = spark.read.schema("cent_id bigint, cv array<double>").parquet(
+        _sidecar(path, "centroids")
+    )
+    vecs = new_batch.select(
+        "vec_id", "label", dbl(F.col("embedding")).alias("v")
+    )
+    cells, _ = _route_cells(vecs, cents=cents)
+    codes = _pack_codes(encode(subvector_frame(vecs), cb))
+    idx = cells.join(codes, "vec_id").select(
+        "vec_id", "label", "v", "codes", "cent_id"
+    )
+    idx.write.mode("append").partitionBy("cent_id").parquet(path)
+    return path
+
+
+def query_ivfpq_index(
+    spark: SparkSession, sf_dir: str, path: str
+) -> DataFrame:
+    """The read-only leg: IVFPQ+refine top-k over an already-built index.
+
+    Probe routing collects nprobe cell ids from an 8-row centroid scan
+    (one O(1) job — the query_ann_index static-pruning pattern), and the
+    probe's ADC table collects as 256 micro-unit longs into a literal
+    map (exact: each qd2 is a 6dp-rounded double, so qd2*1e6 sits within
+    an ulp of an integer).  The index scan then partition-prunes to the
+    probed cells and everything after it is row-local: ADC = the stored
+    code array folded through the map (exact long sum, /1e6 at the end
+    reproduces the DECIMAL(18,6)-sum-to-double discipline bit-for-bit),
+    shortlist and final top-k are bounded heaps, and the exact refine
+    reuses the stored vector column.  No joins, no exchanges
+    (plan-pinned in tests/test_plans.py)."""
+    probe = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == IVFPQ_PROBE_ID)
+        .select("vec_id", dbl(F.col("embedding")).alias("v"))
+    )
+    cents = spark.read.schema("cent_id bigint, cv array<double>").parquet(
+        _sidecar(path, "centroids")
+    )
+    routes = (
+        probe.crossJoin(F.broadcast(cents))
+        .select(
+            "v",
+            "cent_id",
+            F.round(dist2(F.col("v"), F.col("cv")), 6).alias("d2"),
+        )
+        .orderBy(F.col("d2").asc(), F.col("cent_id").asc())
+        .limit(IVFPQ_NPROBE)
+        .collect()
+    )
+    probed = [r.cent_id for r in routes]
+    qv = F.array(*[F.lit(float(x)) for x in routes[0].v])
+    cb = spark.read.schema("m int, c int, cv array<double>").parquet(
+        _sidecar(path, "codebook")
+    )
+    psubs = subvector_frame(probe.select("vec_id", "v"))
+    adc_rows = adc_table(psubs, cb, IVFPQ_PROBE_ID).collect()
+    kv: list = []
+    for r in adc_rows:
+        kv += [F.lit(r.m * PQ_K + r.c), F.lit(int(round(r.qd2 * 1_000_000)))]
+    adc_map = F.create_map(*kv)
+    entries = F.transform(
+        F.col("codes"), lambda c, i: F.element_at(adc_map, i * PQ_K + c)
+    )
+    idx = spark.read.schema(IVFPQ_INDEX_SCHEMA).parquet(path)
+    shortlist = (
+        idx.filter(
+            F.col("cent_id").isin(probed)
+            & (F.col("vec_id") != IVFPQ_PROBE_ID)
+        )
+        .select(
+            "vec_id",
+            "label",
+            "cent_id",
+            "v",
+            F.concat_ws(
+                "-", F.transform("codes", lambda c: c.cast("string"))
+            ).alias("pq_code"),
+            F.round(
+                F.aggregate(
+                    entries, F.lit(0).cast("long"), lambda acc, x: acc + x
+                )
+                / F.lit(1_000_000.0),
+                6,
+            ).alias("adc_dist2"),
+        )
+        .orderBy(
+            F.col("adc_dist2").asc_nulls_last(),
+            F.col("vec_id").asc_nulls_first(),
+        )
+        .limit(IVFPQ_SHORTLIST)
+    )
+    return (
+        shortlist.select(
+            "vec_id",
+            "label",
+            "cent_id",
+            "pq_code",
+            "adc_dist2",
+            F.round(dist2(F.col("v"), qv), 6).alias("exact_dist2"),
+        )
+        .orderBy(
+            F.col("exact_dist2").asc_nulls_last(),
+            F.col("vec_id").asc_nulls_first(),
+        )
+        .limit(IVFPQ_TOPK)
+    )
+
+
+@register(
+    "sim_ivfpq_indexed_query",
+    oracle=_ivfpq_oracle(),
+    doc="The stored-index form of sim_ivfpq_topk (FAISS train-once/store:"
+    " Jégou et al. 2011 §V): codebooks, coarse centroids and the"
+    " cell-partitioned PQ code table materialize ONCE (build_ivfpq_index);"
+    " the query reads back ONLY the probed cells' cent_id=<k> partitions"
+    " (static PartitionFilters — plan-pinned), scores them with a"
+    " row-local map-lookup ADC fold over the stored code arrays, and"
+    " exact-refines the shortlist from the stored vector column — no"
+    " join, no exchange anywhere in the query plan.  Shares"
+    " sim_ivfpq_topk's oracle: storing the index must not change a single"
+    " result row.",
+)
+def sim_ivfpq_indexed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = build_ivfpq_index(spark, sf_dir)
+    return query_ivfpq_index(spark, sf_dir, path)
+
+
+@register(
+    "sim_ivfpq_index_refresh",
+    oracle=_ivfpq_oracle(),
+    doc="Incremental IVF-PQ index refresh: build the cell-partitioned"
+    " index from a base corpus (vec_id % 4 != 3), then add the remaining"
+    " quarter as a newly-arrived batch via refresh_ivfpq_index — the"
+    " batch routes and PQ-encodes against the STORED frozen centroids and"
+    " codebook (8 + 256 rows read back, no retraining) and appends files"
+    " into only the cent_id partitions it touches.  Training sees the"
+    " full fixture (FAISS's train()/add() split: training data is a"
+    " modeling choice, the add-path never retrains).  Shares"
+    " sim_ivfpq_topk's oracle, so the gate IS the refresh==rebuild"
+    " equivalence: an appended index must not change a single result row.",
+)
+def sim_ivfpq_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 4 != 3)
+    batch = e.filter(F.col("vec_id") % 4 == 3)
+    # overwrite-build the base index each run so the append is idempotent
+    path = build_ivfpq_index(
+        spark, sf_dir, source=base, train_source=e, suffix="_refresh"
+    )
+    refresh_ivfpq_index(spark, path, batch)
+    return query_ivfpq_index(spark, sf_dir, path)

@@ -862,3 +862,37 @@ def test_residual_ivfpq_refine_order_and_probed_cells_only(spark, sf_dir):
     exact = [r.exact_dist2 for r in rows]
     assert exact == sorted(exact)
     assert all(len(r.pq_code.split("-")) == PQ_M for r in rows)
+
+
+def test_ivfpq_index_refresh_covers_corpus_exactly_once(spark, sf_dir):
+    """Refresh integrity: after base-build + batch-append the stored index
+    holds every corpus vector EXACTLY once (re-running the query must not
+    accumulate duplicate batch rows — the build overwrites, the append is
+    the only delta), and batch rows carry codes from the STORED codebook
+    (identical to a from-scratch full build's codes)."""
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.operators.ivfpq import (
+        IVFPQ_INDEX_SCHEMA,
+        build_ivfpq_index,
+        refresh_ivfpq_index,
+    )
+    from sql2all_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 4 != 3)
+    batch = e.filter(F.col("vec_id") % 4 == 3)
+    path = build_ivfpq_index(
+        spark, sf_dir, source=base, train_source=e, suffix="_refresh"
+    )
+    refresh_ivfpq_index(spark, path, batch)
+    idx = spark.read.schema(IVFPQ_INDEX_SCHEMA).parquet(path)
+    n_corpus = e.count()
+    assert idx.count() == n_corpus
+    assert idx.select("vec_id").distinct().count() == n_corpus
+    # refresh==rebuild, row for row (codes, cell, payload all equal)
+    full = spark.read.schema(IVFPQ_INDEX_SCHEMA).parquet(
+        build_ivfpq_index(spark, sf_dir)
+    )
+    sel = ["vec_id", "cent_id", F.col("codes").cast("string").alias("cs")]
+    assert idx.select(*sel).exceptAll(full.select(*sel)).count() == 0

@@ -1110,3 +1110,35 @@ def test_mmr_greedy_loop_runs_no_spark_jobs(spark, sf_dir):
     assert d5 == d2, f"job count grew with picks: {d2} -> {d5}"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+
+
+def test_ivfpq_indexed_scan_partition_prunes_and_is_join_free(spark, sf_dir):
+    """The stored-IVFPQ query must read ONLY the probed cells' partitions
+    (static PartitionFilters on cent_id — pruning at planning time, like
+    the stored-LSH index) and, past the scan, be entirely row-local: the
+    ADC is a map-literal fold over the stored code array and the refine
+    reuses the stored vector column, so the plan has NO join and NO
+    exchange — just two bounded TakeOrderedAndProject heaps."""
+    import glob
+    import re
+
+    from sql2all_spark.operators.ivfpq import (
+        IVFPQ_INDEX_ROOT,
+        IVFPQ_NPROBE,
+    )
+    from sql2all_spark.plans import physical_plan
+
+    df = all_specs()["sim_ivfpq_indexed_query"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "cent_id" in m.group(1) and "IN" in m.group(1), m.group(1)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert plan.count("TakeOrderedAndProject") == 2
+    # the index materialized all 8 cell dirs; the query touched nprobe
+    cells = glob.glob(f"{IVFPQ_INDEX_ROOT}/*.parquet/cent_id=*")
+    assert len({c.rsplit("=", 1)[1] for c in cells}) == 8
+    rows = df.collect()
+    assert len(rows) == 10
+    assert len({r.cent_id for r in rows}) <= IVFPQ_NPROBE
