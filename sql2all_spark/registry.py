@@ -28,20 +28,31 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # round-1-green joins/aggregates/windows/setops/asof_range rotate behind
 # (their green rows are on record; tools/check.py still covers them locally).
 _QUERY_MODULES = [
-    # Round-11 front window (positions 1-50; the arithmetic is ENFORCED
+    # Round-12 front window (positions 1-50; the arithmetic is ENFORCED
     # by tests/test_registry_window.py, not hand-counted here).  This
-    # round: the new operators lead (ivfpq / pq_train / kfold — all
-    # import only non-registering shared modules: functions/pqmath.py,
-    # dedup_shared.py), then the oldest remaining attestations — the
-    # r07-green udf_scalar/pipeline/profiling/layout/joins/embed_screen/
-    # sketches/tpch_extra families — and the r08-green skew/curation/
-    # bucketing/ann_batch/setops/retrieval/windows families fill the
-    # window to exactly 50.  udfs/aggregates/scalar_funcs (r08 greens)
-    # wait behind for the r12 rotation.
+    # round: the new/changed operators lead — ivfpq (3 r11 greens + the
+    # 2 NEW stored-index queries; the whole family re-attests because
+    # its sf1 rows were spliced after the late struct-MIN refactor,
+    # VERDICT r11 item 7), fuzzy (NEW Ed-Join), fusion (MMR fixed-point
+    # rework + RRF probe-exclusion changed result values) — then the
+    # r08-green udfs/aggregates/scalar_funcs + the windows stragglers,
+    # and the r09-green similarity/reservoir/range_search families
+    # (similarity carries the late-r11 struct-MIN refactor) fill the
+    # window to exactly 50.  The remaining r09 families (dedup / graph /
+    # multimodal / timeseries / tokenize / semdedup) rotate in r13.
     "sql2all_spark.operators.ivfpq",
+    "sql2all_spark.operators.fuzzy",
+    "sql2all_spark.operators.fusion",
+    "sql2all_spark.operators.udfs",
+    "sql2all_spark.operators.aggregates",
+    "sql2all_spark.operators.scalar_funcs",
+    "sql2all_spark.operators.windows",
+    "sql2all_spark.operators.similarity",
+    "sql2all_spark.operators.reservoir",
+    "sql2all_spark.operators.range_search",
+    # --- position > 50 from here: driver-green rows on record (ledger) ---
     "sql2all_spark.operators.pq_train",
     "sql2all_spark.operators.kfold",
-    "sql2all_spark.operators.fusion",
     "sql2all_spark.operators.bitext",
     "sql2all_spark.operators.udf_scalar",
     "sql2all_spark.operators.pipeline",
@@ -57,11 +68,6 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.ann_batch",
     "sql2all_spark.operators.setops",
     "sql2all_spark.operators.retrieval",
-    "sql2all_spark.operators.windows",
-    # --- position > 50 from here: driver-green rows on record (ledger) ---
-    "sql2all_spark.operators.udfs",
-    "sql2all_spark.operators.aggregates",
-    "sql2all_spark.operators.scalar_funcs",
     "sql2all_spark.operators.ann_multiprobe",
     "sql2all_spark.operators.pq",
     "sql2all_spark.operators.mm_cluster",
@@ -78,15 +84,12 @@ _QUERY_MODULES = [
     "sql2all_spark.streaming.batch_twins",
     "sql2all_spark.operators.sampling",
     "sql2all_spark.operators.relational",
-    "sql2all_spark.operators.range_search",
     "sql2all_spark.operators.semdedup",
     "sql2all_spark.operators.tokenize",
     "sql2all_spark.operators.multimodal",
     "sql2all_spark.operators.timeseries",
-    "sql2all_spark.operators.reservoir",
     "sql2all_spark.operators.graph",  # imports dedup, which registers first
     "sql2all_spark.operators.dedup",
-    "sql2all_spark.operators.similarity",
 ]
 
 

@@ -1142,3 +1142,19 @@ def test_ivfpq_indexed_scan_partition_prunes_and_is_join_free(spark, sf_dir):
     rows = df.collect()
     assert len(rows) == 10
     assert len({r.cent_id for r in rows}) <= IVFPQ_NPROBE
+
+
+def test_fuzzy_editdist_join_is_banded_equi_not_cartesian(spark, sf_dir):
+    """Ed-Join shape: the candidate generator is an equi-join of the two
+    prefix-index sides on the gram value — never a pair-space cartesian
+    or nested loop — the prefix index is persisted once and reused on
+    both sides, and the levenshtein DP runs with the threshold argument
+    (banded, early-exit) rather than the unbounded 2-arg form."""
+    plan = _plan(spark, sf_dir, "dedup_fuzzy_editdist")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "gram" in plan
+    assert "InMemoryRelation" in plan  # persisted titles + prefix index
+    from sql2all_spark.operators.fuzzy import FUZZY_T
+
+    assert f"levenshtein(title_a" in plan and f", {FUZZY_T})" in plan

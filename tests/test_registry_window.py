@@ -28,74 +28,69 @@ REPO = Path(__file__).resolve().parent.parent
 
 # Queries the CURRENT round explicitly rotated into the window — update
 # this set each round alongside registry._QUERY_MODULES (the per-round
-# rotation contract; prior rounds' sets live in git history).  Round 11:
-# the four new operators lead (ivfpq / pq_train / kfold modules, all
-# importing only non-registering shared code); then the oldest remaining
-# attestations — the r07-green udf_scalar/pipeline/profiling/layout/
-# joins/embed_screen/sketches/tpch_extra families — and the r08-green
-# skew/curation/bucketing/ann_batch/setops/retrieval/windows families
-# fill the window to exactly 50.  udfs/aggregates/scalar_funcs (r08
-# greens) wait behind for r12.
+# rotation contract; prior rounds' sets live in git history).  Round 12:
+# the new/changed operators lead — the 2 stored-IVFPQ queries, the
+# Ed-Join fuzzy join, and fusion's 2 (MMR fixed-point rework + RRF
+# probe-exclusion changed values); the whole ivfpq family re-attests
+# (its sf1 gate rows were spliced after the late struct-MIN refactor,
+# VERDICT r11 item 7).  Then the r08-green udfs/aggregates/scalar_funcs
+# + windows stragglers, and the r09-green similarity/reservoir/
+# range_search families (similarity carries the late-r11 struct-MIN
+# refactor) fill the window to exactly 50.  Remaining r09 families
+# (dedup/graph/multimodal/timeseries/tokenize/semdedup) rotate in r13.
 ROTATION_TARGETS = {
-    # new this round (never attested — lead the window)
+    # new or value-changed this round (never attested in current form)
+    "sim_ivfpq_indexed_query",
+    "sim_ivfpq_index_refresh",
+    "dedup_fuzzy_editdist",
+    "sim_mmr_diversify",
+    "sim_hybrid_rrf",
+    # spliced-family re-attestation (VERDICT r11 item 7)
     "sim_ivfpq_topk",
     "sim_ivf_batch_multiprobe",
     "sim_ivfpq_residual_topk",
-    "sim_pq_train_loop",
-    "sample_group_kfold",
-    "sim_hybrid_rrf",
-    "sim_mmr_diversify",
-    "sim_bitext_margin_mine",
-    # newest green row r07
-    "udf_pandas_readability",
-    "pipeline_curation",
-    "profile_corpus",
-    "layout_zorder_cluster",
-    "join_inner_fact_fact",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_nonequi_theta",
-    "join_multiway_revenue",
-    "sim_embed_contamination",
-    "agg_cms_heavy_hitters",
-    "agg_bloom_filter_probe",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q14_promo_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q22_dormant_customers",
     # newest green row r08
-    "join_skew_salted",
-    "text_boilerplate_chunks",
-    "dedup_source_overlap",
-    "sample_epoch_plan",
-    "dedup_keeper_select",
-    "layout_bucketed_join",
-    "sim_grouped_ann",
-    "sim_hard_negatives",
-    "setop_union_all_distinct",
-    "setop_intersect_except",
-    "setop_intersect_except_all",
-    "subquery_scalar_and_in",
-    "subquery_correlated_cte",
-    "text_bm25_retrieval",
-    "text_tfidf_topterms",
-    "window_ranking",
-    "window_lag_lead",
-    # window_running_frame + window_range_frame + window_topk_per_group
-    # + window_distribution_ranks slipped to positions 51-54 as the
-    # fusion (sim_hybrid_rrf + sim_mmr_diversify), bitext
-    # (sim_bitext_margin_mine) and residual-IVFPQ queries joined the
-    # front mid-round — all r08-green (verified), they re-attest with
-    # the r12 rotation.
+    "udaf_zscore_group",
+    "udtf_sentence_split",
+    "agg_having",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube_grouping",
+    "agg_stats_moments",
+    "agg_corr_moments",
+    "agg_percentile_minmax",
+    "agg_string_agg",
+    "agg_approx_count_distinct",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_unpivot",
+    "agg_hll_sketch_rollup",
+    "agg_approx_quantiles",
+    "func_array_family",
+    "func_string_family",
+    "func_date_family",
+    "func_math_family",
+    "func_json_family",
+    "func_struct_map",
+    "func_variant_json",
+    "func_regexp_family",
+    "window_running_frame",
+    "window_range_frame",
+    "window_topk_per_group",
+    "window_distribution_ranks",
+    # newest green row r09 (similarity carries the struct-MIN refactor)
+    "sim_topk_bruteforce",
+    "sim_lsh_ann",
+    "sim_lsh_ann_indexed",
+    "sim_ann_index_refresh",
+    "sim_ivf_topk",
+    "sim_kmeans_iteration",
+    "sim_neardup_pairs",
+    "sim_doc_retrieval",
+    "sim_embed_quantize",
+    "sim_ann_recall",
+    "sample_reservoir_weighted",
+    "sim_range_search",
 }
 
 
