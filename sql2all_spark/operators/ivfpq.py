@@ -247,11 +247,20 @@ def _route_cells(
     " probe reads nprobe/K of the corpus.",
 )
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivfpq_topk_impl(spark, sf_dir)
+
+
+def ivfpq_topk_impl(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVFPQ_NPROBE
+) -> DataFrame:
+    """Non-residual IVF-PQ with a parametrizable nprobe — the registered
+    query pins nprobe=IVFPQ_NPROBE (the oracle is generated for that
+    constant); tools/ann_quality.py sweeps nprobe for the recall ledger."""
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id", "label", dbl(F.col("embedding")).alias("v")
     ).transform(persist_tracked)
-    cells, probes = _route_cells(vecs)
+    cells, probes = _route_cells(vecs, nprobe)
     cand = cells.filter(F.col("vec_id") != IVFPQ_PROBE_ID).join(
         F.broadcast(probes), "cent_id"
     )
@@ -516,11 +525,18 @@ def _residual(v, cv):
     " recorded in PERF_NOTES.",
 )
 def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivfpq_residual_impl(spark, sf_dir)
+
+
+def ivfpq_residual_impl(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVFPQ_NPROBE
+) -> DataFrame:
+    """Residual IVF-PQ with a parametrizable nprobe (see ivfpq_topk_impl)."""
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id", "label", dbl(F.col("embedding")).alias("v")
     ).transform(persist_tracked)
-    cells, probes = _route_cells(vecs)
+    cells, probes = _route_cells(vecs, nprobe)
     cells = cells.transform(persist_tracked)
     cents_cv = vecs.filter(F.col("vec_id").isin(IVFPQ_CENT_IDS)).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
