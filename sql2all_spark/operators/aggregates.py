@@ -430,12 +430,13 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # approx_percentile(accuracy=10000): rank error ≤ 1/accuracy, so the
-# estimated quantile lies between the exact quantiles at rank ± n/10000.
-# The acceptance check below is looser and simpler: the estimate must lie
-# within [exact_p_lo, exact_p_hi] for ±1 percentile — deterministic, far
-# wider than the sketch's guarantee, and expressible exactly in both
-# engines.
+# estimate's rank lies within n/10000 of the target rank.  The acceptance
+# check below is looser and simpler: the estimate's FRACTIONAL RANK
+# (count of rows ≤ estimate, over n) must lie within ±1 percentile of the
+# target — deterministic, far wider than the sketch's guarantee, and
+# computable as a conditional COUNT rather than an exact order statistic.
 QUANTILE_ACCURACY = 10000
+QUANTILE_RANK_TOL = 0.01  # ±1 percentile of fractional rank
 
 
 @register(
@@ -450,32 +451,35 @@ FROM lineitem
     " path for percentiles — constant-size state, no global sort).  The"
     " hash-checked contract mirrors agg_approx_count_distinct: the sketch"
     " estimate is engine-specific, so the query emits deterministic"
-    " within-bound flags — the p50/p95 estimates must lie inside the EXACT"
-    " ±1-percentile window (computed in the same query) — which the oracle"
-    " pins to 1.  Spark's sketch is deterministic for fixed input, so the"
-    " flags are hard signals.",
+    " within-bound flags — each estimate's fractional rank (COUNT of rows"
+    " ≤ it, over n) must lie within ±1 percentile of the target — which"
+    " the oracle pins to 1.  Spark's sketch is deterministic for fixed"
+    " input, so the flags are hard signals.  The verification arm is a"
+    " conditional COUNT (codegen, constant state) rather than an exact"
+    " `percentile` order statistic, which buffers EVERY value per"
+    " partition — the r11 plan audit measured that arm at 2.5s of the"
+    " query's 2.7s at sf0.1, and at 100 TB it is an OOM, not a slowdown"
+    " (VERDICT r11 #6; PERF_NOTES 'agg_approx_quantiles audit').",
 )
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_extendedprice").cast("double")
-    agg = li.agg(
+    est = li.agg(
         F.percentile_approx(x, [0.50, 0.95], QUANTILE_ACCURACY).alias("est"),
-        F.expr(
-            "percentile(CAST(l_extendedprice AS DOUBLE),"
-            " array(0.49, 0.51, 0.94, 0.96))"
-        ).alias("exact"),
-        F.count(F.lit(1)).alias("n_rows"),
     )
 
-    def within(i_est: int, i_lo: int, i_hi: int):
-        est = F.col("est").getItem(i_est)
-        return (
-            (est >= F.col("exact").getItem(i_lo))
-            & (est <= F.col("exact").getItem(i_hi))
-        ).cast("long")
+    def within(i_est: int, target: float):
+        frac = F.count_if(x <= F.col("est").getItem(i_est)) / F.count(
+            F.lit(1)
+        )
+        lo, hi = target - QUANTILE_RANK_TOL, target + QUANTILE_RANK_TOL
+        return ((frac >= lo) & (frac <= hi)).cast("long")
 
-    return agg.select(
-        within(0, 0, 1).alias("p50_within_bound"),
-        within(1, 2, 3).alias("p95_within_bound"),
-        "n_rows",
+    return (
+        li.crossJoin(F.broadcast(est))
+        .agg(
+            within(0, 0.50).alias("p50_within_bound"),
+            within(1, 0.95).alias("p95_within_bound"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
     )
