@@ -75,6 +75,11 @@ HEADLINE = [
     "mm_phash_clusters",
     "sim_pq_adc_topk",
     "sim_ann_multiprobe",
+    # round-12 additions
+    "sim_ivfpq_indexed_query",
+    "dedup_fuzzy_editdist",
+    "text_quality_classifier_train",
+    "text_perplexity_buckets",
 ]
 
 

@@ -1,0 +1,119 @@
+"""Shared unigram-LM document scorer (non-registering).
+
+``operators/text.py`` registers the per-doc query
+(``text_unigram_lm_score``) and ``operators/ccnet.py`` composes the
+same scorer into CCNet perplexity bucketing.  The registry's first-50
+window depends on MODULE IMPORT ORDER — a front module importing
+``operators.text`` at load time would register all 15 of text.py's
+queries into the front window (the dedup_shared.py / pqmath.py
+precedent) — so the ONE definition of the scorer lives here, where
+nothing registers.
+
+Semantics (KenLM-filter stand-in): two corpus passes — token counts →
+top-V vocabulary with MLE probabilities, broadcast back; per-token
+scores are fixed-point BIGINTs (FLOOR(1e6·-ln p + 0.5)) so doc sums
+are exact and order-free in both engines; OOV backs off to 1/total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sql2all_spark.cache import persist_tracked
+from sql2all_spark.tables import load_table
+
+UNIGRAM_VOCAB = 4096
+UNIGRAM_SCALE = 1_000_000
+
+UNIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+t2 AS (
+  SELECT doc_id, token FROM toks WHERE token <> ''
+),
+counts AS (
+  SELECT token, COUNT(*) AS c FROM t2 GROUP BY token
+),
+tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS t FROM counts
+),
+vocab AS (
+  SELECT token, c FROM counts
+  ORDER BY c DESC NULLS LAST, token ASC NULLS FIRST
+  LIMIT {UNIGRAM_VOCAB}
+),
+scored AS (
+  SELECT token,
+         CAST(FLOOR({UNIGRAM_SCALE}.0 * -LN(CAST(c AS DOUBLE) / t) + 0.5)
+              AS BIGINT) AS s
+  FROM vocab, tot
+),
+doc AS (
+  SELECT t2.doc_id,
+         CASE WHEN sc.token IS NULL THEN 1 ELSE 0 END AS is_oov,
+         COALESCE(sc.s,
+                  CAST(FLOOR({UNIGRAM_SCALE}.0 * -LN(1.0 / t) + 0.5)
+                       AS BIGINT)) AS s_scaled
+  FROM t2 CROSS JOIN tot LEFT JOIN scored sc ON t2.token = sc.token
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(is_oov) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(s_scaled) AS DOUBLE) / COUNT(*) / {UNIGRAM_SCALE}.0, 6)
+         AS avg_neglogp
+FROM doc GROUP BY doc_id
+"""
+
+
+def unigram_doc_scores(spark, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, avg_neglogp) — see module docstring."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(persist_tracked)
+    )
+    # Corpus token total: derived LAZILY as a 1-row aggregate broadcast
+    # onto both consumers (the sim_neardup_pairs ppb pattern) — plan
+    # construction runs no job, and the total reflects the corpus at
+    # execution time, not build time (ADVICE r8).  The aggregate reads
+    # the already-persisted (token, count) table, not the corpus.
+    tot = counts.agg(F.sum("c").cast("double").alias("t"))
+    vocab = counts.orderBy(
+        F.col("c").desc_nulls_last(), F.col("token").asc_nulls_first()
+    ).limit(UNIGRAM_VOCAB)
+    scale = F.lit(float(UNIGRAM_SCALE))
+    scored = vocab.join(F.broadcast(tot), F.lit(True)).select(
+        "token",
+        F.floor(
+            scale * -F.log(F.col("c").cast("double") / F.col("t"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    oov_score = F.floor(
+        scale * -F.log(F.lit(1.0) / F.col("t")) + F.lit(0.5)
+    ).cast("long")
+    doc = (
+        toks.join(F.broadcast(scored), "token", "left")
+        .join(F.broadcast(tot), F.lit(True))
+        .select(
+            "doc_id",
+            F.when(F.col("s").isNull(), 1).otherwise(0).alias("is_oov"),
+            F.coalesce(F.col("s"), oov_score).alias("s_scaled"),
+        )
+    )
+    return doc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("is_oov").cast("long").alias("n_oov"),
+        F.round(
+            F.sum("s_scaled").cast("double") / F.count(F.lit(1)) / scale,
+            6,
+        ).alias("avg_neglogp"),
+    )

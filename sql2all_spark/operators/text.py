@@ -591,51 +591,17 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-doc reduction is order-free (float sums are not associative); only
 # the per-DISTINCT-token LN is floating point, and both engines' ln agree
 # to <=2 ulp, far inside the 1e-6 fixed-point grid.
-UNIGRAM_VOCAB = 4096
-UNIGRAM_SCALE = 1_000_000
+from sql2all_spark.functions.unigram_lm import (  # noqa: E402
+    UNIGRAM_ORACLE,
+    UNIGRAM_SCALE,
+    UNIGRAM_VOCAB,
+    unigram_doc_scores,
+)
 
 
 @register(
     "text_unigram_lm_score",
-    oracle=f"""
-WITH toks AS (
-  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
-),
-t2 AS (
-  SELECT doc_id, token FROM toks WHERE token <> ''
-),
-counts AS (
-  SELECT token, COUNT(*) AS c FROM t2 GROUP BY token
-),
-tot AS (
-  SELECT CAST(SUM(c) AS DOUBLE) AS t FROM counts
-),
-vocab AS (
-  SELECT token, c FROM counts
-  ORDER BY c DESC NULLS LAST, token ASC NULLS FIRST
-  LIMIT {UNIGRAM_VOCAB}
-),
-scored AS (
-  SELECT token,
-         CAST(FLOOR({UNIGRAM_SCALE}.0 * -LN(CAST(c AS DOUBLE) / t) + 0.5)
-              AS BIGINT) AS s
-  FROM vocab, tot
-),
-doc AS (
-  SELECT t2.doc_id,
-         CASE WHEN sc.token IS NULL THEN 1 ELSE 0 END AS is_oov,
-         COALESCE(sc.s,
-                  CAST(FLOOR({UNIGRAM_SCALE}.0 * -LN(1.0 / t) + 0.5)
-                       AS BIGINT)) AS s_scaled
-  FROM t2 CROSS JOIN tot LEFT JOIN scored sc ON t2.token = sc.token
-)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       CAST(SUM(is_oov) AS BIGINT) AS n_oov,
-       ROUND(CAST(SUM(s_scaled) AS DOUBLE) / COUNT(*) / {UNIGRAM_SCALE}.0, 6)
-         AS avg_neglogp
-FROM doc GROUP BY doc_id
-""",
+    oracle=UNIGRAM_ORACLE,
     doc=f"Unigram language-model document quality score — the KenLM-filter"
     " stand-in: two corpus passes (token counts -> top-"
     f"{UNIGRAM_VOCAB} vocabulary with MLE probabilities; then per-doc"
@@ -650,49 +616,9 @@ FROM doc GROUP BY doc_id
     " is exact and order-free in both engines.",
 )
 def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
-    ).filter(F.col("token") != "")
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c")).transform(persist_tracked)
-    # Corpus token total: derived LAZILY as a 1-row aggregate broadcast
-    # onto both consumers (the sim_neardup_pairs ppb pattern) — plan
-    # construction runs no job, and the total reflects the corpus at
-    # execution time, not build time (ADVICE r8).  The aggregate reads
-    # the already-persisted (token, count) table, not the corpus.
-    tot = counts.agg(F.sum("c").cast("double").alias("t"))
-    vocab = counts.orderBy(
-        F.col("c").desc_nulls_last(), F.col("token").asc_nulls_first()
-    ).limit(UNIGRAM_VOCAB)
-    scale = F.lit(float(UNIGRAM_SCALE))
-    scored = vocab.join(F.broadcast(tot), F.lit(True)).select(
-        "token",
-        F.floor(scale * -F.log(F.col("c").cast("double") / F.col("t")) + F.lit(0.5))
-        .cast("long")
-        .alias("s"),
-    )
-    oov_score = F.floor(scale * -F.log(F.lit(1.0) / F.col("t")) + F.lit(0.5)).cast(
-        "long"
-    )
-    doc = (
-        toks.join(F.broadcast(scored), "token", "left")
-        .join(F.broadcast(tot), F.lit(True))
-        .select(
-            "doc_id",
-            F.when(F.col("s").isNull(), 1).otherwise(0).alias("is_oov"),
-            F.coalesce(F.col("s"), oov_score).alias("s_scaled"),
-        )
-    )
-    return doc.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("is_oov").cast("long").alias("n_oov"),
-        F.round(
-            F.sum("s_scaled").cast("double")
-            / F.count(F.lit(1))
-            / scale,
-            6,
-        ).alias("avg_neglogp"),
-    )
+    # one definition, shared with operators/ccnet.py — see
+    # functions/unigram_lm.py for the import-order rationale
+    return unigram_doc_scores(spark, sf_dir)
 
 
 DUP_SPAN_GRAM = 5  # word n-gram length for cross-document span detection

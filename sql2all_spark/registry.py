@@ -40,6 +40,8 @@ _QUERY_MODULES = [
     # (similarity carries the late-r11 struct-MIN refactor) fill the
     # window to exactly 50.  The remaining r09 families (dedup / graph /
     # multimodal / timeseries / tokenize / semdedup) rotate in r13.
+    "sql2all_spark.operators.classifier",
+    "sql2all_spark.operators.ccnet",
     "sql2all_spark.operators.ivfpq",
     "sql2all_spark.operators.fuzzy",
     "sql2all_spark.operators.fusion",
@@ -48,9 +50,12 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.scalar_funcs",
     "sql2all_spark.operators.windows",
     "sql2all_spark.operators.similarity",
+    # --- position > 50 from here: driver-green rows on record (ledger) ---
+    # reservoir + range_search (r09-green singles) rotated out mid-round
+    # to fit the two NEW queries (classifier + ccnet); they re-attest in
+    # r13 with the remaining r09 families.
     "sql2all_spark.operators.reservoir",
     "sql2all_spark.operators.range_search",
-    # --- position > 50 from here: driver-green rows on record (ledger) ---
     "sql2all_spark.operators.pq_train",
     "sql2all_spark.operators.kfold",
     "sql2all_spark.operators.bitext",

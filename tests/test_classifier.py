@@ -1,0 +1,131 @@
+"""Invariants for the GD quality-classifier loop and CCNet buckets."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def _collect_feats(spark, sf_dir):
+    from sql2all_spark.operators.classifier import _feats
+
+    rows = _feats(spark, sf_dir).collect()
+    X = np.array([[1.0, r.x1, r.x2, r.x3] for r in rows])
+    y = np.array([r.y for r in rows])
+    return X, y
+
+
+def _logloss(X, y, w):
+    p = np.floor(1e6 / (1 + np.exp(-(X @ np.array(w)))) + 0.5) / 1e6
+    p = np.clip(p, 1e-9, 1 - 1e-9)
+    return float(-np.mean(y * np.log(p) + (1 - y) * np.log(1 - p)))
+
+
+def test_classifier_loss_monotone_and_learns(spark, sf_dir):
+    """Train log-loss strictly decreases every round and final accuracy
+    beats the base rate — GD actually optimizes, not just terminates."""
+    from sql2all_spark.operators.classifier import (
+        text_quality_classifier_train,
+    )
+
+    traj = text_quality_classifier_train(spark, sf_dir).collect()
+    X, y = _collect_feats(spark, sf_dir)
+    losses = [_logloss(X, y, [0.0, 0.0, 0.0, 0.0])] + [
+        _logloss(X, y, [r.w0, r.w1, r.w2, r.w3]) for r in traj
+    ]
+    assert all(
+        b < a for a, b in zip(losses, losses[1:])
+    ), f"log-loss not monotone: {losses}"
+    base = max(int(y.sum()), int((1 - y).sum()))
+    assert traj[-1].n_correct > base, (traj[-1].n_correct, base)
+    # trajectory internally consistent
+    assert [r.round for r in traj] == list(range(1, len(traj) + 1))
+    assert all(r.n_rows == len(y) for r in traj)
+
+
+def test_classifier_round_plans_identical(spark, sf_dir):
+    """Weights re-enter as literals, so every round's gradient-aggregate
+    physical plan is identical (lineage truncation, pq_train pattern)."""
+    from sql2all_spark.operators.classifier import (
+        CLF_LR,
+        CLF_SCALE,
+        _feats,
+        _p_fx,
+        _z,
+    )
+    from sql2all_spark.plans import physical_plan
+
+    def shape(plan: str) -> list[str]:
+        ops = re.findall(
+            r"^\s*[+:*-]*\s*\(?\d*\)?\s*([A-Za-z]+[A-Za-z ]*)", plan, re.M
+        )
+        return [o.strip() for o in ops if o.strip()]
+
+    feats = _feats(spark, sf_dir).persist()
+    try:
+        w = [0.0, 0.0, 0.0, 0.0]
+        shapes = []
+        for _ in range(3):
+            p = _p_fx(_z(w)).cast("double") / F.lit(float(CLF_SCALE))
+            resid = p - F.col("y")
+            xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+            agg = feats.agg(
+                *[
+                    F.round(
+                        F.lit(w[j])
+                        - F.lit(CLF_LR)
+                        * F.round(
+                            F.sum(
+                                (resid * xs[j]).cast("decimal(28,12)")
+                            ).cast("double")
+                            / F.count(F.lit(1)),
+                            6,
+                        ),
+                        6,
+                    ).alias(f"w{j}")
+                    for j in range(4)
+                ]
+            )
+            shapes.append(shape(physical_plan(agg)))
+            row = agg.collect()[0]
+            w = [row[f"w{j}"] for j in range(4)]
+        assert all(s == shapes[0] for s in shapes[1:]), shapes
+        # the gradient aggregate is partial-aggregatable (two HashAggregate
+        # levels around the exchange, no sort/window)
+        flat = " ".join(shapes[0])
+        assert "HashAggregate" in flat, flat
+        assert "Window" not in flat and "Sort" not in flat, flat
+    finally:
+        feats.unpersist()
+
+
+def test_perplexity_buckets_partition_docs(spark, sf_dir):
+    """Buckets tile each language exactly: per-lang doc counts sum to the
+    lang's doc count and terciles differ by at most 1 doc."""
+    from sql2all_spark.operators.ccnet import text_perplexity_buckets
+    from sql2all_spark.tables import load_table
+
+    got = text_perplexity_buckets(spark, sf_dir).collect()
+    lang_total = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_lang: dict[str, list] = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == set(lang_total)
+    for lang, rows in by_lang.items():
+        assert sorted(r.bucket for r in rows) == ["head", "middle", "tail"]
+        counts = [r.n_docs for r in rows]
+        assert sum(counts) == lang_total[lang]
+        assert max(counts) - min(counts) <= 1, (lang, counts)
+        # head scores strictly below tail scores (score bands ordered)
+        band = {r.bucket: (r.min_score, r.max_score) for r in rows}
+        assert band["head"][1] <= band["middle"][0]
+        assert band["middle"][1] <= band["tail"][0]

@@ -29,17 +29,21 @@ REPO = Path(__file__).resolve().parent.parent
 # Queries the CURRENT round explicitly rotated into the window — update
 # this set each round alongside registry._QUERY_MODULES (the per-round
 # rotation contract; prior rounds' sets live in git history).  Round 12:
-# the new/changed operators lead — the 2 stored-IVFPQ queries, the
+# the new/changed operators lead — the GD classifier loop + CCNet
+# perplexity buckets (NEW mid-round), the 2 stored-IVFPQ queries, the
 # Ed-Join fuzzy join, and fusion's 2 (MMR fixed-point rework + RRF
 # probe-exclusion changed values); the whole ivfpq family re-attests
 # (its sf1 gate rows were spliced after the late struct-MIN refactor,
 # VERDICT r11 item 7).  Then the r08-green udfs/aggregates/scalar_funcs
-# + windows stragglers, and the r09-green similarity/reservoir/
-# range_search families (similarity carries the late-r11 struct-MIN
-# refactor) fill the window to exactly 50.  Remaining r09 families
-# (dedup/graph/multimodal/timeseries/tokenize/semdedup) rotate in r13.
+# + windows stragglers and the r09-green similarity family (which
+# carries the late-r11 struct-MIN refactor) fill the window to exactly
+# 50; the two new queries displaced the r09-green reservoir +
+# range_search singles to r13, where the remaining r09 families
+# (dedup/graph/multimodal/timeseries/tokenize/semdedup) also rotate.
 ROTATION_TARGETS = {
     # new or value-changed this round (never attested in current form)
+    "text_quality_classifier_train",
+    "text_perplexity_buckets",
     "sim_ivfpq_indexed_query",
     "sim_ivfpq_index_refresh",
     "dedup_fuzzy_editdist",
@@ -89,8 +93,6 @@ ROTATION_TARGETS = {
     "sim_doc_retrieval",
     "sim_embed_quantize",
     "sim_ann_recall",
-    "sample_reservoir_weighted",
-    "sim_range_search",
 }
 
 
