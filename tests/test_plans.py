@@ -1158,3 +1158,18 @@ def test_fuzzy_editdist_join_is_banded_equi_not_cartesian(spark, sf_dir):
     from sql2all_spark.operators.fuzzy import FUZZY_T
 
     assert f"levenshtein(title_a" in plan and f", {FUZZY_T})" in plan
+
+
+def test_approx_quantiles_has_no_value_buffering_aggregate(spark, sf_dir):
+    """The within-bound verification is a rank conditional-count, not an
+    exact percentile(): Spark's exact percentile buffers every distinct
+    value per partition (the 100-TB OOM the r12 rewrite removed), while
+    the rank check keeps constant per-partition state.  Both aggregates
+    (sketch pass + count pass) must be partially aggregated around their
+    exchanges, and the estimate row enters the count pass broadcast."""
+    plan = _plan(spark, sf_dir, "agg_approx_quantiles")
+    assert "percentile(" not in plan  # exact order statistic gone
+    assert "percentile_approx" in plan  # the sketch remains
+    assert "count_if" in plan or "count(if" in plan.lower()
+    assert "BroadcastExchange" in plan  # 1-row estimates onto the scan
+    assert plan.count("HashAggregate") >= 4  # partial+final for both passes
