@@ -80,6 +80,10 @@ HEADLINE = [
     "dedup_fuzzy_editdist",
     "text_quality_classifier_train",
     "text_perplexity_buckets",
+    # round-13 additions
+    "text_quality_filter",
+    "text_source_quality_caps",
+    "embed_domain_label",
 ]
 
 

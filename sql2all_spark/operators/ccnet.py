@@ -26,6 +26,15 @@ engine-specific (agg_approx_quantiles documents the same trade).
 Reference parity: SQL2ALL has no text surface (658-line core delegates
 SQL to the attached DB — src/db/sqlite.rs:79); LLM-pipeline extension
 surface (SURVEY.md §2 extension table).
+
+Precondition (ADVICE r12): every document must yield at least one
+non-empty token — the scorer's inner join would silently drop a
+token-less doc from bucketing and under-count its language's n_docs
+(the partition-tiling test would catch it on such a fixture).  This
+holds for the whitespace-token fixture by construction; a production
+deployment feeding arbitrary text should left-join from documents and
+assign token-less docs a sentinel score (they land in the tail bucket,
+which CCNet drops anyway).
 """
 
 from __future__ import annotations

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sql2all_spark.cache import persist_tracked
 from sql2all_spark.registry import register
@@ -58,20 +59,25 @@ CLF_HALF = CLF_SCALE // 2
 
 
 def _feats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, x1, x2, x3, y): deterministic surface features.
+    """(doc_id, lang, source, x1, x2, x3, y): deterministic features.
 
-    x1 = tokens/64, x2 = chars-per-token/8, x3 = distinct-token ratio —
-    each a ROUND(·,6) of integer ratios, so both engines hold identical
-    doubles.  y = 1.0 iff n_chars >= CLF_GOLD_CHARS (length-gate gold).
+    x1 = tokens/CLF_TOK_SCALE, x2 = chars-per-token/CLF_CPT_SCALE,
+    x3 = distinct-token ratio — each a ROUND(·,6) of integer ratios, so
+    both engines hold identical doubles.  y = 1.0 iff n_chars >=
+    CLF_GOLD_CHARS (length-gate gold).  lang/source ride along for the
+    scoring legs' profiles (pruned by Catalyst where unused).
     """
     d = load_table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
     toks = F.size(w).cast("double")
     return d.select(
         "doc_id",
-        F.round(toks / F.lit(64.0), 6).alias("x1"),
+        "lang",
+        "source",
+        F.round(toks / F.lit(CLF_TOK_SCALE), 6).alias("x1"),
         F.round(
-            F.col("n_chars").cast("double") / (toks * F.lit(8.0)), 6
+            F.col("n_chars").cast("double") / (toks * F.lit(CLF_CPT_SCALE)),
+            6,
         ).alias("x2"),
         F.round(F.size(F.array_distinct(w)).cast("double") / toks, 6).alias(
             "x3"
@@ -82,16 +88,23 @@ def _feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FEATS_SQL = """
+# Feature scales shared by the Spark builder (_feats) and the oracle —
+# interpolated so a constant change can never desynchronize the engines.
+CLF_TOK_SCALE = 64.0
+CLF_CPT_SCALE = 8.0
+
+_FEATS_SQL = f"""
 feats AS (
-  SELECT doc_id,
-         ROUND(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 6) AS x1,
+  SELECT doc_id, lang, source,
+         ROUND(CAST(len(string_split(text, ' ')) AS DOUBLE)
+               / {CLF_TOK_SCALE}, 6) AS x1,
          ROUND(CAST(n_chars AS DOUBLE)
-               / (CAST(len(string_split(text, ' ')) AS DOUBLE) * 8.0),
+               / (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                  * {CLF_CPT_SCALE}),
                6) AS x2,
          ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS x3,
-         CASE WHEN n_chars >= 280 THEN 1.0 ELSE 0.0 END AS y
+         CASE WHEN n_chars >= {CLF_GOLD_CHARS} THEN 1.0 ELSE 0.0 END AS y
   FROM documents
 )"""
 
@@ -120,10 +133,13 @@ def _z(w: list[float]):
     )
 
 
-def _clf_oracle() -> str:
-    """Unrolled GD rounds as CTE chains: w{k} derives from w{k-1} via the
-    same DECIMAL(28,12) gradient sums and ROUND(·,6) updates the Spark
-    loop performs; c{k} recounts train accuracy under w{k}."""
+def _w_chain_sql(with_acc: bool = True) -> str:
+    """Shared unrolled-GD CTE chain ``WITH feats, w0, g1, w1 [, c1] …``
+    ending at w{CLF_ROUNDS}: w{k} derives from w{k-1} via the same
+    DECIMAL(28,12) gradient sums and ROUND(·,6) updates the Spark loop
+    performs; with_acc adds c{k} accuracy recounts under w{k}.  The
+    scoring-leg oracles (filter / source caps) reuse the chain without
+    the accuracy CTEs."""
     parts = [f"WITH {_FEATS_SQL.strip()}"]
     parts.append(
         ",\nw0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"
@@ -140,10 +156,8 @@ def _clf_oracle() -> str:
         ws = ", ".join(
             f"ROUND(w.w{j} - {CLF_LR} * g.g{j}, 6) AS w{j}" for j in range(4)
         )
-        parts.append(
+        acc = (
             f""",
-g{k} AS (SELECT {grads} FROM feats f, w{k - 1} w),
-w{k} AS (SELECT {ws} FROM w{k - 1} w, g{k} g),
 c{k} AS (
   SELECT COUNT(*) FILTER (
            WHERE ({_p_fx_sql(zk)} >= {CLF_HALF}) = (f.y = 1.0)
@@ -151,7 +165,19 @@ c{k} AS (
          COUNT(*) AS n_rows
   FROM feats f, w{k} w
 )"""
+            if with_acc
+            else ""
         )
+        parts.append(
+            f""",
+g{k} AS (SELECT {grads} FROM feats f, w{k - 1} w),
+w{k} AS (SELECT {ws} FROM w{k - 1} w, g{k} g){acc}"""
+        )
+    return "".join(parts)
+
+
+def _clf_oracle() -> str:
+    """Training-trajectory oracle: the shared chain + per-round rows."""
     rounds = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS INT) AS round, w.w0, w.w1, w.w2, w.w3,"
         f" CAST(c.n_correct AS BIGINT) AS n_correct,"
@@ -159,7 +185,56 @@ c{k} AS (
         f" FROM w{k} w, c{k} c"
         for k in range(1, CLF_ROUNDS + 1)
     )
-    return "".join(parts) + f"\n{rounds}\nORDER BY round"
+    return _w_chain_sql(with_acc=True) + f"\n{rounds}\nORDER BY round"
+
+
+def _upd_cols(w: list[float]) -> list[F.Column]:
+    """The 4 updated-weight aggregate columns under current weights ``w``:
+    w{j} := ROUND(w[j] - LR * ROUND(mean((p - y) * x_j), 6), 6), with the
+    gradient sum routed through DECIMAL(28,12) (order-free, exact) and
+    every rounding done ENGINE-SIDE (Spark ROUND is half-up like the
+    oracle's; Python round is half-even and must not touch weights)."""
+    p = _p_fx(_z(w)).cast("double") / F.lit(float(CLF_SCALE))
+    resid = p - F.col("y")
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    cols = []
+    for j in range(4):
+        grad = F.round(
+            F.sum((resid * xs[j]).cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+        cols.append(
+            F.round(F.lit(w[j]) - F.lit(CLF_LR) * grad, 6).alias(f"w{j}")
+        )
+    return cols
+
+
+def _acc_cols(w: list[float]) -> list[F.Column]:
+    """Train-accuracy aggregate columns under weights ``w``."""
+    pk = _p_fx(_z(w))
+    return [
+        F.count_if(
+            (pk >= F.lit(CLF_HALF)) == (F.col("y") == F.lit(1.0))
+        ).alias("n_correct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+
+
+def train_weights(feats: DataFrame) -> list[float]:
+    """Run the CLF_ROUNDS batch-GD loop and return the final weights.
+
+    The scoring legs (text_quality_filter / text_source_quality_caps)
+    call this to obtain w{CLF_ROUNDS} before their single corpus scan —
+    the production shape is train-once / score-everything, so in a real
+    deployment these 4 slim aggregate jobs run once and the weights are
+    a stored artifact (the pq_train codebook-sidecar pattern); the
+    harness re-derives them per run for self-containedness."""
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(CLF_ROUNDS):
+        row = feats.agg(*_upd_cols(w)).collect()[0]
+        w = [row[f"w{j}"] for j in range(4)]
+    return w
 
 
 @register(
@@ -176,40 +251,183 @@ c{k} AS (
     " hash-pins the whole trajectory: per round, the ROUND(·,6) weights"
     " and the train accuracy under them.  Sigmoid outputs are fixed-point"
     " BIGINTs (lm.py discipline), so both engines walk byte-identical"
-    " weight paths.",
+    " weight paths.  Round k's single aggregate computes BOTH the"
+    " gradients under w{k-1} AND the train accuracy under w{k-1} —"
+    " the accuracy that fills round k-1's output row — so the loop runs"
+    " CLF_ROUNDS+1 jobs, not 2 per round (one trailing accuracy-only"
+    " aggregate scores the final weights).  Output values are identical"
+    " to the unfused loop: row k still reports accuracy under w{k}.",
 )
 def text_quality_classifier_train(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     feats = _feats(spark, sf_dir).transform(persist_tracked)
     w = [0.0, 0.0, 0.0, 0.0]
-    out: list[tuple] = []
+    weights: list[list[float]] = []
+    accs: list[tuple] = []
     for k in range(1, CLF_ROUNDS + 1):
-        p = _p_fx(_z(w)).cast("double") / F.lit(float(CLF_SCALE))
-        resid = p - F.col("y")
-        xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
-        def upd(j: int):
-            grad = F.round(
-                F.sum((resid * xs[j]).cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            )
-            return F.round(F.lit(w[j]) - F.lit(CLF_LR) * grad, 6).alias(
-                f"w{j}"
-            )
-
-        new_w = feats.agg(*[upd(j) for j in range(4)]).collect()[0]
-        w = [new_w[f"w{j}"] for j in range(4)]
-        pk = _p_fx(_z(w))
-        acc = feats.agg(
-            F.count_if(
-                (pk >= F.lit(CLF_HALF)) == (F.col("y") == F.lit(1.0))
-            ).alias("n_correct"),
-            F.count(F.lit(1)).alias("n_rows"),
-        ).collect()[0]
-        out.append((k, *w, acc["n_correct"], acc["n_rows"]))
+        row = feats.agg(*_upd_cols(w), *_acc_cols(w)).collect()[0]
+        # accuracy was evaluated under w{k-1} = the weights row k-1
+        # reported; round 1's accuracy under the all-zero w0 is not an
+        # output row (the ledger starts at w1).
+        if k > 1:
+            accs.append((row["n_correct"], row["n_rows"]))
+        w = [row[f"w{j}"] for j in range(4)]
+        weights.append(list(w))
+    final = feats.agg(*_acc_cols(w)).collect()[0]
+    accs.append((final["n_correct"], final["n_rows"]))
+    out = [
+        (k, *weights[k - 1], *accs[k - 1])
+        for k in range(1, CLF_ROUNDS + 1)
+    ]
     return spark.createDataFrame(
         out,
         "round int, w0 double, w1 double, w2 double, w3 double,"
         " n_correct bigint, n_rows bigint",
     ).orderBy(F.col("round").asc_nulls_first())
+
+
+# ---------------------------------------------------------------------------
+# Scoring legs: the filter that actually filters (FineWeb keeps score >= tau;
+# DCLM scores the whole corpus with the trained fastText filter) and the
+# RefinedWeb-style per-source cap against over-represented domains.
+# ---------------------------------------------------------------------------
+
+CAP_N = 5  # per-source keep budget for text_source_quality_caps
+
+_Z_W_SQL = "w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3"
+
+
+def _filter_oracle() -> str:
+    return (
+        _w_chain_sql(with_acc=False)
+        + f""",
+scored AS (
+  SELECT f.lang, {_p_fx_sql(_Z_W_SQL)} AS p_fx
+  FROM feats f, w{CLF_ROUNDS} w
+)
+SELECT lang,
+       CAST(p_fx >= {CLF_HALF} AS INTEGER) AS kept,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p_fx) AS BIGINT) AS sum_p_fx,
+       MIN(p_fx) AS min_p_fx,
+       MAX(p_fx) AS max_p_fx
+FROM scored
+GROUP BY lang, kept
+ORDER BY lang ASC NULLS FIRST, kept ASC NULLS FIRST
+"""
+    )
+
+
+@register(
+    "text_quality_filter",
+    oracle=_filter_oracle(),
+    doc="Quality-classifier SCORING leg: apply the trained round-"
+    f"{CLF_ROUNDS} weights (literals — the pq_train re-entry pattern;"
+    " production trains once and stores them) to EVERY document in one"
+    " row-local scan — per-doc fixed-point score p_fx and a kept/dropped"
+    " decision at p >= 0.5 (the FineWeb keep-if-score>=tau shape) —"
+    " then profile per (lang, kept): doc counts and exact BIGINT score"
+    " sums/extrema.  The scoring scan has no join and no exchange before"
+    " the profile aggregation (plan-pinned): at 100 TB this is the"
+    " cheapest possible corpus pass, a projection + map-side partial agg.",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _feats(spark, sf_dir).transform(persist_tracked)
+    w = train_weights(feats)
+    return (
+        feats.select(
+            "lang",
+            _p_fx(_z(w)).alias("p_fx"),
+        )
+        .withColumn("kept", (F.col("p_fx") >= F.lit(CLF_HALF)).cast("int"))
+        .groupBy("lang", "kept")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("p_fx").alias("sum_p_fx"),
+            F.min("p_fx").alias("min_p_fx"),
+            F.max("p_fx").alias("max_p_fx"),
+        )
+        .orderBy(
+            F.col("lang").asc_nulls_first(), F.col("kept").asc_nulls_first()
+        )
+    )
+
+
+def _caps_oracle() -> str:
+    return (
+        _w_chain_sql(with_acc=False)
+        + f""",
+scored AS (
+  SELECT f.source, f.doc_id, {_p_fx_sql(_Z_W_SQL)} AS p_fx
+  FROM feats f, w{CLF_ROUNDS} w
+),
+ranked AS (
+  SELECT source, doc_id, p_fx,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY p_fx DESC, doc_id ASC) AS rn
+  FROM scored
+),
+kept AS (
+  SELECT source,
+         COUNT(*) AS n_kept,
+         CAST(SUM(p_fx) AS BIGINT) AS sum_kept_p_fx,
+         MIN(p_fx) AS min_kept_p_fx
+  FROM ranked WHERE rn <= {CAP_N}
+  GROUP BY source
+),
+totals AS (SELECT source, COUNT(*) AS n_docs FROM scored GROUP BY source)
+SELECT t.source, t.n_docs, k.n_kept,
+       t.n_docs - k.n_kept AS n_dropped,
+       k.sum_kept_p_fx, k.min_kept_p_fx
+FROM totals t JOIN kept k ON t.source = k.source
+ORDER BY t.source ASC NULLS FIRST
+"""
+    )
+
+
+@register(
+    "text_source_quality_caps",
+    oracle=_caps_oracle(),
+    doc="RefinedWeb-style per-source quality cap: keep only the top"
+    f" {CAP_N} documents per source by trained quality score (score"
+    " DESC, doc_id tiebreak) — the standard guard against over-"
+    "represented domains — and report per-source kept/dropped stats."
+    " The rank-filter compiles to WindowGroupLimit (plan-pinned): a"
+    " BOUNDED per-source heap on both the map and reduce side of the"
+    " source shuffle, never a global sort and never a full per-group"
+    " sort, so at 100 TB a source with 10^9 docs still costs O(n) scan"
+    f" + O({CAP_N}) state.  Weights re-enter as literals (train-once /"
+    " score-everything; see text_quality_filter).",
+)
+def text_source_quality_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _feats(spark, sf_dir).transform(persist_tracked)
+    w = train_weights(feats)
+    scored = feats.select("source", "doc_id", _p_fx(_z(w)).alias("p_fx"))
+    win = Window.partitionBy("source").orderBy(
+        F.col("p_fx").desc(), F.col("doc_id").asc()
+    )
+    kept = (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= CAP_N)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("p_fx").alias("sum_kept_p_fx"),
+            F.min("p_fx").alias("min_kept_p_fx"),
+        )
+    )
+    totals = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        totals.join(kept, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            "sum_kept_p_fx",
+            "min_kept_p_fx",
+        )
+        .orderBy(F.col("source").asc_nulls_first())
+    )

@@ -1,0 +1,153 @@
+"""Seeded nearest-centroid domain labeler (DCLM-style domain mixing).
+
+DCLM and Dolma-class curation pipelines assign every document to a
+topical domain by nearest-centroid over embeddings, seeded from a small
+labeled set, then use the per-domain counts to steer the training
+mixture.  This operator is that assignment pass:
+
+1. **Seed centroids** — the deterministic seed subset (``vec_id % 7 = 0``,
+   ~1/7 of the corpus at any SF, covers all labels) is averaged per
+   label and dimension through DECIMAL(28,12) sums (order-free) with
+   ROUND(·,6) means — a k×dim frame (10×64 here) that is broadcast, the
+   sim_kmeans_iteration recompute shape.  Production computes this once
+   from the labeled seed set and stores it (the pq_train codebook
+   pattern); corpus size only enters through the seed scan.
+2. **Assignment** — every embedding crosses the BROADCAST centroid set
+   (k rows — no shuffle of the corpus) and takes its argmax-cosine
+   centroid as a partial-aggregatable struct-MIN on (negated rounded
+   cosine, label) — the r11 pqmath pattern: map-side combine collapses
+   the k candidate rows per vector to ONE before the exchange; a
+   row_number window would shuffle and sort all k.
+3. **Confusion profile** — per (true_label, pred_label) counts against
+   the fixture's label column: the mixing table plus a labeler-quality
+   diagnostic in one output.
+
+At 100 TB: step 2 is one corpus scan against a broadcast literal-sized
+centroid table with map-side pre-aggregation — the same plan at any
+scale; the confusion agg shuffles k² ≤ 100 rows.
+
+Cross-engine determinism: decimal-routed centroid means, cosines
+ROUND(·,6) before comparison, label-ascending tiebreak.
+
+Reference parity: SQL2ALL has no ML/embedding surface (658-line core
+delegates SQL to the attached DB — src/db/sqlite.rs:79); LLM-pipeline
+extension surface (SURVEY.md §2 extension table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql2all_spark.functions.embed import DIM, cosine, cosine_sql, dbl
+from sql2all_spark.registry import register
+from sql2all_spark.tables import load_table
+
+SEED_MOD = 7  # vec_id % SEED_MOD == 0 -> labeled seed row
+
+
+def _label_oracle() -> str:
+    cos = cosine_sql("v.v", "c.cv")
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sdims AS (
+  SELECT label,
+         UNNEST(range(1, {DIM} + 1)) AS dim,
+         UNNEST(v) AS val
+  FROM vecs WHERE vec_id % {SEED_MOD} = 0
+),
+cent AS (
+  SELECT label AS c_label, dim,
+         ROUND(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*),
+               6) AS m
+  FROM sdims GROUP BY label, dim
+),
+cvec AS (
+  SELECT c_label, list(m ORDER BY dim ASC) AS cv FROM cent GROUP BY c_label
+),
+assign AS (
+  SELECT v.vec_id, v.label, c.c_label,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND({cos}, 6) DESC, c.c_label ASC) AS rk
+  FROM vecs v CROSS JOIN cvec c
+)
+SELECT label AS true_label, c_label AS pred_label,
+       COUNT(*) AS n_vecs
+FROM assign WHERE rk = 1
+GROUP BY true_label, pred_label
+ORDER BY true_label ASC NULLS FIRST, pred_label ASC NULLS FIRST
+"""
+
+
+@register(
+    "embed_domain_label",
+    oracle=_label_oracle(),
+    doc="Seeded nearest-centroid domain labeler (DCLM-style): decimal-"
+    "mean centroids from the deterministic labeled seed subset"
+    f" (vec_id % {SEED_MOD} = 0, all labels covered), argmax-cosine"
+    " assignment of EVERY embedding as a broadcast-cross + struct-MIN"
+    " (no row_number argmin — map-side combine collapses the k candidate"
+    " rows per vector before the exchange), and the (true_label,"
+    " pred_label) confusion counts that drive domain mixing.  One corpus"
+    " scan against a broadcast k-row centroid table — the identical plan"
+    " at 100 TB.",
+)
+def embed_domain_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label", dbl(F.col("embedding")).alias("v"))
+    # per-(label, dim) decimal means over the seed subset, reassembled
+    # into a k-row centroid table (array_sort on (dim, m) structs fixes
+    # collect_list's order nondeterminism)
+    cvec = (
+        vecs.filter(F.col("vec_id") % SEED_MOD == 0)
+        .select("label", F.posexplode("v").alias("dim0", "val"))
+        .groupBy(F.col("label").alias("c_label"), F.col("dim0"))
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+        .groupBy("c_label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim0"), F.col("m")))
+                ),
+                lambda s: s.getField("m"),
+            ).alias("cv")
+        )
+    )
+    # struct-MIN argmax-cosine assignment (see sim_ivf_topk): negating
+    # the 6dp-rounded cosine turns (cos DESC, label ASC) into a plain
+    # lexicographic MIN with map-side combine
+    assigned = (
+        vecs.crossJoin(F.broadcast(cvec))
+        .withColumn("nc", -F.round(cosine(F.col("v"), F.col("cv")), 6))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("nc").alias("nc"),
+                    F.col("c_label").alias("c_label"),
+                    F.col("label").alias("label"),
+                )
+            ).alias("b")
+        )
+        .select(
+            F.col("b.label").alias("true_label"),
+            F.col("b.c_label").alias("pred_label"),
+        )
+    )
+    return (
+        assigned.groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy(
+            F.col("true_label").asc_nulls_first(),
+            F.col("pred_label").asc_nulls_first(),
+        )
+    )

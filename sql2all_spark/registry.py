@@ -28,19 +28,38 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # round-1-green joins/aggregates/windows/setops/asof_range rotate behind
 # (their green rows are on record; tools/check.py still covers them locally).
 _QUERY_MODULES = [
-    # Round-12 front window (positions 1-50; the arithmetic is ENFORCED
+    # Round-13 front window (positions 1-50; the arithmetic is ENFORCED
     # by tests/test_registry_window.py, not hand-counted here).  This
-    # round: the new/changed operators lead — ivfpq (3 r11 greens + the
-    # 2 NEW stored-index queries; the whole family re-attests because
-    # its sf1 rows were spliced after the late struct-MIN refactor,
-    # VERDICT r11 item 7), fuzzy (NEW Ed-Join), fusion (MMR fixed-point
-    # rework + RRF probe-exclusion changed result values) — then the
-    # r08-green udfs/aggregates/scalar_funcs + the windows stragglers,
-    # and the r09-green similarity/reservoir/range_search families
-    # (similarity carries the late-r11 struct-MIN refactor) fill the
-    # window to exactly 50.  The remaining r09 families (dedup / graph /
-    # multimodal / timeseries / tokenize / semdedup) rotate in r13.
+    # round: classifier leads (r12 train query re-attests post accuracy-
+    # pass fusion + the NEW text_quality_filter / text_source_quality_caps
+    # scoring legs), domain_label is NEW (seeded nearest-centroid labeler),
+    # then the 28 r09-green queries owed a slot since r12 (dedup / graph /
+    # semdedup / multimodal / reservoir / range_search / tokenize /
+    # timeseries families), and the oldest all-r10 modules (incremental,
+    # sampling, batch_twins, mm_cluster, ann_multiprobe, pq, retention,
+    # bpe_train) fill the window to exactly 50.
     "sql2all_spark.operators.classifier",
+    "sql2all_spark.operators.domain_label",
+    "sql2all_spark.operators.dedup",
+    "sql2all_spark.operators.graph",  # imports dedup (already registered)
+    "sql2all_spark.operators.semdedup",
+    "sql2all_spark.operators.multimodal",
+    "sql2all_spark.operators.mm_cluster",
+    "sql2all_spark.operators.reservoir",
+    "sql2all_spark.operators.range_search",
+    "sql2all_spark.operators.tokenize",
+    "sql2all_spark.operators.bpe_train",
+    "sql2all_spark.operators.timeseries",
+    "sql2all_spark.operators.retention",
+    "sql2all_spark.operators.incremental",
+    "sql2all_spark.operators.sampling",
+    "sql2all_spark.streaming.batch_twins",
+    "sql2all_spark.operators.ann_multiprobe",
+    "sql2all_spark.operators.pq",
+    # --- position > 50 from here: driver-green rows on record (ledger) ---
+    # ccnet/ivfpq/fuzzy/fusion and the r12 re-attested aggregate/window/
+    # similarity families rotate behind (green r12); tools/check.py still
+    # covers them locally and the full-tree gates run all 174.
     "sql2all_spark.operators.ccnet",
     "sql2all_spark.operators.ivfpq",
     "sql2all_spark.operators.fuzzy",
@@ -50,12 +69,6 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.scalar_funcs",
     "sql2all_spark.operators.windows",
     "sql2all_spark.operators.similarity",
-    # --- position > 50 from here: driver-green rows on record (ledger) ---
-    # reservoir + range_search (r09-green singles) rotated out mid-round
-    # to fit the two NEW queries (classifier + ccnet); they re-attest in
-    # r13 with the remaining r09 families.
-    "sql2all_spark.operators.reservoir",
-    "sql2all_spark.operators.range_search",
     "sql2all_spark.operators.pq_train",
     "sql2all_spark.operators.kfold",
     "sql2all_spark.operators.bitext",
@@ -73,28 +86,14 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.ann_batch",
     "sql2all_spark.operators.setops",
     "sql2all_spark.operators.retrieval",
-    "sql2all_spark.operators.ann_multiprobe",
-    "sql2all_spark.operators.pq",
-    "sql2all_spark.operators.mm_cluster",
     "sql2all_spark.operators.substring_dedup",
-    "sql2all_spark.operators.bpe_train",
     "sql2all_spark.operators.lm_trigram",  # registers lm's bigram too (import)
     "sql2all_spark.operators.lm",  # no-op: already registered via lm_trigram
     "sql2all_spark.operators.dsir",  # registers text's queries too (import)
     "sql2all_spark.operators.text",  # no-op: already registered via dsir
-    "sql2all_spark.operators.retention",
-    "sql2all_spark.operators.incremental",
     "sql2all_spark.operators.tpch",
     "sql2all_spark.operators.asof_range",
-    "sql2all_spark.streaming.batch_twins",
-    "sql2all_spark.operators.sampling",
     "sql2all_spark.operators.relational",
-    "sql2all_spark.operators.semdedup",
-    "sql2all_spark.operators.tokenize",
-    "sql2all_spark.operators.multimodal",
-    "sql2all_spark.operators.timeseries",
-    "sql2all_spark.operators.graph",  # imports dedup, which registers first
-    "sql2all_spark.operators.dedup",
 ]
 
 

@@ -129,3 +129,64 @@ def test_perplexity_buckets_partition_docs(spark, sf_dir):
         band = {r.bucket: (r.min_score, r.max_score) for r in rows}
         assert band["head"][1] <= band["middle"][0]
         assert band["middle"][1] <= band["tail"][0]
+
+
+def test_classifier_train_runs_fused_job_count(spark, sf_dir):
+    """Round k's single aggregate computes gradients AND the accuracy
+    that fills row k-1 (VERDICT r12 #6): the whole loop runs exactly
+    CLF_ROUNDS+1 jobs (CLF_ROUNDS fused aggregates + one trailing
+    accuracy-only pass for the final weights), not 2 per round."""
+    from sql2all_spark.operators.classifier import (
+        CLF_ROUNDS,
+        text_quality_classifier_train,
+    )
+    from sql2all_spark.tables import load_table
+
+    load_table(spark, sf_dir, "documents")
+    text_quality_classifier_train(spark, sf_dir)  # warm caches/footers
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup())
+    text_quality_classifier_train(spark, sf_dir)
+    ran = len(set(st.getJobIdsForGroup()) - before)
+    # AQE materializes each aggregate's shuffle stage as its own job, so
+    # one collect = up to 2 jobs; the fused loop runs CLF_ROUNDS+1
+    # collects <= 10 jobs, while the unfused loop's 2*CLF_ROUNDS collects
+    # ran 16 — the bound separates the two shapes under either AQE mode.
+    assert ran <= 2 * (CLF_ROUNDS + 1), (
+        f"expected <= {2 * (CLF_ROUNDS + 1)} jobs"
+        f" ({CLF_ROUNDS + 1} collects), ran {ran}"
+    )
+
+
+def test_quality_filter_partitions_corpus(spark, sf_dir, duck):
+    """kept/dropped is a partition of documents and the fixed-point
+    threshold is honored on both sides of the cut."""
+    from sql2all_spark.operators.classifier import CLF_HALF, text_quality_filter
+
+    rows = text_quality_filter(spark, sf_dir).collect()
+    total = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        if r.kept == 1:
+            assert r.min_p_fx >= CLF_HALF
+        else:
+            assert r.max_p_fx < CLF_HALF
+    # the filter actually filters: both classes exist corpus-wide
+    kinds = {r.kept for r in rows}
+    assert kinds == {0, 1}, kinds
+
+
+def test_source_caps_bounded_and_consistent(spark, sf_dir, duck):
+    """Every source appears, keeps at most CAP_N docs, and the
+    kept/dropped ledger adds up."""
+    from sql2all_spark.operators.classifier import CAP_N, text_source_quality_caps
+
+    rows = text_source_quality_caps(spark, sf_dir).collect()
+    n_sources = duck.execute(
+        "SELECT COUNT(DISTINCT source) FROM documents"
+    ).fetchone()[0]
+    assert len(rows) == n_sources
+    for r in rows:
+        assert 1 <= r.n_kept <= CAP_N
+        assert r.n_docs == r.n_kept + r.n_dropped
+        assert r.n_dropped >= 0

@@ -1173,3 +1173,45 @@ def test_approx_quantiles_has_no_value_buffering_aggregate(spark, sf_dir):
     assert "count_if" in plan or "count(if" in plan.lower()
     assert "BroadcastExchange" in plan  # 1-row estimates onto the scan
     assert plan.count("HashAggregate") >= 4  # partial+final for both passes
+
+
+def test_quality_filter_scoring_scan_is_join_free_single_exchange(spark, sf_dir):
+    """The scoring leg is the cheapest possible corpus pass (VERDICT r12
+    #2): literal weights -> one column-pruned scan of the persisted
+    feature frame, partial+final aggregate around ONE hash exchange, no
+    join anywhere (the only other exchange is the tiny output sort)."""
+    plan = _plan(spark, sf_dir, "text_quality_filter")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    # the scoring scan reads only (lang, x1..x3) from the cached feats —
+    # never text / doc_id / source
+    seg = [
+        s[:80] for s in plan.split("InMemoryTableScan [")[1:] if "x1" in s[:80]
+    ]
+    assert seg, "scoring should scan the persisted feature frame"
+    assert all("text" not in s and "doc_id" not in s for s in seg), seg
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+
+
+def test_source_caps_plan_uses_window_group_limit(spark, sf_dir):
+    """The per-source cap compiles to WindowGroupLimit (VERDICT r12 #3):
+    a bounded heap on both sides of the source shuffle — never a global
+    sort of the scored corpus, never a full per-group sort."""
+    plan = _plan(spark, sf_dir, "text_source_quality_caps")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    # totals agg + the window's source partitioning — nothing else
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "rn" in plan and "row_number" in plan
+
+
+def test_domain_label_is_struct_min_over_broadcast_centroids(spark, sf_dir):
+    """Assignment is the struct-MIN pattern (VERDICT r12 #5): the corpus
+    crosses a BROADCAST k-row centroid table and collapses map-side via
+    partial_min(struct(...)) — no row_number window, no cartesian, no
+    shuffle of the embeddings before the per-vector combine."""
+    plan = _plan(spark, sf_dir, "embed_domain_label")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "row_number" not in plan and "windowspecdefinition" not in plan
+    assert "partial_min(struct" in plan  # map-side combine

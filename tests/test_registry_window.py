@@ -28,71 +28,70 @@ REPO = Path(__file__).resolve().parent.parent
 
 # Queries the CURRENT round explicitly rotated into the window — update
 # this set each round alongside registry._QUERY_MODULES (the per-round
-# rotation contract; prior rounds' sets live in git history).  Round 12:
-# the new/changed operators lead — the GD classifier loop + CCNet
-# perplexity buckets (NEW mid-round), the 2 stored-IVFPQ queries, the
-# Ed-Join fuzzy join, and fusion's 2 (MMR fixed-point rework + RRF
-# probe-exclusion changed values); the whole ivfpq family re-attests
-# (its sf1 gate rows were spliced after the late struct-MIN refactor,
-# VERDICT r11 item 7).  Then the r08-green udfs/aggregates/scalar_funcs
-# + windows stragglers and the r09-green similarity family (which
-# carries the late-r11 struct-MIN refactor) fill the window to exactly
-# 50; the two new queries displaced the r09-green reservoir +
-# range_search singles to r13, where the remaining r09 families
-# (dedup/graph/multimodal/timeseries/tokenize/semdedup) also rotate.
+# rotation contract; prior rounds' sets live in git history).  Round 13:
+# the NEW operators lead — the quality-filter scoring leg + per-source
+# caps (classifier module; the r12 train query re-attests because the
+# accuracy-pass fusion changed its ledger construction) and the seeded
+# nearest-centroid domain labeler (domain_label, NEW module) — then the
+# 28 r09-green queries owed a slot since r12 (dedup / graph / semdedup /
+# multimodal / reservoir / range_search / tokenize / timeseries), and
+# the oldest all-r10 modules (incremental, sampling, batch_twins,
+# mm_cluster, ann_multiprobe, pq, retention, bpe_train) fill the window
+# to exactly 50.
 ROTATION_TARGETS = {
     # new or value-changed this round (never attested in current form)
+    "text_quality_filter",
+    "text_source_quality_caps",
+    "embed_domain_label",
     "text_quality_classifier_train",
-    "text_perplexity_buckets",
-    "sim_ivfpq_indexed_query",
-    "sim_ivfpq_index_refresh",
-    "dedup_fuzzy_editdist",
-    "sim_mmr_diversify",
-    "sim_hybrid_rrf",
-    # spliced-family re-attestation (VERDICT r11 item 7)
-    "sim_ivfpq_topk",
-    "sim_ivf_batch_multiprobe",
-    "sim_ivfpq_residual_topk",
-    # newest green row r08
-    "udaf_zscore_group",
-    "udtf_sentence_split",
-    "agg_having",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_cube_grouping",
-    "agg_stats_moments",
-    "agg_corr_moments",
-    "agg_percentile_minmax",
-    "agg_string_agg",
-    "agg_approx_count_distinct",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_unpivot",
-    "agg_hll_sketch_rollup",
-    "agg_approx_quantiles",
-    "func_array_family",
-    "func_string_family",
-    "func_date_family",
-    "func_math_family",
-    "func_json_family",
-    "func_struct_map",
-    "func_variant_json",
-    "func_regexp_family",
-    "window_running_frame",
-    "window_range_frame",
-    "window_topk_per_group",
-    "window_distribution_ranks",
-    # newest green row r09 (similarity carries the struct-MIN refactor)
-    "sim_topk_bruteforce",
-    "sim_lsh_ann",
-    "sim_lsh_ann_indexed",
-    "sim_ann_index_refresh",
-    "sim_ivf_topk",
-    "sim_kmeans_iteration",
-    "sim_neardup_pairs",
-    "sim_doc_retrieval",
-    "sim_embed_quantize",
-    "sim_ann_recall",
+    # newest green row r09
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_incremental_screen",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "dedup_simhash",
+    "graph_pagerank_suppliers",
+    "mm_audio_energy",
+    "mm_binary_metadata",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_phash_neardup",
+    "mm_resize",
+    "sample_reservoir_weighted",
+    "sim_range_search",
+    "text_bpe_encode",
+    "text_bpe_merge_mine",
+    "text_length_buckets",
+    "text_vocab_coverage",
+    "ts_anomaly_zscore",
+    "ts_funnel_conversion",
+    "ts_gap_fill",
+    "ts_minmax_decimate",
+    "ts_rollup_hierarchy",
+    "ts_sessionize",
+    # newest green row r10 (whole-module fillers)
+    "change_capture_diff",
+    "incremental_file_compaction",
+    "merge_upsert",
+    "scd2_apply_changes",
+    "sample_hash_deterministic",
+    "sample_split_assign",
+    "sample_stratified_cap",
+    "sample_temperature_mix",
+    "sample_weighted_mix",
+    "stream_dedup_watermark",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_tumbling_window",
+    "mm_phash_clusters",
+    "sim_ann_multiprobe",
+    "sim_pq_adc_topk",
+    "ts_retention_cohorts",
+    "text_bpe_train",
 }
 
 

@@ -33,11 +33,12 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from pathlib import Path
 
 import numpy as np
 import pyarrow.parquet as pq
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 TOPK = 10
 
@@ -87,6 +88,12 @@ def main() -> None:
     ap.add_argument("--dir", required=True)
     ap.add_argument("--tag", required=True)
     ap.add_argument("--nprobes", default="1,2,4")
+    ap.add_argument(
+        "--shortlists",
+        default=None,
+        help="comma list of IVFPQ_SHORTLIST values to sweep (the ADC"
+        " R-vs-recall curve, VERDICT r12 #4); default: the pinned R only",
+    )
     args = ap.parse_args()
     nprobes = [int(x) for x in args.nprobes.split(",")]
 
@@ -108,32 +115,52 @@ def main() -> None:
         .appName("ann_quality")
         .getOrCreate()
     )
+    import sql2all_spark.operators.ivfpq as ivfpq_mod
+
+    shortlists = (
+        [int(x) for x in args.shortlists.split(",")]
+        if args.shortlists
+        else [ivfpq_mod.IVFPQ_SHORTLIST]
+    )
+    pinned_r = ivfpq_mod.IVFPQ_SHORTLIST
     rows = []
-    for np_ in nprobes:
-        for variant, impl in (
-            ("raw", ivfpq_topk_impl),
-            ("residual", ivfpq_residual_impl),
-        ):
-            got = {
-                r.vec_id for r in impl(spark, args.dir, np_).collect()
-            }
-            rows.append(
-                {
-                    "tag": args.tag,
-                    "variant": variant,
-                    "nprobe": np_,
-                    "recall_at_10": len(got & exact10),
-                    "routing_ceiling": ceilings[np_],
-                }
-            )
-            print(json.dumps(rows[-1]))
+    try:
+        for r_short in shortlists:
+            # the impls read the module global at call time; the registered
+            # queries' oracles were f-string-baked at import and are not
+            # touched by this sweep
+            ivfpq_mod.IVFPQ_SHORTLIST = r_short
+            for np_ in nprobes:
+                for variant, impl in (
+                    ("raw", ivfpq_topk_impl),
+                    ("residual", ivfpq_residual_impl),
+                ):
+                    got = {
+                        r.vec_id for r in impl(spark, args.dir, np_).collect()
+                    }
+                    rows.append(
+                        {
+                            "tag": args.tag,
+                            "variant": variant,
+                            "nprobe": np_,
+                            "shortlist_r": r_short,
+                            "recall_at_10": len(got & exact10),
+                            "routing_ceiling": ceilings[np_],
+                        }
+                    )
+                    print(json.dumps(rows[-1]))
+    finally:
+        ivfpq_mod.IVFPQ_SHORTLIST = pinned_r
     spark.stop()
 
-    print(f"\n| fixture | variant | nprobe | recall@10 | routing ceiling |")
-    print("|---|---|---|---|---|")
+    print(
+        "\n| fixture | variant | nprobe | R | recall@10 | routing ceiling |"
+    )
+    print("|---|---|---|---|---|---|")
     for r in rows:
         print(
             f"| {r['tag']} | {r['variant']} | {r['nprobe']}"
+            f" | {r['shortlist_r']}"
             f" | {r['recall_at_10']}/10 | {r['routing_ceiling']}/10 |"
         )
 
