@@ -83,7 +83,9 @@ HEADLINE = [
     # round-13 additions
     "text_quality_filter",
     "text_source_quality_caps",
+    "text_quality_calibration",
     "embed_domain_label",
+    "embed_domain_mix_weights",
 ]
 
 

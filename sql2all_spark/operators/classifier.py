@@ -431,3 +431,63 @@ def text_source_quality_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("source").asc_nulls_first())
     )
+
+
+N_CAL_BANDS = 10  # fixed-width score bands for the calibration profile
+
+
+def _cal_oracle() -> str:
+    return (
+        _w_chain_sql(with_acc=False)
+        + f""",
+scored AS (
+  SELECT f.y, {_p_fx_sql(_Z_W_SQL)} AS p_fx
+  FROM feats f, w{CLF_ROUNDS} w
+)
+SELECT CAST(LEAST(p_fx * {N_CAL_BANDS} // {CLF_SCALE},
+                  {N_CAL_BANDS - 1}) AS INT) AS band,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+       CAST(SUM(p_fx) AS BIGINT) AS sum_p_fx
+FROM scored
+GROUP BY band
+ORDER BY band ASC NULLS FIRST
+"""
+    )
+
+
+@register(
+    "text_quality_calibration",
+    oracle=_cal_oracle(),
+    doc="Classifier calibration profile (reliability diagram): bucket"
+    f" every document's fixed-point score into {N_CAL_BANDS} FIXED-WIDTH"
+    " bands (row-local integer floor-divide — NOT a rank NTILE, which"
+    " would globally sort the corpus) and emit per-band doc count,"
+    " positive-gold count, and exact score sum.  n_pos/n_docs vs"
+    " sum_p_fx/(n_docs*SCALE) per band is the calibration curve / ECE"
+    " input a filter-tuning run reads before choosing tau.  One"
+    " column-pruned scan + a <=10-group aggregate: the identical plan"
+    " at 100 TB.",
+)
+def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _feats(spark, sf_dir).transform(persist_tracked)
+    w = train_weights(feats)
+    p = _p_fx(_z(w))
+    band = F.least(
+        (p * N_CAL_BANDS / F.lit(CLF_SCALE)).cast("long"),
+        F.lit(N_CAL_BANDS - 1),
+    ).cast("int")
+    return (
+        feats.select(
+            band.alias("band"),
+            F.col("y"),
+            p.alias("p_fx"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("y").cast("long")).alias("n_pos"),
+            F.sum("p_fx").alias("sum_p_fx"),
+        )
+        .orderBy(F.col("band").asc_nulls_first())
+    )

@@ -151,3 +151,136 @@ def embed_domain_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pred_label").asc_nulls_first(),
         )
     )
+
+
+MIX_SCALE = 1_000_000  # fixed-point scale for resampling weights
+
+
+def _mix_oracle() -> str:
+    cos = cosine_sql("v.v", "c.cv")
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sdims AS (
+  SELECT label,
+         UNNEST(range(1, {DIM} + 1)) AS dim,
+         UNNEST(v) AS val
+  FROM vecs WHERE vec_id % {SEED_MOD} = 0
+),
+cent AS (
+  SELECT label AS c_label, dim,
+         ROUND(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*),
+               6) AS m
+  FROM sdims GROUP BY label, dim
+),
+cvec AS (
+  SELECT c_label, list(m ORDER BY dim ASC) AS cv FROM cent GROUP BY c_label
+),
+assign AS (
+  SELECT v.vec_id, c.c_label,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND({cos}, 6) DESC, c.c_label ASC) AS rk
+  FROM vecs v CROSS JOIN cvec c
+),
+counts AS (
+  SELECT c_label AS domain, COUNT(*) AS n_vecs
+  FROM assign WHERE rk = 1 GROUP BY c_label
+),
+tot AS (
+  SELECT SUM(n_vecs) AS n_total,
+         COUNT(*) AS n_domains
+  FROM counts
+)
+SELECT c.domain, c.n_vecs,
+       CAST(FLOOR({MIX_SCALE}.0 * (CAST(t.n_total AS DOUBLE)
+                                   / t.n_domains) / c.n_vecs + 0.5)
+            AS BIGINT) AS weight_fx,
+       CAST(FLOOR(c.n_vecs
+                  * (FLOOR({MIX_SCALE}.0 * (CAST(t.n_total AS DOUBLE)
+                                            / t.n_domains) / c.n_vecs + 0.5)
+                     / {MIX_SCALE}.0) + 0.5)
+            AS BIGINT) AS n_after
+FROM counts c, tot t
+ORDER BY c.domain ASC NULLS FIRST
+"""
+
+
+@register(
+    "embed_domain_mix_weights",
+    oracle=_mix_oracle(),
+    doc="DoReMi-lite domain resampling weights: run the seeded nearest-"
+    "centroid assignment (see embed_domain_label), count per domain, and"
+    " emit each domain's fixed-point resampling weight toward the UNIFORM"
+    " target mixture — weight_fx = round(SCALE * (total/k) / n_domain) —"
+    " plus the expected post-resample count.  The weight table (k rows)"
+    " is what a mixing run broadcasts against the corpus; an"
+    " over-represented domain gets weight < 1, a rare one > 1"
+    " (temperature/target-share variants swap the numerator).  Same"
+    " single broadcast-cross + struct-MIN corpus scan as the labeler,"
+    " then a k-row aggregate — fixed-point arithmetic end to end.",
+)
+def embed_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label", dbl(F.col("embedding")).alias("v"))
+    cvec = (
+        vecs.filter(F.col("vec_id") % SEED_MOD == 0)
+        .select("label", F.posexplode("v").alias("dim0", "val"))
+        .groupBy(F.col("label").alias("c_label"), F.col("dim0"))
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+        .groupBy("c_label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim0"), F.col("m")))
+                ),
+                lambda s: s.getField("m"),
+            ).alias("cv")
+        )
+    )
+    counts = (
+        vecs.crossJoin(F.broadcast(cvec))
+        .withColumn("nc", -F.round(cosine(F.col("v"), F.col("cv")), 6))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(F.col("nc").alias("nc"), F.col("c_label").alias("c_label"))
+            ).alias("b")
+        )
+        .groupBy(F.col("b.c_label").alias("domain"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    tot = counts.agg(
+        F.sum("n_vecs").alias("n_total"),
+        F.count(F.lit(1)).alias("n_domains"),
+    )
+    w_fx = F.floor(
+        F.lit(float(MIX_SCALE))
+        * (F.col("n_total").cast("double") / F.col("n_domains"))
+        / F.col("n_vecs")
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("weight_fx", w_fx)
+        .select(
+            "domain",
+            "n_vecs",
+            "weight_fx",
+            F.floor(
+                F.col("n_vecs")
+                * (F.col("weight_fx") / F.lit(float(MIX_SCALE)))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("n_after"),
+        )
+        .orderBy(F.col("domain").asc_nulls_first())
+    )

@@ -190,3 +190,29 @@ def test_source_caps_bounded_and_consistent(spark, sf_dir, duck):
         assert 1 <= r.n_kept <= CAP_N
         assert r.n_docs == r.n_kept + r.n_dropped
         assert r.n_dropped >= 0
+
+
+def test_calibration_bands_tile_and_track_gold(spark, sf_dir, duck):
+    """The band profile partitions the corpus, respects band arithmetic,
+    and the top band is purer than the bottom (the classifier learned,
+    so calibration must slope upward end to end)."""
+    from sql2all_spark.operators.classifier import (
+        CLF_SCALE,
+        N_CAL_BANDS,
+        text_quality_calibration,
+    )
+
+    rows = text_quality_calibration(spark, sf_dir).collect()
+    total = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert 0 <= r.band < N_CAL_BANDS
+        assert 0 <= r.n_pos <= r.n_docs
+        # mean score lies inside the band's [lo, hi) range (modulo the
+        # top band absorbing p_fx == SCALE)
+        lo = r.band * CLF_SCALE // N_CAL_BANDS
+        hi = (r.band + 1) * CLF_SCALE // N_CAL_BANDS
+        mean_p = r.sum_p_fx / r.n_docs
+        assert lo <= mean_p <= (CLF_SCALE if r.band == N_CAL_BANDS - 1 else hi)
+    first, last = rows[0], rows[-1]
+    assert last.n_pos / last.n_docs > first.n_pos / first.n_docs

@@ -1215,3 +1215,25 @@ def test_domain_label_is_struct_min_over_broadcast_centroids(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "row_number" not in plan and "windowspecdefinition" not in plan
     assert "partial_min(struct" in plan  # map-side combine
+
+
+def test_calibration_is_one_scan_no_join(spark, sf_dir):
+    """Fixed-width score bands are a row-local floor-divide, NOT a rank
+    NTILE: the profile is one pruned scan + partial/final aggregate with
+    no join and no window (a global sort of the corpus would appear here
+    if anyone swaps bands for NTILE)."""
+    plan = _plan(spark, sf_dir, "text_quality_calibration")
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_domain_mix_weights_struct_min_and_broadcast_total(spark, sf_dir):
+    """Mix weights reuse the labeler's broadcast-cross + struct-MIN scan;
+    the k-row totals attach as a broadcast, never a shuffle of counts."""
+    plan = _plan(spark, sf_dir, "embed_domain_mix_weights")
+    assert "row_number" not in plan and "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_min(struct" in plan

@@ -36,13 +36,16 @@ REPO = Path(__file__).resolve().parent.parent
 # 28 r09-green queries owed a slot since r12 (dedup / graph / semdedup /
 # multimodal / reservoir / range_search / tokenize / timeseries), and
 # the oldest all-r10 modules (incremental, sampling, batch_twins,
-# mm_cluster, ann_multiprobe, pq, retention, bpe_train) fill the window
-# to exactly 50.
+# mm_cluster, retention, bpe_train) fill the window to exactly 50 —
+# the ann_multiprobe + pq r10 singles were displaced mid-round by the
+# two late NEW queries (calibration + mix weights).
 ROTATION_TARGETS = {
     # new or value-changed this round (never attested in current form)
     "text_quality_filter",
     "text_source_quality_caps",
+    "text_quality_calibration",
     "embed_domain_label",
+    "embed_domain_mix_weights",
     "text_quality_classifier_train",
     # newest green row r09
     "dedup_clusters",
@@ -88,8 +91,6 @@ ROTATION_TARGETS = {
     "stream_sliding_window",
     "stream_tumbling_window",
     "mm_phash_clusters",
-    "sim_ann_multiprobe",
-    "sim_pq_adc_topk",
     "ts_retention_cohorts",
     "text_bpe_train",
 }
