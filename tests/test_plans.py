@@ -379,6 +379,22 @@ def test_dup_ngram_spans_inverted_index_slim_shuffles(spark, sf_dir):
         assert "text#" not in head and "w#" not in head
 
 
+def test_ngram_novelty_no_gram_join_back_no_expand(spark, sf_dir):
+    """text_ngram_novelty's scale shape: uniqueness is the min/max-doc
+    partial agg over the persisted gram table with NO join back to it
+    (novel counts re-group by the surviving MIN(doc_id)), there is no
+    distinct-count Expand, and only slim (doc_id, hash) rows cross the
+    exchanges — text and token arrays stay in the scan stage."""
+    plan = _plan(spark, sf_dir, "text_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Expand" not in plan  # DISTINCT is partial-agg, not expand
+    assert "InMemoryRelation" in plan  # gram table computed once
+    for seg in plan.split("Exchange ")[1:]:
+        head = seg[:200]
+        assert "text#" not in head and "w#" not in head
+
+
 def test_tpch_q5_region_prunes_before_facts(spark, sf_dir):
     """tpch_q5's scale shape: the region restriction reaches the parquet
     scans (region pushed, and nation/supplier shrink via broadcast joins

@@ -41,6 +41,7 @@ REPO = Path(__file__).resolve().parent.parent
 # two late NEW queries (calibration + mix weights).
 ROTATION_TARGETS = {
     # new or value-changed this round (never attested in current form)
+    "text_ngram_novelty",
     "text_quality_filter",
     "text_source_quality_caps",
     "text_quality_calibration",
@@ -86,7 +87,6 @@ ROTATION_TARGETS = {
     "sample_stratified_cap",
     "sample_temperature_mix",
     "sample_weighted_mix",
-    "stream_dedup_watermark",
     "stream_session_window",
     "stream_sliding_window",
     "stream_tumbling_window",
