@@ -1,0 +1,277 @@
+"""SentencePiece-style unigram-LM tokenizer: seed vocabulary + ONE hard-EM
+round (Kudo 2018, "Subword Regularization"; the unigram counterpart of
+``operators/bpe_train.py``'s merge loop).
+
+Semantics (both engines, bit-identical):
+
+1. **Word counts** — whitespace words (length <= ``SP_WORD_MAX``) with
+   corpus frequencies; the EM round runs over DISTINCT words weighted by
+   count — the SentencePiece trick that makes training cost a function of
+   vocabulary size, not corpus size.
+2. **Seed pieces** — every substring of length 1..``SP_PIECE_MAX`` of each
+   distinct word, seed frequency = count-weighted occurrence sum.  The
+   vocabulary keeps the top-``SP_VOCAB`` pieces by (freq DESC, piece ASC)
+   UNION all single characters — singles guarantee every word segments
+   (OOV characters are impossible: singles derive from the same words).
+3. **Piece costs** — fixed-point BIGINTs ``FLOOR(1e6 * -ln(f/total) + 0.5)``
+   over the selected vocabulary (the ``functions/unigram_lm.py``
+   discipline), so path costs are exact integer sums in both engines.
+4. **E-step (Viterbi)** — per distinct word, the segmentation minimising
+   ``(total_cost, seg_string)``; the segmentation string carries a
+   trailing ``0x7f`` separator after every piece, which sorts ABOVE all
+   ASCII word characters, so the lexicographic tie-break prefers fewer /
+   longer pieces (SentencePiece's longest-match intuition).  The key has
+   optimal substructure: costs are additive, and two distinct partial
+   segmentations of the same prefix can never be string-prefixes of each
+   other (both contain exactly the same word characters; a prefix
+   relation would force two consecutive separators), so the first
+   differing byte is decided inside the shorter partial — Viterbi's
+   exchange argument goes through for the pair.
+5. **M-step** — count-weighted piece occurrences over the Viterbi
+   segmentations: ``em_count = SUM(word_count * uses_in_word)`` plus the
+   number of distinct words using each piece; top-``SP_TOP`` by
+   (em_count DESC, piece ASC).
+
+Scale shape: the corpus is touched ONCE (word counts — a slim
+partial-aggregated (word, count) exchange); everything downstream runs
+over the BOUNDED distinct-word and piece tables.  The E-step is an
+Arrow-batched pandas UDF over distinct words with the piece-cost table
+collected to the driver (<= ``SP_VOCAB`` + alphabet rows — the PQ
+codebook precedent for bounded collects); per-word DP is row-local, so
+the UDF stage is embarrassingly parallel and shuffle-free.  The oracle
+unrolls the same DP as ``SP_WORD_MAX`` chained SQL CTEs (one per word
+position, best-per-word via ROW_NUMBER) — pure SQL, no recursion, no
+Python on the DuckDB side.
+
+Reference parity note: SQL2ALL has no tokenizer surface (its SQL passes
+through verbatim — src/db/sqlite.rs:79); this belongs to the
+LLM-pipeline extension family (SURVEY.md §2), sibling of
+``text_bpe_train``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from sql2all_spark.cache import persist_tracked
+from sql2all_spark.registry import register
+from sql2all_spark.tables import load_table
+
+SP_PIECE_MAX = 4  # max piece length (seed substrings)
+SP_WORD_MAX = 12  # words longer than this skip the EM round (both engines)
+SP_VOCAB = 64  # seed vocabulary cut (singles always added back)
+SP_TOP = 50  # output rows
+SP_SCALE = 1_000_000  # fixed-point -ln p scale (unigram_lm discipline)
+_SEP = "\x7f"  # sorts above every ASCII word char -> fewer-pieces tie-break
+
+
+def _viterbi_series(words: pd.Series, costs: dict[str, int]) -> pd.Series:
+    """Per-word Viterbi under integer piece costs; key = (cost, seg)."""
+
+    def seg_one(word: str) -> str:
+        best: list[tuple[int, str] | None] = [(0, "")] + [None] * len(word)
+        for i in range(1, len(word) + 1):
+            cand = None
+            for j in range(max(0, i - SP_PIECE_MAX), i):
+                prev = best[j]
+                if prev is None:
+                    continue
+                piece = word[j:i]
+                c = costs.get(piece)
+                if c is None:
+                    continue
+                k = (prev[0] + c, prev[1] + piece + _SEP)
+                if cand is None or k < cand:
+                    cand = k
+            best[i] = cand
+        final = best[len(word)]
+        # singles from the same words make every word segmentable
+        assert final is not None, word
+        return final[1]
+
+    return words.map(seg_one)
+
+
+def _sp_oracle() -> str:
+    """Unrolled-DP DuckDB twin: one CTE per word position 1..SP_WORD_MAX."""
+    dps = []
+    for i in range(1, SP_WORD_MAX + 1):
+        branches = []
+        for j in range(max(0, i - SP_PIECE_MAX), i):
+            branches.append(f"""
+      SELECT d.word,
+             d.cost + v.cost AS cost,
+             d.seg || v.piece || chr(127) AS seg
+      FROM dp{j} d JOIN vc v ON v.piece = substr(d.word, {j + 1}, {i - j})
+      WHERE LENGTH(d.word) >= {i}""")
+        union = "\n      UNION ALL".join(branches)
+        # MATERIALIZED: each dp CTE is referenced by up to SP_PIECE_MAX
+        # later CTEs — default inlining would expand the chain
+        # exponentially (4^12 scans of documents -> "too many open files")
+        dps.append(f"""dp{i} AS MATERIALIZED (
+  SELECT word, cost, seg FROM (
+    SELECT word, cost, seg,
+           ROW_NUMBER() OVER (PARTITION BY word
+                              ORDER BY cost ASC, seg ASC) AS rn
+    FROM ({union})
+  ) WHERE rn = 1
+)""")
+    finals = "\n  UNION ALL ".join(
+        f"SELECT word, seg FROM dp{i} WHERE LENGTH(word) = {i}"
+        for i in range(1, SP_WORD_MAX + 1)
+    )
+    dp_ctes = ",\n".join(dps)
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' AND LENGTH(w) <= {SP_WORD_MAX}
+  GROUP BY w
+),
+pieces AS (
+  SELECT substr(word, CAST(i AS INT), CAST(L AS INT)) AS piece,
+         CAST(SUM(c) AS BIGINT) AS f
+  FROM words,
+       UNNEST(range(1, LENGTH(word) + 1)) t1(i),
+       UNNEST(range(1, {SP_PIECE_MAX + 1})) t2(L)
+  WHERE CAST(i AS INT) + CAST(L AS INT) - 1 <= LENGTH(word)
+  GROUP BY 1
+),
+vocab AS (
+  SELECT piece, f FROM (
+    SELECT piece, f FROM pieces
+    ORDER BY f DESC NULLS LAST, piece ASC NULLS FIRST LIMIT {SP_VOCAB}
+  )
+  UNION
+  SELECT piece, f FROM pieces WHERE LENGTH(piece) = 1
+),
+tot AS (SELECT CAST(SUM(f) AS DOUBLE) AS t FROM vocab),
+vc AS MATERIALIZED (
+  SELECT piece,
+         CAST(FLOOR({SP_SCALE}.0 * -LN(CAST(f AS DOUBLE) / t) + 0.5)
+              AS BIGINT) AS cost
+  FROM vocab, tot
+),
+dp0 AS (SELECT word, CAST(0 AS BIGINT) AS cost, '' AS seg FROM words),
+{dp_ctes},
+final AS (
+  {finals}
+),
+wp AS (
+  SELECT word, piece, CAST(COUNT(*) AS BIGINT) AS k
+  FROM (SELECT word, UNNEST(string_split(seg, chr(127))) AS piece FROM final)
+  WHERE piece <> ''
+  GROUP BY word, piece
+),
+em AS (
+  SELECT piece,
+         CAST(SUM(k * c) AS BIGINT) AS em_count,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM wp JOIN words USING (word)
+  GROUP BY piece
+)
+SELECT em.piece, em.em_count, em.n_words, vc.cost AS seed_cost
+FROM em JOIN vc ON vc.piece = em.piece
+ORDER BY em.em_count DESC NULLS LAST, em.piece ASC NULLS FIRST
+LIMIT {SP_TOP}
+"""
+
+
+@register(
+    "text_sp_unigram_em",
+    oracle=_sp_oracle(),
+    doc=f"SentencePiece-style unigram tokenizer EM round (Kudo 2018):"
+    f" substring seed vocabulary (top-{SP_VOCAB} by count-weighted"
+    " frequency + all single characters), fixed-point piece costs, one"
+    " hard-EM round — Viterbi segmentation of every distinct word"
+    " (deterministic (cost, seg) key; the 0x7f separator makes the"
+    " tie-break prefer fewer pieces), then count-weighted M-step piece"
+    f" counts; top-{SP_TOP} pieces out.  Scale shape: ONE slim corpus"
+    " exchange (word counts); the E-step is an Arrow-batched pandas UDF"
+    " over DISTINCT words with the bounded piece-cost table closed over"
+    " from the driver (PQ-codebook precedent) — row-local, shuffle-free;"
+    " the oracle unrolls the identical DP as chained SQL CTEs.",
+)
+def text_sp_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= SP_WORD_MAX))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(persist_tracked)
+    )
+    pieces = (
+        words.select(
+            "word",
+            "c",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+        )
+        .select(
+            "word",
+            "c",
+            "i",
+            F.explode(F.sequence(F.lit(1), F.lit(SP_PIECE_MAX))).alias("L"),
+        )
+        .filter(F.col("i") + F.col("L") - 1 <= F.length("word"))
+        .select(
+            F.substring(F.col("word"), F.col("i"), F.col("L")).alias("piece"),
+            "c",
+        )
+        .groupBy("piece")
+        .agg(F.sum("c").cast("long").alias("f"))
+        .transform(persist_tracked)
+    )
+    top = pieces.orderBy(
+        F.col("f").desc_nulls_last(), F.col("piece").asc_nulls_first()
+    ).limit(SP_VOCAB)
+    singles = pieces.filter(F.length("piece") == 1)
+    vocab = top.union(singles).distinct()
+    tot = vocab.agg(F.sum("f").cast("double").alias("t"))
+    vc = vocab.join(F.broadcast(tot), F.lit(True)).select(
+        "piece",
+        F.floor(
+            F.lit(float(SP_SCALE))
+            * -F.log(F.col("f").cast("double") / F.col("t"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cost"),
+    )
+    # bounded collect: <= SP_VOCAB + alphabet rows (the codebook precedent)
+    costs = {r["piece"]: r["cost"] for r in vc.collect()}
+    seg_udf = pandas_udf(
+        lambda s: _viterbi_series(s, costs), "string"
+    )
+    final = words.select("word", "c", seg_udf(F.col("word")).alias("seg"))
+    wp = (
+        final.select(
+            "word",
+            "c",
+            F.explode(F.split(F.col("seg"), _SEP)).alias("piece"),
+        )
+        .filter(F.col("piece") != "")
+        .groupBy("word", "c", "piece")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    em = wp.groupBy("piece").agg(
+        F.sum(F.col("k") * F.col("c")).cast("long").alias("em_count"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    return (
+        em.join(F.broadcast(vc), "piece")
+        .select(
+            "piece",
+            "em_count",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("cost").alias("seed_cost"),
+        )
+        .orderBy(
+            F.col("em_count").desc_nulls_last(),
+            F.col("piece").asc_nulls_first(),
+        )
+        .limit(SP_TOP)
+    )

@@ -33,9 +33,11 @@ _QUERY_MODULES = [
     # round: classifier leads (r12 train query re-attests post accuracy-
     # pass fusion + the NEW text_quality_filter / text_source_quality_caps
     # scoring legs), domain_label is NEW (seeded nearest-centroid labeler),
-    # novelty is NEW (cross-corpus n-gram novelty; displaced
-    # stream_dedup_watermark, an r10-green soft filler, past 50 —
-    # never-attested elimination outranks soft re-attestation),
+    # novelty + sp_unigram are NEW (cross-corpus n-gram novelty;
+    # SentencePiece-style unigram EM round); they displaced
+    # stream_dedup_watermark + stream_session_window, r10-green soft
+    # fillers, past 50 — never-attested elimination outranks soft
+    # re-attestation,
     # then the 28 r09-green queries owed a slot since r12 (dedup / graph /
     # semdedup / multimodal / reservoir / range_search / tokenize /
     # timeseries families), and the oldest all-r10 modules (incremental,
@@ -44,6 +46,7 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.classifier",
     "sql2all_spark.operators.domain_label",
     "sql2all_spark.operators.novelty",
+    "sql2all_spark.operators.sp_unigram",
     "sql2all_spark.operators.dedup",
     "sql2all_spark.operators.graph",  # imports dedup (already registered)
     "sql2all_spark.operators.semdedup",

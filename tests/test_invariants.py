@@ -896,3 +896,52 @@ def test_ivfpq_index_refresh_covers_corpus_exactly_once(spark, sf_dir):
     )
     sel = ["vec_id", "cent_id", F.col("codes").cast("string").alias("cs")]
     assert idx.select(*sel).exceptAll(full.select(*sel)).count() == 0
+
+
+def test_sp_viterbi_matches_bruteforce_enumeration():
+    """The pandas-UDF Viterbi (DP over (cost, seg) with the 0x7f
+    separator) must equal the global minimum over ALL segmentations —
+    the property the unrolled-DP oracle also encodes.  Exercises ties
+    deliberately via a coarse cost grid and dropped multi-char pieces."""
+    import random
+
+    import pandas as pd
+
+    from sql2all_spark.operators.sp_unigram import (
+        SP_PIECE_MAX,
+        _SEP,
+        _viterbi_series,
+    )
+
+    rng = random.Random(13)
+    for _ in range(200):
+        n = rng.randint(1, 9)
+        word = "".join(rng.choice("abc") for _ in range(n))
+        pieces = {
+            word[i:j]
+            for i in range(n)
+            for j in range(i + 1, min(i + SP_PIECE_MAX, n) + 1)
+        }
+        costs = {
+            p: rng.randint(1, 40) * 1000
+            for p in pieces
+            if len(p) == 1 or rng.random() < 0.7
+        }
+        best = None
+        for mask in range(1 << (n - 1)):
+            cuts = (
+                [0]
+                + [i for i in range(1, n) if (mask >> (i - 1)) & 1]
+                + [n]
+            )
+            segs = [word[a:b] for a, b in zip(cuts, cuts[1:])]
+            if any(len(s) > SP_PIECE_MAX or s not in costs for s in segs):
+                continue
+            key = (
+                sum(costs[s] for s in segs),
+                "".join(s + _SEP for s in segs),
+            )
+            if best is None or key < best:
+                best = key
+        got = _viterbi_series(pd.Series([word]), costs).iloc[0]
+        assert got == best[1], (word, got, best)

@@ -395,6 +395,26 @@ def test_ngram_novelty_no_gram_join_back_no_expand(spark, sf_dir):
         assert "text#" not in head and "w#" not in head
 
 
+def test_sp_unigram_em_single_corpus_scan_arrow_estep_bounded_topk(
+    spark, sf_dir
+):
+    """text_sp_unigram_em's scale shape: the corpus is scanned once for
+    word counts (text column pruned at the scan, never shuffled), the
+    Viterbi E-step is Arrow-batched (ArrowEvalPython, not row-at-a-time
+    BatchEvalPython) over the persisted distinct-word table, the
+    seed-cost join broadcasts the bounded vocab, and the final top-K is
+    a bounded heap."""
+    plan = _plan(spark, sf_dir, "text_sp_unigram_em")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject(limit=50" in plan
+    assert "InMemoryRelation" in plan  # word counts computed once
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # only the broadcast vc join
+    for seg in plan.split("Exchange ")[1:]:
+        assert "text#" not in seg[:200]
+
+
 def test_tpch_q5_region_prunes_before_facts(spark, sf_dir):
     """tpch_q5's scale shape: the region restriction reaches the parquet
     scans (region pushed, and nation/supplier shrink via broadcast joins

@@ -42,6 +42,7 @@ REPO = Path(__file__).resolve().parent.parent
 ROTATION_TARGETS = {
     # new or value-changed this round (never attested in current form)
     "text_ngram_novelty",
+    "text_sp_unigram_em",
     "text_quality_filter",
     "text_source_quality_caps",
     "text_quality_calibration",
@@ -87,7 +88,6 @@ ROTATION_TARGETS = {
     "sample_stratified_cap",
     "sample_temperature_mix",
     "sample_weighted_mix",
-    "stream_session_window",
     "stream_sliding_window",
     "stream_tumbling_window",
     "mm_phash_clusters",
