@@ -67,8 +67,21 @@ FROM doc GROUP BY doc_id
 """
 
 
-def unigram_doc_scores(spark, sf_dir: str) -> DataFrame:
-    """(doc_id, n_tokens, n_oov, avg_neglogp) — see module docstring."""
+def unigram_doc_scores(
+    spark, sf_dir: str, carry: dict | None = None, doc_filter=None
+) -> DataFrame:
+    """(doc_id, *carry, n_tokens, n_oov, avg_neglogp) — see module docstring.
+
+    ``carry`` maps output column names to row-local Column expressions over
+    the documents scan (evaluated BEFORE the token explode); they ride the
+    per-doc aggregation as ``first()`` — constant per doc, so they reduce
+    map-side with the partial agg and the exchange stays per-doc slim.
+    ``doc_filter`` restricts the PER-DOC side only; corpus statistics
+    (token counts → vocabulary) always come from the full corpus.
+    Composing row-local signals this way costs ZERO extra scans and ZERO
+    joins versus the bare scorer (the r13 ``text_importance_resample``
+    rewrite: 3 documents scans + a doc_id join → 2 scans, join-free).
+    """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
@@ -100,16 +113,38 @@ def unigram_doc_scores(spark, sf_dir: str) -> DataFrame:
     oov_score = F.floor(
         scale * -F.log(F.lit(1.0) / F.col("t")) + F.lit(0.5)
     ).cast("long")
+    carry = carry or {}
+    if carry or doc_filter is not None:
+        side = d.filter(doc_filter) if doc_filter is not None else d
+        # carry exprs MUST evaluate in their own projection BELOW the
+        # explode: `select(heavy_expr, explode(c))` resolves via
+        # ExtractGenerator to Project[heavy_expr] ABOVE Generate — the
+        # expression would run once per TOKEN row (measured: a >50x
+        # blowup on the DSIR trigram transform), not once per doc
+        base = side.select(
+            "doc_id",
+            *(expr.alias(k) for k, expr in carry.items()),
+            F.split(F.col("text"), " ").alias("_ulm_toks"),
+        )
+        doc_toks = base.select(
+            "doc_id",
+            *carry.keys(),
+            F.explode("_ulm_toks").alias("token"),
+        ).filter(F.col("token") != "")
+    else:
+        doc_toks = toks
     doc = (
-        toks.join(F.broadcast(scored), "token", "left")
+        doc_toks.join(F.broadcast(scored), "token", "left")
         .join(F.broadcast(tot), F.lit(True))
         .select(
             "doc_id",
+            *carry.keys(),
             F.when(F.col("s").isNull(), 1).otherwise(0).alias("is_oov"),
             F.coalesce(F.col("s"), oov_score).alias("s_scaled"),
         )
     )
     return doc.groupBy("doc_id").agg(
+        *(F.first(k).alias(k) for k in carry),
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("is_oov").cast("long").alias("n_oov"),
         F.round(

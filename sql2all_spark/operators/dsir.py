@@ -57,7 +57,6 @@ from sql2all_spark.operators.text import (  # noqa: E402
     _marker_hits,
     _marker_hits_sql,
     _tokens,
-    text_unigram_lm_score,
 )
 
 DSIR_K = 100  # resample size
@@ -150,7 +149,8 @@ ORDER BY rank ASC NULLS FIRST
 def text_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    from sql2all_spark.functions.unigram_lm import unigram_doc_scores
+
     toks = _tokens(F.col("text"))
     n_chars = F.length("text")
     n_tokens = F.size(toks)
@@ -173,24 +173,29 @@ def text_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(hits["de"] == best, "de")
         .otherwise("zh")
     )
-    sig = d.filter(n_tokens >= 3).select(
-        "doc_id",
-        F.when(n_chars.between(100, 20000) & (n_tokens >= 10), 1)
-        .otherwise(0)
-        .alias("gate"),
-        F.round(
-            F.lit(1.0)
-            - F.size(F.array_distinct(trigrams)).cast("double")
-            / F.size(trigrams),
-            6,
-        ).alias("repetition"),
-        (
-            _marker_hits(toks, ENGLISH_STOPWORDS).cast("double")
-            / n_tokens
-        ).alias("stop_ratio"),
-        pred_lang.alias("pred_lang"),
+    # row-local signals CARRY through the LM scorer's per-doc aggregation
+    # (first()-reduced map-side, so the exchange stays per-doc slim):
+    # 3 documents scans + a doc_id join -> 2 scans, join-free (r13 rewrite;
+    # values identical — same expressions, same inner-join row set, since
+    # the doc_filter reproduces sig's n_tokens >= 3 gate)
+    scored = unigram_doc_scores(
+        spark,
+        sf_dir,
+        carry={
+            "gate": F.when(n_chars.between(100, 20000) & (n_tokens >= 10), 1)
+            .otherwise(0),
+            "repetition": F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(trigrams)).cast("double")
+                / F.size(trigrams),
+                6,
+            ),
+            "stop_ratio": _marker_hits(toks, ENGLISH_STOPWORDS).cast("double")
+            / n_tokens,
+            "pred_lang": pred_lang,
+        },
+        doc_filter=n_tokens >= 3,
     )
-    lm = text_unigram_lm_score(spark, sf_dir).select("doc_id", "avg_neglogp")
     weight = (
         (F.lit(9) * F.col("gate") + 1).cast("long")
         * F.greatest(
@@ -224,8 +229,7 @@ def text_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 1
     ) / F.lit(_TWO60)
     keyed = (
-        sig.join(lm, "doc_id")
-        .select("doc_id", weight.alias("weight"))
+        scored.select("doc_id", weight.alias("weight"))
         .select(
             "doc_id",
             "weight",

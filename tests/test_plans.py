@@ -952,21 +952,32 @@ def test_multiprobe_is_bucket_equi_join_no_corpus_shuffle(spark, sf_dir):
 
 def test_importance_resample_fuses_signals_single_join_bounded_topk(spark, sf_dir):
     """DSIR composite: all row-local signals (gate/repetition/stopword/
-    language) fuse into ONE documents scan; the LM frame is the only
-    doc_id join; the resample is a bounded heap.  A regression to
-    per-signal builder joins would add scans and doc_id exchanges."""
+    language) CARRY through the LM scorer's per-doc aggregation (r13
+    rewrite) — no doc_id join at all, exactly one per-doc exchange, and
+    the signal expressions evaluate BELOW the token explode (once per
+    doc, not once per token).  A regression to per-signal builder joins
+    would add scans and doc_id exchanges."""
     import re
 
     plan = _plan(spark, sf_dir, "text_importance_resample")
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
-    # scans: 1 fused signal scan + the LM operator's own (token counts,
-    # doc scoring, and its persisted/broadcast internals) — the
-    # 4-registered-builder join shape would need two more
-    assert plan.count("FileScan parquet") <= 5
-    # the only BroadcastNestedLoopJoins are the LM score's 1-row corpus
-    # totals (the tolerated scalar-broadcast pattern)
+    # join-free: the sig-join-lm shape is gone; only the broadcast vocab
+    # join and the 1-row corpus-total scalar broadcasts remain
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan parquet") <= 4
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # exactly ONE per-doc exchange (the fused agg) — the old shape had two
+    doc_exchanges = [
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        if "doc_id" in m.group(1)
+    ]
+    assert len(doc_exchanges) == 1, doc_exchanges
+    # carry expressions evaluate below the explode: the fused Generate
+    # passes through the ALREADY-EVALUATED signal attributes
+    gen = next(s for s in plan.split("Generate explode(")[1:] if "_ulm_toks" in s[:40])
+    assert "repetition#" in gen[:200], gen[:200]
     # sorts above the heap may only touch the K-row result (presentation
     # rank order) — never the corpus
     above_heap = plan.split("TakeOrderedAndProject")[0]
