@@ -945,3 +945,31 @@ def test_sp_viterbi_matches_bruteforce_enumeration():
                 best = key
         got = _viterbi_series(pd.Series([word]), costs).iloc[0]
         assert got == best[1], (word, got, best)
+
+
+def test_sp_unigram_em_conserves_characters(spark, sf_dir):
+    """A segmentation PARTITIONS each word's characters, so the
+    count-weighted EM piece counts must conserve them exactly:
+    sum(em_count * len(piece)) == sum(word_count * len(word)) over the
+    words that enter the E-step.  Both engines could agree on a
+    mis-segmentation; this pins the algebraic law neither side states."""
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.operators.sp_unigram import SP_TOP, SP_WORD_MAX
+    from sql2all_spark.tables import load_table
+
+    rows = (
+        all_specs()["text_sp_unigram_em"].builder(spark, sf_dir).collect()
+    )
+    # the conservation check needs EVERY used piece in the output — holds
+    # whenever fewer than SP_TOP pieces are in use (true on the fixture)
+    assert len(rows) < SP_TOP, "fixture grew; rewrite test to drop LIMIT"
+    em_chars = sum(r["em_count"] * len(r["piece"]) for r in rows)
+    d = load_table(spark, sf_dir, "documents")
+    word_chars = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= SP_WORD_MAX))
+        .agg(F.sum(F.length("w")))
+        .collect()[0][0]
+    )
+    assert em_chars == word_chars, (em_chars, word_chars)
