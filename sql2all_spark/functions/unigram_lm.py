@@ -67,6 +67,26 @@ FROM doc GROUP BY doc_id
 """
 
 
+# Columns the scorer itself produces or uses internally; carry keys must
+# be disjoint or column resolution breaks inside the plan.
+_RESERVED_COLUMNS = frozenset(
+    {
+        "token",
+        "s",
+        "t",
+        "c",
+        "is_oov",
+        "s_scaled",
+        "n_tokens",
+        "n_oov",
+        "avg_neglogp",
+        "doc_id",
+        "_ulm_toks",
+        "text",
+    }
+)
+
+
 def unigram_doc_scores(
     spark, sf_dir: str, carry: dict | None = None, doc_filter=None
 ) -> DataFrame:
@@ -114,6 +134,15 @@ def unigram_doc_scores(
         scale * -F.log(F.lit(1.0) / F.col("t")) + F.lit(0.5)
     ).cast("long")
     carry = carry or {}
+    # A carry key colliding with the scorer's internal or output columns
+    # would surface as an AnalysisException (or worse, silent ambiguous
+    # resolution) deep in the plan; fail fast with a clear error instead
+    # (ADVICE r13).
+    reserved = _RESERVED_COLUMNS & set(carry)
+    if reserved:
+        raise ValueError(
+            f"carry keys collide with unigram-scorer columns: {sorted(reserved)}"
+        )
     if carry or doc_filter is not None:
         side = d.filter(doc_filter) if doc_filter is not None else d
         # carry exprs MUST evaluate in their own projection BELOW the

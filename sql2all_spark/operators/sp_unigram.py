@@ -20,7 +20,15 @@ Semantics (both engines, bit-identical):
    ``(total_cost, seg_string)``; the segmentation string carries a
    trailing ``0x7f`` separator after every piece, which sorts ABOVE all
    ASCII word characters, so the lexicographic tie-break prefers fewer /
-   longer pieces (SentencePiece's longest-match intuition).  The key has
+   longer pieces (SentencePiece's longest-match intuition).  ASCII
+   RESTRICTION (ADVICE r13): for words containing code points > U+007F
+   the separator no longer sorts above every character, so the
+   documented fewer-pieces preference silently flips on those ties —
+   ENGINE PARITY IS UNAFFECTED (both engines compare the identical
+   (cost, seg) key), but a non-ASCII fixture would need a separator
+   above all expected code points (e.g. U+10FFFF) to keep the
+   longest-match semantics.  The current fixtures are ASCII-only
+   (tools/gen_scale.py word lists).  The key has
    optimal substructure: costs are additive, and two distinct partial
    segmentations of the same prefix can never be string-prefixes of each
    other (both contain exactly the same word characters; a prefix
@@ -66,6 +74,8 @@ SP_VOCAB = 64  # seed vocabulary cut (singles always added back)
 SP_TOP = 50  # output rows
 SP_SCALE = 1_000_000  # fixed-point -ln p scale (unigram_lm discipline)
 _SEP = "\x7f"  # sorts above every ASCII word char -> fewer-pieces tie-break
+# (ASCII-only guarantee — see module docstring step 4; parity holds
+# regardless since both engines compare the identical key)
 
 
 def _viterbi_series(words: pd.Series, costs: dict[str, int]) -> pd.Series:
