@@ -216,3 +216,51 @@ def test_calibration_bands_tile_and_track_gold(spark, sf_dir, duck):
         assert lo <= mean_p <= (CLF_SCALE if r.band == N_CAL_BANDS - 1 else hi)
     first, last = rows[0], rows[-1]
     assert last.n_pos / last.n_docs > first.n_pos / first.n_docs
+
+
+def test_weight_cache_hit_identical_and_jobless(spark, sf_dir):
+    """The stored-weights artifact (VERDICT r13 #2): a scoring leg with a
+    warm session cache (a) re-enters byte-identical weights — collected
+    output equals the cold-cache run exactly — and (b) BUILDS with zero
+    Spark jobs (training collects are gone; only the deferred scan/agg
+    plan remains).  The training query seeds the cache, so a full suite
+    run trains the GD loop exactly once."""
+    from sql2all_spark.operators import classifier as C
+
+    # cold: clear the cache, run the filter leg (trains live)
+    C._WEIGHTS_CACHE.clear()
+    cold = C.text_quality_filter(spark, sf_dir).collect()
+    assert sf_dir in C._WEIGHTS_CACHE  # the miss stored the weights
+    w_cold = C._WEIGHTS_CACHE[sf_dir]
+
+    # warm: building the leg again must launch NO jobs at all
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup())
+    df = C.text_quality_filter(spark, sf_dir)
+    ran = len(set(st.getJobIdsForGroup()) - before)
+    assert ran == 0, f"warm-cache build launched {ran} training jobs"
+    assert df.collect() == cold  # values byte-identical, hit vs miss
+
+    # the training query re-derives the same floats and re-seeds
+    C._WEIGHTS_CACHE.clear()
+    traj = C.text_quality_classifier_train(spark, sf_dir).collect()
+    last = traj[-1]
+    assert C._WEIGHTS_CACHE[sf_dir] == [last.w0, last.w1, last.w2, last.w3]
+    assert C._WEIGHTS_CACHE[sf_dir] == w_cold
+
+
+def test_suite_trains_once(spark, sf_dir):
+    """train + all three scoring legs = exactly one GD loop: after the
+    training query runs, the three legs build with zero additional
+    jobs (the train-once / score-everything production shape)."""
+    from sql2all_spark.operators import classifier as C
+
+    C._WEIGHTS_CACHE.clear()
+    C.text_quality_classifier_train(spark, sf_dir)  # pays the GD loop
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup())
+    C.text_quality_filter(spark, sf_dir)
+    C.text_source_quality_caps(spark, sf_dir)
+    C.text_quality_calibration(spark, sf_dir)
+    ran = len(set(st.getJobIdsForGroup()) - before)
+    assert ran == 0, f"scoring legs launched {ran} jobs after training"
