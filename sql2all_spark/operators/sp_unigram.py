@@ -71,6 +71,7 @@ from sql2all_spark.tables import load_table
 SP_PIECE_MAX = 4  # max piece length (seed substrings)
 SP_WORD_MAX = 12  # words longer than this skip the EM round (both engines)
 SP_VOCAB = 64  # seed vocabulary cut (singles always added back)
+SP_KEEP = 24  # prune round: multi-char survivors by EM count (singles stay)
 SP_TOP = 50  # output rows
 SP_SCALE = 1_000_000  # fixed-point -ln p scale (unigram_lm discipline)
 _SEP = "\x7f"  # sorts above every ASCII word char -> fewer-pieces tie-break
@@ -105,9 +106,19 @@ def _viterbi_series(words: pd.Series, costs: dict[str, int]) -> pd.Series:
     return words.map(seg_one)
 
 
-def _sp_oracle() -> str:
-    """Unrolled-DP DuckDB twin: one CTE per word position 1..SP_WORD_MAX."""
-    dps = []
+def _dp_em_ctes(tag: str) -> str:
+    """The unrolled Viterbi DP + M-step CTE block, parametrized by
+    ``tag`` so the prune oracle can run the chain twice: ``dp0{tag}`` …
+    ``dp{SP_WORD_MAX}{tag}``, ``final{tag}``, ``wp{tag}``, ``em{tag}``
+    over the cost table ``vc{tag}`` and the shared ``words``.  One CTE
+    per word position (best-per-word via ROW_NUMBER) — pure SQL, no
+    recursion.  Round 1 uses tag '' (names identical to the r13 em
+    oracle); round 2 uses tag '_p' (a bare digit would collide:
+    dp1 + '2' = dp12 = round 1's last CTE)."""
+    dps = [
+        f"dp0{tag} AS (SELECT word, CAST(0 AS BIGINT) AS cost,"
+        f" '' AS seg FROM words)"
+    ]
     for i in range(1, SP_WORD_MAX + 1):
         branches = []
         for j in range(max(0, i - SP_PIECE_MAX), i):
@@ -115,13 +126,13 @@ def _sp_oracle() -> str:
       SELECT d.word,
              d.cost + v.cost AS cost,
              d.seg || v.piece || chr(127) AS seg
-      FROM dp{j} d JOIN vc v ON v.piece = substr(d.word, {j + 1}, {i - j})
+      FROM dp{j}{tag} d JOIN vc{tag} v ON v.piece = substr(d.word, {j + 1}, {i - j})
       WHERE LENGTH(d.word) >= {i}""")
         union = "\n      UNION ALL".join(branches)
         # MATERIALIZED: each dp CTE is referenced by up to SP_PIECE_MAX
         # later CTEs — default inlining would expand the chain
         # exponentially (4^12 scans of documents -> "too many open files")
-        dps.append(f"""dp{i} AS MATERIALIZED (
+        dps.append(f"""dp{i}{tag} AS MATERIALIZED (
   SELECT word, cost, seg FROM (
     SELECT word, cost, seg,
            ROW_NUMBER() OVER (PARTITION BY word
@@ -130,12 +141,32 @@ def _sp_oracle() -> str:
   ) WHERE rn = 1
 )""")
     finals = "\n  UNION ALL ".join(
-        f"SELECT word, seg FROM dp{i} WHERE LENGTH(word) = {i}"
+        f"SELECT word, seg FROM dp{i}{tag} WHERE LENGTH(word) = {i}"
         for i in range(1, SP_WORD_MAX + 1)
     )
     dp_ctes = ",\n".join(dps)
-    return f"""
-WITH words AS MATERIALIZED (
+    return f"""{dp_ctes},
+final{tag} AS (
+  {finals}
+),
+wp{tag} AS (
+  SELECT word, piece, CAST(COUNT(*) AS BIGINT) AS k
+  FROM (SELECT word, UNNEST(string_split(seg, chr(127))) AS piece FROM final{tag})
+  WHERE piece <> ''
+  GROUP BY word, piece
+),
+em{tag} AS (
+  SELECT piece,
+         CAST(SUM(k * c) AS BIGINT) AS em_count,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM wp{tag} JOIN words USING (word)
+  GROUP BY piece
+)"""
+
+
+def _seed_ctes() -> str:
+    """Shared round-1 seed chain: words → pieces → vocab → vc."""
+    return f"""words AS MATERIALIZED (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS c
   FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
   WHERE w <> '' AND LENGTH(w) <= {SP_WORD_MAX}
@@ -164,28 +195,65 @@ vc AS MATERIALIZED (
          CAST(FLOOR({SP_SCALE}.0 * -LN(CAST(f AS DOUBLE) / t) + 0.5)
               AS BIGINT) AS cost
   FROM vocab, tot
-),
-dp0 AS (SELECT word, CAST(0 AS BIGINT) AS cost, '' AS seg FROM words),
-{dp_ctes},
-final AS (
-  {finals}
-),
-wp AS (
-  SELECT word, piece, CAST(COUNT(*) AS BIGINT) AS k
-  FROM (SELECT word, UNNEST(string_split(seg, chr(127))) AS piece FROM final)
-  WHERE piece <> ''
-  GROUP BY word, piece
-),
-em AS (
-  SELECT piece,
-         CAST(SUM(k * c) AS BIGINT) AS em_count,
-         CAST(COUNT(*) AS BIGINT) AS n_words
-  FROM wp JOIN words USING (word)
-  GROUP BY piece
-)
+)"""
+
+
+def _sp_oracle() -> str:
+    """Round-1 oracle: seed chain + DP/EM chain + top-SP_TOP select."""
+    return f"""
+WITH {_seed_ctes()},
+{_dp_em_ctes("")}
 SELECT em.piece, em.em_count, em.n_words, vc.cost AS seed_cost
 FROM em JOIN vc ON vc.piece = em.piece
 ORDER BY em.em_count DESC NULLS LAST, em.piece ASC NULLS FIRST
+LIMIT {SP_TOP}
+"""
+
+
+def _sp_prune_oracle() -> str:
+    """Round-2 (prune) oracle: the round-1 chain, then keep the top
+    ``SP_KEEP`` pieces by EM count (plus all single characters —
+    segmentability guarantee), Laplace-renormalized costs over the
+    survivors, a SECOND identical DP/EM chain under the new costs, and
+    the surviving-vocabulary report."""
+    return f"""
+WITH {_seed_ctes()},
+{_dp_em_ctes("")},
+keep AS (
+  SELECT piece FROM (
+    SELECT piece,
+           ROW_NUMBER() OVER (
+             ORDER BY em_count DESC NULLS LAST, piece ASC NULLS FIRST
+           ) AS rn
+    FROM em
+  ) WHERE rn <= {SP_KEEP}
+),
+surv AS (
+  SELECT piece FROM keep
+  UNION
+  SELECT piece FROM vc WHERE LENGTH(piece) = 1
+),
+em0 AS (
+  SELECT s.piece, COALESCE(e.em_count, 0) AS em
+  FROM surv s LEFT JOIN em e USING (piece)
+),
+tot2 AS (
+  SELECT CAST(SUM(em) AS DOUBLE) AS t, CAST(COUNT(*) AS DOUBLE) AS v
+  FROM em0
+),
+vc_p AS MATERIALIZED (
+  SELECT piece,
+         CAST(FLOOR({SP_SCALE}.0
+                    * -LN((CAST(em AS DOUBLE) + 1.0) / (t + v)) + 0.5)
+              AS BIGINT) AS cost
+  FROM em0, tot2
+),
+{_dp_em_ctes("_p")}
+SELECT em_p.piece, em_p.em_count, em_p.n_words, vc_p.cost AS prune_cost,
+       CAST(COALESCE(e1.em_count, 0) AS BIGINT) AS em1_count
+FROM em_p JOIN vc_p ON vc_p.piece = em_p.piece
+LEFT JOIN em e1 ON e1.piece = em_p.piece
+ORDER BY em_p.em_count DESC NULLS LAST, em_p.piece ASC NULLS FIRST
 LIMIT {SP_TOP}
 """
 
@@ -206,6 +274,48 @@ LIMIT {SP_TOP}
     " the oracle unrolls the identical DP as chained SQL CTEs.",
 )
 def text_sp_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words, vc, em = _em_round(spark, sf_dir)
+    return (
+        em.join(F.broadcast(vc), "piece")
+        .select(
+            "piece",
+            "em_count",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("cost").alias("seed_cost"),
+        )
+        .orderBy(
+            F.col("em_count").desc_nulls_last(),
+            F.col("piece").asc_nulls_first(),
+        )
+        .limit(SP_TOP)
+    )
+
+
+def _segment_em(words: DataFrame, costs: dict[str, int]) -> DataFrame:
+    """E-step + M-step under ``costs``: Viterbi-segment every distinct
+    word (Arrow-batched pandas UDF, row-local, shuffle-free) and return
+    the count-weighted piece ledger (piece, em_count, n_words)."""
+    seg_udf = pandas_udf(lambda s: _viterbi_series(s, costs), "string")
+    final = words.select("word", "c", seg_udf(F.col("word")).alias("seg"))
+    wp = (
+        final.select(
+            "word",
+            "c",
+            F.explode(F.split(F.col("seg"), _SEP)).alias("piece"),
+        )
+        .filter(F.col("piece") != "")
+        .groupBy("word", "c", "piece")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return wp.groupBy("piece").agg(
+        F.sum(F.col("k") * F.col("c")).cast("long").alias("em_count"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+
+
+def _em_round(spark: SparkSession, sf_dir: str):
+    """Shared round-1 pipeline: (words, vc, em) — the persisted distinct-
+    word table, the seed piece-cost table, and the round-1 EM ledger."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
@@ -253,31 +363,81 @@ def text_sp_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded collect: <= SP_VOCAB + alphabet rows (the codebook precedent)
     costs = {r["piece"]: r["cost"] for r in vc.collect()}
-    seg_udf = pandas_udf(
-        lambda s: _viterbi_series(s, costs), "string"
+    em = _segment_em(words, costs)
+    return words, vc, em
+
+
+@register(
+    "text_sp_unigram_prune",
+    oracle=_sp_prune_oracle(),
+    doc="SentencePiece unigram PRUNE round (Kudo 2018 step 3, the"
+    f" vocabulary-shrink loop body): after the EM round, keep the top"
+    f" {SP_KEEP} pieces by EM count (EM count proxies each piece's"
+    " likelihood contribution under hard EM) plus ALL single characters"
+    " (segmentability guarantee), renormalize piece costs over the"
+    " survivors' EM counts with Laplace (+1) smoothing — unused singles"
+    " have EM count 0 and -ln(0) is undefined — then re-run the"
+    " identical Viterbi E-step + M-step under the new costs and report"
+    " the surviving vocabulary: round-2 EM counts, word usage, the"
+    " renormalized cost, and the round-1 EM count for comparison."
+    "  Scale shape unchanged from the EM round: the corpus was already"
+    " touched ONCE (the shared persisted word-count table); the prune"
+    " decision reads the BOUNDED round-1 EM ledger driver-side"
+    " (<= vocab-size rows, the codebook precedent), and round 2 is a"
+    " second shuffle-free UDF pass over distinct words — training cost"
+    " stays a function of vocabulary size, not corpus size.  The oracle"
+    " runs the unrolled DP chain TWICE (tags '' and '2') with the prune"
+    " CTEs between.",
+)
+def text_sp_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words, vc, em = _em_round(spark, sf_dir)
+    # Bounded collects (<= SP_VOCAB + alphabet rows each): the round-1
+    # EM ledger drives the prune decision; the seed vocabulary supplies
+    # the always-kept single characters.
+    em_rows = em.collect()
+    singles = {r["piece"] for r in vc.collect() if len(r["piece"]) == 1}
+    kept = sorted(em_rows, key=lambda r: (-r["em_count"], r["piece"]))
+    survivors = {r["piece"] for r in kept[:SP_KEEP]} | singles
+    em1 = {r["piece"]: r["em_count"] for r in em_rows}
+    # Laplace-renormalized costs over survivors — computed ENGINE-side
+    # (Spark ln, like the seed costs) so both engines share the FLOOR
+    # quantization discipline; the createDataFrame input is integers.
+    em0 = spark.createDataFrame(
+        sorted((p, em1.get(p, 0)) for p in survivors), "piece string, em long"
     )
-    final = words.select("word", "c", seg_udf(F.col("word")).alias("seg"))
-    wp = (
-        final.select(
-            "word",
-            "c",
-            F.explode(F.split(F.col("seg"), _SEP)).alias("piece"),
+    tot2 = em0.agg(
+        F.sum("em").cast("double").alias("t"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    vc2 = em0.join(F.broadcast(tot2), F.lit(True)).select(
+        "piece",
+        F.floor(
+            F.lit(float(SP_SCALE))
+            * -F.log(
+                (F.col("em").cast("double") + F.lit(1.0))
+                / (F.col("t") + F.col("v"))
+            )
+            + F.lit(0.5)
         )
-        .filter(F.col("piece") != "")
-        .groupBy("word", "c", "piece")
-        .agg(F.count(F.lit(1)).alias("k"))
+        .cast("long")
+        .alias("cost"),
     )
-    em = wp.groupBy("piece").agg(
-        F.sum(F.col("k") * F.col("c")).cast("long").alias("em_count"),
-        F.count(F.lit(1)).alias("n_words"),
+    costs2 = {r["piece"]: r["cost"] for r in vc2.collect()}
+    em2 = _segment_em(words, costs2)
+    em1_df = spark.createDataFrame(
+        sorted(em1.items()), "piece string, em1_count long"
     )
     return (
-        em.join(F.broadcast(vc), "piece")
+        em2.join(F.broadcast(vc2), "piece")
+        .join(F.broadcast(em1_df), "piece", "left")
         .select(
             "piece",
             "em_count",
             F.col("n_words").cast("long").alias("n_words"),
-            F.col("cost").alias("seed_cost"),
+            F.col("cost").alias("prune_cost"),
+            F.coalesce(F.col("em1_count"), F.lit(0))
+            .cast("long")
+            .alias("em1_count"),
         )
         .orderBy(
             F.col("em_count").desc_nulls_last(),

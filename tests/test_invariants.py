@@ -973,3 +973,55 @@ def test_sp_unigram_em_conserves_characters(spark, sf_dir):
         .collect()[0][0]
     )
     assert em_chars == word_chars, (em_chars, word_chars)
+
+
+def test_sp_unigram_prune_conserves_characters_and_shrinks(spark, sf_dir):
+    """The prune round's EM counts obey the same character-conservation
+    law as round 1 (a segmentation still partitions every word), AND the
+    prune actually pruned: every multi-char piece in the round-2 output
+    sits inside the top-SP_KEEP round-1 survivors, and at least one
+    round-1 multi-char piece was dropped (non-trivial prune on the
+    fixture)."""
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.operators.sp_unigram import (
+        SP_KEEP,
+        SP_TOP,
+        SP_WORD_MAX,
+    )
+    from sql2all_spark.tables import load_table
+
+    em1 = all_specs()["text_sp_unigram_em"].builder(spark, sf_dir).collect()
+    rows = (
+        all_specs()["text_sp_unigram_prune"].builder(spark, sf_dir).collect()
+    )
+    assert len(rows) < SP_TOP, "fixture grew; rewrite test to drop LIMIT"
+    # character conservation, round 2
+    em_chars = sum(r["em_count"] * len(r["piece"]) for r in rows)
+    d = load_table(spark, sf_dir, "documents")
+    word_chars = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= SP_WORD_MAX))
+        .agg(F.sum(F.length("w")))
+        .collect()[0][0]
+    )
+    assert em_chars == word_chars, (em_chars, word_chars)
+    # survivors-only: round-2 multi-char pieces come from the round-1
+    # top-SP_KEEP cut (singles are always allowed)
+    keep = {
+        r["piece"]
+        for r in sorted(em1, key=lambda r: (-r["em_count"], r["piece"]))[
+            :SP_KEEP
+        ]
+    }
+    for r in rows:
+        if len(r["piece"]) > 1:
+            assert r["piece"] in keep, r["piece"]
+    # the prune bit: round 1 used more multi-char pieces than survive it
+    multi1 = {r["piece"] for r in em1 if len(r["piece"]) > 1}
+    multi2 = {r["piece"] for r in rows if len(r["piece"]) > 1}
+    assert multi2 < multi1, (len(multi2), len(multi1))
+    # em1_count column is consistent with the round-1 ledger
+    em1_of = {r["piece"]: r["em_count"] for r in em1}
+    for r in rows:
+        assert r["em1_count"] == em1_of.get(r["piece"], 0), r
