@@ -624,6 +624,38 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUP_SPAN_GRAM = 5  # word n-gram length for cross-document span detection
 
 
+def dup_gram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, h): every {DUP_SPAN_GRAM}-gram position whose hash
+    also occurs in at least one OTHER document — the shared inverted-
+    index front end of text_dup_ngram_spans and the template miner
+    (operators/template.py).  Only slim (doc_id, pos, hash64) rows ever
+    shuffle; cross-doc detection is the partial-agg MIN/MAX-by-hash
+    trick, no distinct-count Expand and no join back to raw text."""
+    from sql2all_spark.functions.hashing import base_hash
+
+    n = DUP_SPAN_GRAM
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", _tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= n
+    )
+    pos = F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("pos")
+    p = w.select("doc_id", "w", pos)
+    grams = p.select(
+        "doc_id",
+        "pos",
+        base_hash(F.array_join(F.slice(F.col("w"), F.col("pos"), n), " ")).alias(
+            "h"
+        ),
+    ).transform(persist_tracked)
+    dup = (
+        grams.groupBy("h")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
+        .select("h")
+    )
+    return grams.join(dup, "h").select("doc_id", "pos", "h")
+
+
 @register(
     "text_dup_ngram_spans",
     oracle=f"""
@@ -673,29 +705,8 @@ FROM isl GROUP BY doc_id, grp
 def text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from sql2all_spark.functions.hashing import base_hash
-
     n = DUP_SPAN_GRAM
-    d = load_table(spark, sf_dir, "documents")
-    w = d.select("doc_id", _tokens(F.col("text")).alias("w")).filter(
-        F.size("w") >= n
-    )
-    pos = F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("pos")
-    p = w.select("doc_id", "w", pos)
-    grams = p.select(
-        "doc_id",
-        "pos",
-        base_hash(F.array_join(F.slice(F.col("w"), F.col("pos"), n), " ")).alias(
-            "h"
-        ),
-    ).transform(persist_tracked)
-    dup = (
-        grams.groupBy("h")
-        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
-        .filter(F.col("d0") != F.col("d1"))
-        .select("h")
-    )
-    hits = grams.join(dup, "h").select("doc_id", "pos")
+    hits = dup_gram_hits(spark, sf_dir).select("doc_id", "pos")
     win = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
     isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(win))
     return (

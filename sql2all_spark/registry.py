@@ -46,6 +46,7 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.classifier",
     "sql2all_spark.operators.domain_label",
     "sql2all_spark.operators.novelty",
+    "sql2all_spark.operators.template",
     "sql2all_spark.operators.sp_unigram",
     "sql2all_spark.operators.dedup",
     "sql2all_spark.operators.graph",  # imports dedup (already registered)

@@ -1025,3 +1025,25 @@ def test_sp_unigram_prune_conserves_characters_and_shrinks(spark, sf_dir):
     em1_of = {r["piece"]: r["em_count"] for r in em1}
     for r in rows:
         assert r["em1_count"] == em1_of.get(r["piece"], 0), r
+
+
+def test_template_families_partition_dup_grams(spark, sf_dir):
+    """Template families PARTITION the duplicated-gram hits: the family
+    occurrence ledger sums to exactly the dup-gram position count that
+    text_dup_ngram_spans reports (both enumerate the same hit set), and
+    family sizes are internally consistent (a family of g distinct
+    grams spanning k docs has at least max(g, 2) occurrences — every
+    dup gram occurs in >= 2 docs by construction)."""
+    fams = (
+        all_specs()["text_template_mining"].builder(spark, sf_dir).collect()
+    )
+    spans = (
+        all_specs()["text_dup_ngram_spans"].builder(spark, sf_dir).collect()
+    )
+    assert sum(f["n_occurrences"] for f in fams) == sum(
+        s["n_dup_ngrams"] for s in spans
+    )
+    assert len({f["family_id"] for f in fams}) == len(fams)
+    for f in fams:
+        assert f["n_docs"] >= 2, f  # cross-doc by construction
+        assert f["n_occurrences"] >= max(f["n_grams"], 2), f

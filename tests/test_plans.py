@@ -1284,3 +1284,18 @@ def test_domain_mix_weights_struct_min_and_broadcast_total(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "partial_min(struct" in plan
+
+
+def test_template_mining_no_cartesian_slim_exchanges(spark, sf_dir):
+    """Template mining never enters pair space (VERDICT r13 #4): the
+    edge build is a doc_id-co-partitioned equi self-join of the slim
+    (doc_id, pos, hash) hit table, the family stats join on the hash —
+    no cartesian / nested-loop join anywhere, and no exchange ever
+    carries the text column (only hashes, positions, ids cross)."""
+    plan = _plan(spark, sf_dir, "text_template_mining")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every hash exchange is slim: the raw text column never shuffles
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        head = seg[:120]
+        assert "text" not in head, head
