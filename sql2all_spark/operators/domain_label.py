@@ -284,3 +284,208 @@ def embed_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("domain").asc_nulls_first())
     )
+
+
+def _mix_novelty_oracle() -> str:
+    from sql2all_spark.functions.hashing import base_hash_sql
+    from sql2all_spark.operators.novelty import NOVELTY_GRAM
+
+    cos = cosine_sql("v.v", "c.cv")
+    gram_hash = base_hash_sql(
+        f"array_to_string(w[pos:pos + {NOVELTY_GRAM - 1}], ' ')"
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sdims AS (
+  SELECT label,
+         UNNEST(range(1, {DIM} + 1)) AS dim,
+         UNNEST(v) AS val
+  FROM vecs WHERE vec_id % {SEED_MOD} = 0
+),
+cent AS (
+  SELECT label AS c_label, dim,
+         ROUND(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*),
+               6) AS m
+  FROM sdims GROUP BY label, dim
+),
+cvec AS (
+  SELECT c_label, list(m ORDER BY dim ASC) AS cv FROM cent GROUP BY c_label
+),
+assign AS (
+  SELECT v.vec_id, c.c_label,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND({cos}, 6) DESC, c.c_label ASC) AS rk
+  FROM vecs v CROSS JOIN cvec c
+),
+d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= {NOVELTY_GRAM}
+),
+g AS (
+  SELECT DISTINCT doc_id, {gram_hash} AS h
+  FROM (
+    SELECT doc_id, w,
+           UNNEST(range(1, len(w) - {NOVELTY_GRAM - 1} + 1)) AS pos
+    FROM d
+  )
+),
+gtot AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id
+),
+uniq AS (
+  SELECT MIN(doc_id) AS doc_id, CAST(1 AS BIGINT) AS novel
+  FROM g GROUP BY h HAVING MIN(doc_id) = MAX(doc_id)
+),
+novsum AS (
+  SELECT doc_id, CAST(SUM(novel) AS BIGINT) AS n_novel
+  FROM uniq GROUP BY doc_id
+),
+nov AS (
+  SELECT t.doc_id,
+         ROUND(CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / t.n_grams, 6)
+           AS novelty
+  FROM gtot t LEFT JOIN novsum n ON n.doc_id = t.doc_id
+),
+joined AS (
+  SELECT a.c_label AS domain, COALESCE(nov.novelty, 0.0) AS nv
+  FROM assign a LEFT JOIN nov ON nov.doc_id = a.vec_id
+  WHERE a.rk = 1
+),
+dstats AS (
+  SELECT domain, COUNT(*) AS n_vecs,
+         ROUND(CAST(SUM(CAST(nv AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*),
+               6) AS mean_novelty
+  FROM joined GROUP BY domain
+),
+tot AS (
+  SELECT SUM(n_vecs) AS n_total,
+         CAST(SUM(CAST(mean_novelty AS DECIMAL(28,12))) AS DOUBLE)
+           AS nov_tot
+  FROM dstats
+)
+SELECT s.domain, s.n_vecs, s.mean_novelty,
+       CAST(FLOOR({MIX_SCALE}.0 * (CAST(t.n_total AS DOUBLE)
+                                   * (s.mean_novelty / t.nov_tot))
+                  / s.n_vecs + 0.5)
+            AS BIGINT) AS weight_fx,
+       CAST(FLOOR(s.n_vecs
+                  * (FLOOR({MIX_SCALE}.0 * (CAST(t.n_total AS DOUBLE)
+                                            * (s.mean_novelty / t.nov_tot))
+                           / s.n_vecs + 0.5)
+                     / {MIX_SCALE}.0) + 0.5)
+            AS BIGINT) AS n_after
+FROM dstats s, tot t
+ORDER BY s.domain ASC NULLS FIRST
+"""
+
+
+@register(
+    "embed_domain_mix_novelty",
+    oracle=_mix_novelty_oracle(),
+    doc="Novelty-weighted domain mixing (VERDICT r13 #5 — the DoReMi"
+    " step from uniform toward LEARNED target mixtures): the per-domain"
+    " resampling target is no longer uniform but proportional to the"
+    " domain's MEAN cross-corpus n-gram novelty (text_ngram_novelty"
+    " composed, not re-implemented) — fresh domains get up-weighted,"
+    " boilerplate-heavy domains down-weighted.  weight_fx ="
+    " round(SCALE * n_total * (mean_nov_d / sum_d mean_nov) / n_d)."
+    "  ONE per-doc slim join connects the two green shapes: the"
+    " labeler's broadcast-cross + struct-MIN assignment (vec_id,"
+    " domain) against the inverted-index novelty score (doc_id,"
+    " novelty) over the shared id space (fusion.py fixture note);"
+    " everything after is k-row arithmetic on decimal-routed means."
+    "  At 100 TB: two corpus scans (embeddings, documents), two"
+    " per-doc-slim exchanges, one per-doc join, a k-row broadcast.",
+)
+def embed_domain_mix_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lazy import: novelty.py registers its query on import; module
+    # import order is the driver-window contract, so the composition
+    # imports at call time (the template.py discipline).
+    from sql2all_spark.operators.novelty import text_ngram_novelty
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label", dbl(F.col("embedding")).alias("v"))
+    cvec = (
+        vecs.filter(F.col("vec_id") % SEED_MOD == 0)
+        .select("label", F.posexplode("v").alias("dim0", "val"))
+        .groupBy(F.col("label").alias("c_label"), F.col("dim0"))
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+        .groupBy("c_label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim0"), F.col("m")))
+                ),
+                lambda s: s.getField("m"),
+            ).alias("cv")
+        )
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cvec))
+        .withColumn("nc", -F.round(cosine(F.col("v"), F.col("cv")), 6))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(F.col("nc").alias("nc"), F.col("c_label").alias("c_label"))
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.c_label").alias("domain"))
+    )
+    nov = text_ngram_novelty(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "novelty"
+    )
+    dstats = (
+        assigned.join(nov, "vec_id", "left")
+        .select("domain", F.coalesce("novelty", F.lit(0.0)).alias("nv"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("nv").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_novelty"),
+        )
+    )
+    tot = dstats.agg(
+        F.sum("n_vecs").alias("n_total"),
+        F.sum(F.col("mean_novelty").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("nov_tot"),
+    )
+    w_fx = F.floor(
+        F.lit(float(MIX_SCALE))
+        * (
+            F.col("n_total").cast("double")
+            * (F.col("mean_novelty") / F.col("nov_tot"))
+        )
+        / F.col("n_vecs")
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        dstats.crossJoin(F.broadcast(tot))
+        .withColumn("weight_fx", w_fx)
+        .select(
+            "domain",
+            "n_vecs",
+            "mean_novelty",
+            "weight_fx",
+            F.floor(
+                F.col("n_vecs")
+                * (F.col("weight_fx") / F.lit(float(MIX_SCALE)))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("n_after"),
+        )
+        .orderBy(F.col("domain").asc_nulls_first())
+    )

@@ -1299,3 +1299,20 @@ def test_template_mining_no_cartesian_slim_exchanges(spark, sf_dir):
     for seg in plan.split("Exchange hashpartitioning(")[1:]:
         head = seg[:120]
         assert "text" not in head, head
+
+
+def test_mix_novelty_struct_min_no_window_slim_join(spark, sf_dir):
+    """Novelty-weighted mixing keeps both parents' shapes (VERDICT r13
+    #5): the assignment leg is still broadcast-cross + struct-MIN (no
+    row_number / window), the novelty leg stays inverted-index, and the
+    bridge is ONE per-doc-slim equi-join — no cartesian anywhere and no
+    exchange carrying text or embeddings after the scans."""
+    plan = _plan(spark, sf_dir, "embed_domain_mix_novelty")
+    assert "row_number" not in plan and "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the k-row centroid cross
+    assert "partial_min(struct" in plan  # map-side combine
+    # the doc-level bridge join is on the id, not a wide payload
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        head = seg[:100]
+        assert "text" not in head and "embedding" not in head, head
