@@ -13,6 +13,22 @@ Semantics (KenLM-filter stand-in): two corpus passes — token counts →
 top-V vocabulary with MLE probabilities, broadcast back; per-token
 scores are fixed-point BIGINTs (FLOOR(1e6·-ln p + 0.5)) so doc sums
 are exact and order-free in both engines; OOV backs off to 1/total.
+
+TOKEN-HASH DOMAIN (r14, VERDICT r13 #6 — the contamination-shingle
+trick): every token is mapped row-locally to a 32-bit md5 bucket
+``th = base_hash(token) % 2^32`` BEFORE any exchange, so both the
+count shuffle and the per-doc score rows carry fixed 8-byte ints
+instead of variable-length strings (~halves the exchange key width on
+prose, and the broadcast vocabulary becomes a primitive long→long
+map).  The vocabulary top-V tiebreak moves with it: (count DESC,
+th ASC) — in the HASH domain on BOTH engines, so results stay
+bit-identical.  Collision semantics: two tokens in one bucket pool
+their counts and share a score — deterministic (same md5 both sides)
+and statistically negligible at 2^32 buckets for any real vocabulary
+(expected collisions ≈ V²/2^33; at V=4096 that is ~2e-3 buckets).
+The md5-per-token CPU this adds is row-local scan work; the bytes it
+removes are shuffle — the right trade at 100 TB where the count
+exchange is the operator's only corpus-wide shuffle.
 """
 
 from __future__ import annotations
@@ -21,42 +37,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sql2all_spark.cache import persist_tracked
+from sql2all_spark.functions.hashing import base_hash, base_hash_sql
 from sql2all_spark.tables import load_table
 
 UNIGRAM_VOCAB = 4096
 UNIGRAM_SCALE = 1_000_000
+UNIGRAM_TOKEN_BUCKETS = 1 << 32  # 32-bit token-hash domain (see docstring)
 
 UNIGRAM_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
 ),
 t2 AS (
-  SELECT doc_id, token FROM toks WHERE token <> ''
+  SELECT doc_id, {base_hash_sql("token")} % {UNIGRAM_TOKEN_BUCKETS} AS th
+  FROM toks WHERE token <> ''
 ),
 counts AS (
-  SELECT token, COUNT(*) AS c FROM t2 GROUP BY token
+  SELECT th, COUNT(*) AS c FROM t2 GROUP BY th
 ),
 tot AS (
   SELECT CAST(SUM(c) AS DOUBLE) AS t FROM counts
 ),
 vocab AS (
-  SELECT token, c FROM counts
-  ORDER BY c DESC NULLS LAST, token ASC NULLS FIRST
+  SELECT th, c FROM counts
+  ORDER BY c DESC NULLS LAST, th ASC NULLS FIRST
   LIMIT {UNIGRAM_VOCAB}
 ),
 scored AS (
-  SELECT token,
+  SELECT th,
          CAST(FLOOR({UNIGRAM_SCALE}.0 * -LN(CAST(c AS DOUBLE) / t) + 0.5)
               AS BIGINT) AS s
   FROM vocab, tot
 ),
 doc AS (
   SELECT t2.doc_id,
-         CASE WHEN sc.token IS NULL THEN 1 ELSE 0 END AS is_oov,
+         CASE WHEN sc.th IS NULL THEN 1 ELSE 0 END AS is_oov,
          COALESCE(sc.s,
                   CAST(FLOOR({UNIGRAM_SCALE}.0 * -LN(1.0 / t) + 0.5)
                        AS BIGINT)) AS s_scaled
-  FROM t2 CROSS JOIN tot LEFT JOIN scored sc ON t2.token = sc.token
+  FROM t2 CROSS JOIN tot LEFT JOIN scored sc ON t2.th = sc.th
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -72,6 +91,7 @@ FROM doc GROUP BY doc_id
 _RESERVED_COLUMNS = frozenset(
     {
         "token",
+        "th",
         "s",
         "t",
         "c",
@@ -103,11 +123,19 @@ def unigram_doc_scores(
     rewrite: 3 documents scans + a doc_id join → 2 scans, join-free).
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
-    ).filter(F.col("token") != "")
+    # Token-hash projection happens row-locally on the exploded scalar,
+    # BEFORE any exchange (module docstring): the count shuffle and the
+    # score rows carry 8-byte ints, never token strings.
+    th_of = lambda c: base_hash(c) % F.lit(UNIGRAM_TOKEN_BUCKETS)  # noqa: E731
+    toks = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", th_of(F.col("token")).alias("th"))
+    )
     counts = (
-        toks.groupBy("token")
+        toks.groupBy("th")
         .agg(F.count(F.lit(1)).alias("c"))
         .transform(persist_tracked)
     )
@@ -115,14 +143,14 @@ def unigram_doc_scores(
     # onto both consumers (the sim_neardup_pairs ppb pattern) — plan
     # construction runs no job, and the total reflects the corpus at
     # execution time, not build time (ADVICE r8).  The aggregate reads
-    # the already-persisted (token, count) table, not the corpus.
+    # the already-persisted (hash, count) table, not the corpus.
     tot = counts.agg(F.sum("c").cast("double").alias("t"))
     vocab = counts.orderBy(
-        F.col("c").desc_nulls_last(), F.col("token").asc_nulls_first()
+        F.col("c").desc_nulls_last(), F.col("th").asc_nulls_first()
     ).limit(UNIGRAM_VOCAB)
     scale = F.lit(float(UNIGRAM_SCALE))
     scored = vocab.join(F.broadcast(tot), F.lit(True)).select(
-        "token",
+        "th",
         F.floor(
             scale * -F.log(F.col("c").cast("double") / F.col("t"))
             + F.lit(0.5)
@@ -155,15 +183,19 @@ def unigram_doc_scores(
             *(expr.alias(k) for k, expr in carry.items()),
             F.split(F.col("text"), " ").alias("_ulm_toks"),
         )
-        doc_toks = base.select(
-            "doc_id",
-            *carry.keys(),
-            F.explode("_ulm_toks").alias("token"),
-        ).filter(F.col("token") != "")
+        doc_toks = (
+            base.select(
+                "doc_id",
+                *carry.keys(),
+                F.explode("_ulm_toks").alias("token"),
+            )
+            .filter(F.col("token") != "")
+            .select("doc_id", *carry.keys(), th_of(F.col("token")).alias("th"))
+        )
     else:
         doc_toks = toks
     doc = (
-        doc_toks.join(F.broadcast(scored), "token", "left")
+        doc_toks.join(F.broadcast(scored), "th", "left")
         .join(F.broadcast(tot), F.lit(True))
         .select(
             "doc_id",

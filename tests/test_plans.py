@@ -1316,3 +1316,16 @@ def test_mix_novelty_struct_min_no_window_slim_join(spark, sf_dir):
     for seg in plan.split("Exchange hashpartitioning(")[1:]:
         head = seg[:100]
         assert "text" not in head and "embedding" not in head, head
+
+
+def test_unigram_score_exchanges_carry_hashes_not_tokens(spark, sf_dir):
+    """The token-hash shuffle lever (VERDICT r13 #6): every exchange in
+    the unigram-LM scorer carries the 8-byte token hash `th` — the
+    variable-length token string never crosses an exchange (it existed
+    only inside the scan-side projection), and the vocabulary tiebreak
+    runs in the hash domain."""
+    plan = _plan(spark, sf_dir, "text_unigram_lm_score")
+    for seg in plan.split("Exchange ")[1:]:
+        head = seg[:120]
+        assert "token" not in head, head
+    assert "th" in plan
