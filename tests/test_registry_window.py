@@ -28,71 +28,66 @@ REPO = Path(__file__).resolve().parent.parent
 
 # Queries the CURRENT round explicitly rotated into the window — update
 # this set each round alongside registry._QUERY_MODULES (the per-round
-# rotation contract; prior rounds' sets live in git history).  Round 13:
-# the NEW operators lead — the quality-filter scoring leg + per-source
-# caps (classifier module; the r12 train query re-attests because the
-# accuracy-pass fusion changed its ledger construction) and the seeded
-# nearest-centroid domain labeler (domain_label, NEW module) — then the
-# 28 r09-green queries owed a slot since r12 (dedup / graph / semdedup /
-# multimodal / reservoir / range_search / tokenize / timeseries), and
-# the oldest all-r10 modules (incremental, sampling, batch_twins,
-# mm_cluster, retention, bpe_train) fill the window to exactly 50 —
-# the ann_multiprobe + pq r10 singles were displaced mid-round by the
-# two late NEW queries (calibration + mix weights).
+# rotation contract; prior rounds' sets live in git history).  Round 14
+# (VERDICT r13 #1): the NEW queries lead (sp_unigram prune round,
+# template mining, novelty-weighted domain mix), the three queries whose
+# VALUES changed under the token-hash rewrite re-attest (stale-marked),
+# the classifier module re-attests after the stored-weights change
+# (values identical, job shape changed), and the full 36 post-fold
+# r10-green set fills the rest: the dsir/text group, lm_trigram,
+# substring_dedup, batch_twins (both displaced stream_* fillers
+# re-enter), the ann_multiprobe + pq r10 singles, tpch, asof_range,
+# relational.  Value-identical module siblings (domain_label, novelty,
+# sp_unigram_em, the two r13-green stream twins) ride along = 50.
 ROTATION_TARGETS = {
-    # new or value-changed this round (never attested in current form)
-    "text_ngram_novelty",
-    "text_sp_unigram_em",
+    # new this round (never attested)
+    "text_sp_unigram_prune",
+    "text_template_mining",
+    "embed_domain_mix_novelty",
+    # values changed by the token-hash rewrite (ledger stale marks)
+    "text_unigram_lm_score",
+    "text_perplexity_buckets",
+    "text_importance_resample",
+    # re-attest after the stored-weights change (values identical)
+    "text_quality_classifier_train",
     "text_quality_filter",
     "text_source_quality_caps",
     "text_quality_calibration",
-    "embed_domain_label",
-    "embed_domain_mix_weights",
-    "text_quality_classifier_train",
-    # newest green row r09
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_containment",
-    "dedup_exact",
-    "dedup_incremental_screen",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_semantic",
-    "dedup_simhash",
-    "graph_pagerank_suppliers",
-    "mm_audio_energy",
-    "mm_binary_metadata",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "mm_phash_neardup",
-    "mm_resize",
-    "sample_reservoir_weighted",
-    "sim_range_search",
-    "text_bpe_encode",
-    "text_bpe_merge_mine",
-    "text_length_buckets",
-    "text_vocab_coverage",
-    "ts_anomaly_zscore",
-    "ts_funnel_conversion",
-    "ts_gap_fill",
-    "ts_minmax_decimate",
-    "ts_rollup_hierarchy",
-    "ts_sessionize",
-    # newest green row r10 (whole-module fillers)
-    "change_capture_diff",
-    "incremental_file_compaction",
-    "merge_upsert",
-    "scd2_apply_changes",
-    "sample_hash_deterministic",
-    "sample_split_assign",
-    "sample_stratified_cap",
-    "sample_temperature_mix",
-    "sample_weighted_mix",
-    "stream_sliding_window",
-    "stream_tumbling_window",
-    "mm_phash_clusters",
-    "ts_retention_cohorts",
-    "text_bpe_train",
+    # newest green row r10
+    "case_when_conditional",
+    "distinct_values",
+    "filter_predicates",
+    "join_asof_attribution",
+    "join_range_interval",
+    "projection_expressions",
+    "q1_pricing_summary",
+    "sim_ann_multiprobe",
+    "sim_pq_adc_topk",
+    "sort_limit_offset",
+    "stream_dedup_watermark",
+    "stream_session_window",
+    "text_bigram_lm_score",
+    "text_chunk_windows",
+    "text_contamination_check",
+    "text_dup_ngram_spans",
+    "text_exact_substring_dedup",
+    "text_fingerprint",
+    "text_heavy_hitters",
+    "text_language_id",
+    "text_pack_sequences",
+    "text_pii_scrub",
+    "text_pmi_collocations",
+    "text_quality_score",
+    "text_repetition_score",
+    "text_token_count",
+    "text_trigram_lm_score",
+    "text_winnow_fingerprint",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
 }
 
 
