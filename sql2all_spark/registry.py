@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.text",  # no-op: already registered via dsir
     "sql2all_spark.operators.lm_trigram",  # registers lm's bigram too (import)
     "sql2all_spark.operators.lm",  # no-op: already registered via lm_trigram
+    "sql2all_spark.operators.kn_lm",  # NEW r14: interpolated Kneser-Ney
     "sql2all_spark.operators.substring_dedup",
     "sql2all_spark.streaming.batch_twins",
     "sql2all_spark.operators.ann_multiprobe",

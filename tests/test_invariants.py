@@ -1047,3 +1047,123 @@ def test_template_families_partition_dup_grams(spark, sf_dir):
     for f in fams:
         assert f["n_docs"] >= 2, f  # cross-doc by construction
         assert f["n_occurrences"] >= max(f["n_grams"], 2), f
+
+
+def test_kn_bigram_matches_python_replica_and_normalizes(spark, sf_dir):
+    """Independent pure-Python replica of the KN scorer (the brute-force
+    Viterbi-pin discipline): rebuild the FULL count tables from the raw
+    fixture, (a) verify the interpolated-KN normalization law — over the
+    full model, sum_v P(v|u) == 1 exactly for every context — and (b)
+    recompute every document's bounded-model fixed-point score and
+    compare to the operator's output row for row.  Both engines could
+    agree on a mis-derived model; this pins the algebra neither states."""
+    import math
+    from collections import Counter, defaultdict
+
+    from sql2all_spark.operators.kn_lm import (
+        _B,
+        KN_BIGRAM_TOP,
+        KN_D,
+        KN_SCALE,
+        KN_VOCAB,
+        text_kn_bigram_score,
+    )
+    from sql2all_spark.functions.hashing import base_hash
+    from sql2all_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    # raw (doc_id, token-hash list), hashed with the SAME engine-side md5
+    d = load_table(spark, sf_dir, "documents")
+    rows = (
+        d.select(
+            "doc_id",
+            F.transform(
+                F.split("text", " "), lambda t: base_hash(t) % F.lit(_B)
+            ).alias("th"),
+        )
+        .filter(F.size("th") >= 2)
+        .collect()
+    )
+    prs = defaultdict(list)
+    bc = Counter()
+    for r in rows:
+        th = r["th"]
+        for i in range(1, len(th)):
+            bg = th[i - 1] * _B + th[i]
+            prs[r["doc_id"]].append(bg)
+            bc[bg] += 1
+    cu, n1f, n1b = Counter(), Counter(), Counter()
+    for bg, c in bc.items():
+        u, v = bg // _B, bg % _B
+        cu[u] += c
+        n1f[u] += 1
+        n1b[v] += 1
+    N = len(bc)
+    # (a) normalization law on the FULL model
+    by_u = defaultdict(list)
+    for bg in bc:
+        by_u[bg // _B].append(bg)
+    for u in list(by_u)[:50]:
+        s = sum(
+            (bc[bg] - KN_D) / cu[u]
+            + ((KN_D * n1f[u]) / cu[u]) * (n1b[bg % _B] / N)
+            for bg in by_u[u]
+        )
+        # residual lam(u) mass goes to continuations of OTHER v's:
+        # full-model sum over ALL v adds lam(u) * (rest of P_cont) = 1
+        lam = (KN_D * n1f[u]) / cu[u]
+        rest = sum(n1b[v] for v in n1b) / N - sum(
+            n1b[bg % _B] for bg in by_u[u]
+        ) / N
+        assert abs(s + lam * rest - 1.0) < 1e-9, u
+    # (b) bounded-model per-doc scores, replicated exactly
+    btop = set(
+        bg
+        for bg, _ in sorted(bc.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :KN_BIGRAM_TOP
+        ]
+    )
+    ctx_top = set(
+        u
+        for u, _ in sorted(cu.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :KN_VOCAB
+        ]
+    )
+    cont_top = set(
+        v
+        for v, _ in sorted(n1b.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :KN_VOCAB
+        ]
+    )
+    got = {
+        r["doc_id"]: r for r in text_kn_bigram_score(spark, sf_dir).collect()
+    }
+    assert set(got) == set(prs)
+    for doc_id, bgs in prs.items():
+        ssum = hits = 0
+        for bg in bgs:
+            u, v = bg // _B, bg % _B
+            if bg in btop:
+                p = (bc[bg] - KN_D) / cu[u] + ((KN_D * n1f[u]) / cu[u]) * (
+                    n1b[v] / N
+                )
+                hits += 1
+            else:
+                lam = ((KN_D * n1f[u]) / cu[u]) if u in ctx_top else 1.0
+                p = lam * ((n1b[v] if v in cont_top else 1) / N)
+            ssum += math.floor(KN_SCALE * -math.log(p) + 0.5)
+        g = got[doc_id]
+        assert g["n_bigrams"] == len(bgs), doc_id
+        assert g["n_model_hits"] == hits, doc_id
+        # Python's math.log is a THIRD ln implementation: a 1-ulp
+        # divergence from the engines' (which agree with each other —
+        # the oracle gate pins that) can flip FLOOR(x+0.5) by one unit
+        # per position right at a boundary.  Allow ±2 scaled units per
+        # position (1 for a floor flip + 1 for the 6dp avg rounding);
+        # scores are ~4e6 units/position, so this is still a 2e-6 pin.
+        engine_sum = g["avg_neglogp"] * len(bgs) * KN_SCALE
+        assert abs(engine_sum - ssum) <= 2 * len(bgs), (
+            doc_id,
+            engine_sum,
+            ssum,
+        )

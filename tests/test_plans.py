@@ -1329,3 +1329,18 @@ def test_unigram_score_exchanges_carry_hashes_not_tokens(spark, sf_dir):
         head = seg[:120]
         assert "token" not in head, head
     assert "th" in plan
+
+
+def test_kn_bigram_single_packed_exchange_broadcast_model(spark, sf_dir):
+    """The KN scorer's only corpus-wide shuffle is the packed-bigram
+    count exchange (single int64 key); the model tables attach to the
+    scoring rows as BROADCAST left-joins, raw text never crosses an
+    exchange, and there is no cartesian anywhere."""
+    plan = _plan(spark, sf_dir, "text_kn_bigram_score")
+    assert "CartesianProduct" not in plan
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        head = seg[:120]
+        assert "text" not in head, head
+    assert plan.count("BroadcastHashJoin") >= 3  # bscored/ctx_top/cont_top
+    # the count exchange is keyed on the packed bigram
+    assert "bg" in plan

@@ -33,8 +33,9 @@ REPO = Path(__file__).resolve().parent.parent
 # template mining, novelty-weighted domain mix), the three queries whose
 # VALUES changed under the token-hash rewrite re-attest (stale-marked),
 # the classifier module re-attests after the stored-weights change
-# (values identical, job shape changed), and the full 36 post-fold
-# r10-green set fills the rest: the dsir/text group, lm_trigram,
+# (values identical, job shape changed), and the post-fold
+# r10-green set fills the rest (35 of 36: the late KN bigram query
+# displaced case_when_conditional): the dsir/text group, lm_trigram,
 # substring_dedup, batch_twins (both displaced stream_* fillers
 # re-enter), the ann_multiprobe + pq r10 singles, tpch, asof_range,
 # relational.  Value-identical module siblings (domain_label, novelty,
@@ -44,6 +45,7 @@ ROTATION_TARGETS = {
     "text_sp_unigram_prune",
     "text_template_mining",
     "embed_domain_mix_novelty",
+    "text_kn_bigram_score",
     # values changed by the token-hash rewrite (ledger stale marks)
     "text_unigram_lm_score",
     "text_perplexity_buckets",
@@ -53,8 +55,10 @@ ROTATION_TARGETS = {
     "text_quality_filter",
     "text_source_quality_caps",
     "text_quality_calibration",
-    # newest green row r10
-    "case_when_conditional",
+    # newest green row r10.  case_when_conditional (r01/r07/r10-green,
+    # trivially stable) was displaced to position 51 by the late NEW
+    # text_kn_bigram_score — never-attested elimination outranks soft
+    # re-attestation (the r12/r13 precedent); it re-enters next round.
     "distinct_values",
     "filter_predicates",
     "join_asof_attribution",
