@@ -43,6 +43,8 @@ surface (SURVEY.md §2 extension table).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -234,9 +236,12 @@ def train_weights(feats: DataFrame) -> list[float]:
     return w
 
 
-# Session-scoped trained-weights store, keyed on sf_dir (the fixture
-# dirs are immutable, so the key fully determines the weights — the
-# same conf-keyed-cache argument as tables.py's schema cache).  This is
+# Session-scoped trained-weights store, keyed on the REAL path of
+# sf_dir (ADVICE r14: raw-string keying made ./sf0.01 vs /abs/sf0.01
+# two entries, and a regenerated fixture dir would silently serve stale
+# weights — the fixture dirs are immutable in this harness, so realpath
+# keying fully determines the weights; anyone regenerating a fixture
+# mid-session must call clear_weights_cache()).  This is
 # the stored-weights artifact of the train-once / score-everything
 # production shape (VERDICT r13 #2; the ivfpq stored-index sidecar is
 # the on-disk analogue): the training query — or the first scoring leg
@@ -249,15 +254,22 @@ def train_weights(feats: DataFrame) -> list[float]:
 _WEIGHTS_CACHE: dict[str, list[float]] = {}
 
 
+def clear_weights_cache() -> None:
+    """Invalidate the session weight store.  Call after regenerating a
+    fixture dir in-place (the cache assumes corpus immutability)."""
+    _WEIGHTS_CACHE.clear()
+
+
 def trained_weights(feats: DataFrame, sf_dir: str) -> list[float]:
     """w{CLF_ROUNDS} for this corpus: cached if any leg (or the training
     query) already derived them this session, else trained live and
     stored.  Each query stays self-contained — a scoring leg run in a
     fresh session simply pays the one-time training cost itself."""
-    w = _WEIGHTS_CACHE.get(sf_dir)
+    key = os.path.realpath(sf_dir)
+    w = _WEIGHTS_CACHE.get(key)
     if w is None:
         w = train_weights(feats)
-        _WEIGHTS_CACHE[sf_dir] = list(w)
+        _WEIGHTS_CACHE[key] = list(w)
     return list(w)
 
 

@@ -362,23 +362,29 @@ dstats AS (
 ),
 tot AS (
   SELECT SUM(n_vecs) AS n_total,
+         COUNT(*) AS n_domains,
          CAST(SUM(CAST(mean_novelty AS DECIMAL(28,12))) AS DOUBLE)
            AS nov_tot
   FROM dstats
 )
-SELECT s.domain, s.n_vecs, s.mean_novelty,
-       CAST(FLOOR({MIX_SCALE}.0 * (CAST(t.n_total AS DOUBLE)
-                                   * (s.mean_novelty / t.nov_tot))
-                  / s.n_vecs + 0.5)
-            AS BIGINT) AS weight_fx,
-       CAST(FLOOR(s.n_vecs
-                  * (FLOOR({MIX_SCALE}.0 * (CAST(t.n_total AS DOUBLE)
-                                            * (s.mean_novelty / t.nov_tot))
-                           / s.n_vecs + 0.5)
-                     / {MIX_SCALE}.0) + 0.5)
+SELECT domain, n_vecs, mean_novelty, weight_fx,
+       CAST(FLOOR(n_vecs * (weight_fx / {MIX_SCALE}.0) + 0.5)
             AS BIGINT) AS n_after
-FROM dstats s, tot t
-ORDER BY s.domain ASC NULLS FIRST
+FROM (
+  -- ADVICE r14 zero guard: a corpus where every domain's mean novelty
+  -- is 0 makes nov_tot 0; fall back to the uniform share 1/k (the
+  -- pre-novelty MIX_SCALE target) instead of Infinity/NaN weights.
+  SELECT s.domain, s.n_vecs, s.mean_novelty,
+         CAST(FLOOR({MIX_SCALE}.0
+                    * (CAST(t.n_total AS DOUBLE)
+                       * (CASE WHEN t.nov_tot = 0
+                               THEN 1.0 / t.n_domains
+                               ELSE s.mean_novelty / t.nov_tot END))
+                    / s.n_vecs + 0.5)
+              AS BIGINT) AS weight_fx
+  FROM dstats s, tot t
+)
+ORDER BY domain ASC NULLS FIRST
 """
 
 
@@ -458,16 +464,19 @@ def embed_domain_mix_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = dstats.agg(
         F.sum("n_vecs").alias("n_total"),
+        F.count(F.lit(1)).alias("n_domains"),
         F.sum(F.col("mean_novelty").cast("decimal(28,12)"))
         .cast("double")
         .alias("nov_tot"),
     )
+    # ADVICE r14 zero guard: all-zero mean novelty -> uniform 1/k share
+    # (the pre-novelty MIX_SCALE target) instead of Infinity/NaN weights.
+    share = F.when(
+        F.col("nov_tot") == 0, F.lit(1.0) / F.col("n_domains")
+    ).otherwise(F.col("mean_novelty") / F.col("nov_tot"))
     w_fx = F.floor(
         F.lit(float(MIX_SCALE))
-        * (
-            F.col("n_total").cast("double")
-            * (F.col("mean_novelty") / F.col("nov_tot"))
-        )
+        * (F.col("n_total").cast("double") * share)
         / F.col("n_vecs")
         + F.lit(0.5)
     ).cast("long")

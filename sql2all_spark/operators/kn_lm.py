@@ -25,7 +25,10 @@ lam = 1.0 — pure continuation) and P_cont from the top-``KN_VOCAB``
 continuation table (unseen continuations floor at 1/N).  The bounded
 model is unnormalized at the margins, as any pruned serving LM is.
 
-TOKEN-HASH DOMAIN (this round's ``unigram_lm.py`` discipline): tokens
+TOKEN-HASH DOMAIN (the ``unigram_lm.py`` discipline): empty-string
+tokens (consecutive/trailing spaces) are dropped BEFORE hashing — the
+ladder's shared tokenization rule (ADVICE r14; unfiltered, '' hashed to
+a real bucket and whitespace runs minted phantom bigrams) — then tokens
 map row-locally to 30-bit md5 buckets and each bigram PACKS into ONE
 signed 64-bit key ``bg = u * 2^30 + v`` (< 2^60 — the contamination
 packing trick; 32-bit halves would overflow int64), so the bigram count
@@ -76,9 +79,10 @@ def _kn_oracle() -> str:
     return f"""
 WITH d AS (
   SELECT doc_id,
-         list_transform(string_split(text, ' '), t -> {th}) AS th
+         list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                        t -> {th}) AS th
   FROM documents
-  WHERE len(string_split(text, ' ')) >= 2
+  WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) >= 2
 ),
 pr AS (
   SELECT doc_id, th[i - 1] * {_B} + th[i] AS bg
@@ -170,9 +174,16 @@ FROM tok GROUP BY doc_id
 )
 def text_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.split(F.col("text"), " ").alias("w")).filter(
-        F.size("w") >= 2
-    )
+    # ADVICE r14: drop empty-string tokens (consecutive/trailing spaces)
+    # BEFORE hashing — the ladder's tokenization discipline
+    # (unigram_lm/novelty filter token <> ''); unfiltered, '' hashes to a
+    # real bucket and messy whitespace mints phantom bigrams.
+    w = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), " "), lambda tok: tok != F.lit("")
+        ).alias("w"),
+    ).filter(F.size("w") >= 2)
     # th materialized as a real column (contamination CollapseProject
     # note: safe because the consumer references it more than once)
     t = w.select(

@@ -92,9 +92,14 @@ SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= {TFIDF_TOP}
     oracle=TFIDF_ORACLE,
     doc=f"Top-{TFIDF_TOP} TF-IDF terms per document — the classic keyword"
     " extraction / doc-signature step.  One shuffle for per-doc term"
-    " counts, a broadcast for the document frequencies, a per-doc window"
-    " for the top terms (ranked on the ROUNDED score with a token"
-    " tiebreak, so rank order is engine-independent).",
+    " counts, a size-gated join for the document frequencies (NO broadcast"
+    " hint: df(token) is vocabulary-sized and by Heaps' law unbounded at"
+    " 100 TB — a forced broadcast OOMs the build side exactly like the r7"
+    " customer-broadcast soak failure; at test SFs the auto-threshold"
+    " still broadcasts it, at scale it degrades to a shuffle join on"
+    " token, which is the correct plan), a per-doc window for the top"
+    " terms (ranked on the ROUNDED score with a token tiebreak, so rank"
+    " order is engine-independent).",
 )
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -107,8 +112,11 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     corpus = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    # dft is ONE row per distinct token — unbounded (Heaps' law: 1e8-1e9
+    # tokens at 100 TB).  No broadcast hint: let the size-gated planner
+    # broadcast at toy SFs and fall back to a shuffle join at scale.
     scored = (
-        tf.join(F.broadcast(dft), "token")
+        tf.join(dft, "token")
         .crossJoin(F.broadcast(corpus))
         .select(
             "doc_id",

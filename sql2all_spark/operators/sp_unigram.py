@@ -386,7 +386,8 @@ def _em_round(spark: SparkSession, sf_dir: str):
     " (<= vocab-size rows, the codebook precedent), and round 2 is a"
     " second shuffle-free UDF pass over distinct words — training cost"
     " stays a function of vocabulary size, not corpus size.  The oracle"
-    " runs the unrolled DP chain TWICE (tags '' and '2') with the prune"
+    " runs the unrolled DP chain TWICE (tags '' and '_p' — a bare digit"
+    " would collide with round 1's dp12, see _dp_em_ctes) with the prune"
     " CTEs between.",
 )
 def text_sp_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:

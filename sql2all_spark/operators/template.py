@@ -133,7 +133,17 @@ def text_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # part of the driver-window contract — importing them at module
     # scope would pull their registrations forward to this slot.
     from sql2all_spark.operators.graph import star_components
+    from sql2all_spark.operators.text import DUP_SPAN_GRAM as _TEXT_GRAM
     from sql2all_spark.operators.text import dup_gram_hits
+
+    # ADVICE r14: the oracle above is built from THIS module's
+    # DUP_SPAN_GRAM while the builder's gram width comes from text.py via
+    # dup_gram_hits — if either constant changed alone the engines would
+    # silently diverge until a gate run failed.  Fail fast instead.
+    assert DUP_SPAN_GRAM == _TEXT_GRAM, (
+        f"template gram width {DUP_SPAN_GRAM} != text.DUP_SPAN_GRAM "
+        f"{_TEXT_GRAM}: oracle and builder would diverge"
+    )
 
     hits = dup_gram_hits(spark, sf_dir).transform(persist_tracked)
     nxt = hits.select(

@@ -1073,12 +1073,14 @@ def test_kn_bigram_matches_python_replica_and_normalizes(spark, sf_dir):
     from pyspark.sql import functions as F
 
     # raw (doc_id, token-hash list), hashed with the SAME engine-side md5
+    # (empty tokens dropped first — the ladder discipline, ADVICE r14)
     d = load_table(spark, sf_dir, "documents")
     rows = (
         d.select(
             "doc_id",
             F.transform(
-                F.split("text", " "), lambda t: base_hash(t) % F.lit(_B)
+                F.filter(F.split("text", " "), lambda t: t != F.lit("")),
+                lambda t: base_hash(t) % F.lit(_B),
             ).alias("th"),
         )
         .filter(F.size("th") >= 2)
