@@ -28,70 +28,65 @@ REPO = Path(__file__).resolve().parent.parent
 
 # Queries the CURRENT round explicitly rotated into the window — update
 # this set each round alongside registry._QUERY_MODULES (the per-round
-# rotation contract; prior rounds' sets live in git history).  Round 14
-# (VERDICT r13 #1): the NEW queries lead (sp_unigram prune round,
-# template mining, novelty-weighted domain mix), the three queries whose
-# VALUES changed under the token-hash rewrite re-attest (stale-marked),
-# the classifier module re-attests after the stored-weights change
-# (values identical, job shape changed), and the post-fold
-# r10-green set fills the rest (35 of 36: the late KN bigram query
-# displaced case_when_conditional): the dsir/text group, lm_trigram,
-# substring_dedup, batch_twins (both displaced stream_* fillers
-# re-enter), the ann_multiprobe + pq r10 singles, tpch, asof_range,
-# relational.  Value-identical module siblings (domain_label, novelty,
-# sp_unigram_em, the two r13-green stream twins) ride along = 50.
+# rotation contract; prior rounds' sets live in git history).  Round 15
+# (VERDICT r14 #1): case_when_conditional — the one r10-aged survivor,
+# displaced to slot 51 by r14's late KN query — re-enters FIRST (its
+# five r14-green relational siblings ride along); retrieval carries the
+# TF-IDF broadcast-hint fix (VERDICT r14 #2, values identical) plus the
+# r11-aged BM25; then the full r11-aged set: every single-query module
+# (VERDICT's priority list), sketches, ann_batch, and the joins /
+# tpch_extra / setops blocks.  curation's four r11-aged queries did NOT
+# fit the 50-slot window — they stay r11 and LEAD the r16 window
+# (disclosed in NOTES.md).  Tail fillers (fuzzy r12, semdedup /
+# range_search / bpe_train r13) hold the last slots until this round's
+# NEW operators land and displace them.
 ROTATION_TARGETS = {
-    # new this round (never attested)
-    "text_sp_unigram_prune",
-    "text_template_mining",
-    "embed_domain_mix_novelty",
-    "text_kn_bigram_score",
-    # values changed by the token-hash rewrite (ledger stale marks)
-    "text_unigram_lm_score",
-    "text_perplexity_buckets",
-    "text_importance_resample",
-    # re-attest after the stored-weights change (values identical)
-    "text_quality_classifier_train",
-    "text_quality_filter",
-    "text_source_quality_caps",
-    "text_quality_calibration",
-    # newest green row r10.  case_when_conditional (r01/r07/r10-green,
-    # trivially stable) was displaced to position 51 by the late NEW
-    # text_kn_bigram_score — never-attested elimination outranks soft
-    # re-attestation (the r12/r13 precedent); it re-enters next round.
-    "distinct_values",
-    "filter_predicates",
-    "join_asof_attribution",
-    "join_range_interval",
-    "projection_expressions",
-    "q1_pricing_summary",
-    "sim_ann_multiprobe",
-    "sim_pq_adc_topk",
-    "sort_limit_offset",
-    "stream_dedup_watermark",
-    "stream_session_window",
-    "text_bigram_lm_score",
-    "text_chunk_windows",
-    "text_contamination_check",
-    "text_dup_ngram_spans",
-    "text_exact_substring_dedup",
-    "text_fingerprint",
-    "text_heavy_hitters",
-    "text_language_id",
-    "text_pack_sequences",
-    "text_pii_scrub",
-    "text_pmi_collocations",
-    "text_quality_score",
-    "text_repetition_score",
-    "text_token_count",
-    "text_trigram_lm_score",
-    "text_winnow_fingerprint",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume_customers",
-    "tpch_q21_suppliers_who_kept_waiting",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
+    # the r10-aged survivor (leads the rotation)
+    "case_when_conditional",
+    # retrieval: TF-IDF fix re-attest + r11-aged BM25
+    "text_tfidf_topterms",
+    "text_bm25_retrieval",
+    # r11-aged singles and small families
+    "agg_bloom_filter_probe",
+    "agg_cms_heavy_hitters",
+    "join_skew_salted",
+    "layout_bucketed_join",
+    "layout_zorder_cluster",
+    "pipeline_curation",
+    "profile_corpus",
+    "sample_group_kfold",
+    "sim_bitext_margin_mine",
+    "sim_embed_contamination",
+    "sim_grouped_ann",
+    "sim_hard_negatives",
+    "sim_pq_train_loop",
+    "udf_pandas_readability",
+    # r11-aged joins block
+    "join_inner_fact_fact",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_nonequi_theta",
+    "join_multiway_revenue",
+    # r11-aged tpch_extra block
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
+    # r11-aged setops block
+    "setop_union_all_distinct",
+    "setop_intersect_except",
+    "setop_intersect_except_all",
+    "subquery_scalar_and_in",
+    "subquery_correlated_cte",
 }
 
 
