@@ -1169,3 +1169,159 @@ def test_kn_bigram_matches_python_replica_and_normalizes(spark, sf_dir):
             engine_sum,
             ssum,
         )
+
+
+def test_kn_trigram_matches_python_replica_and_normalizes(spark, sf_dir):
+    """The bigram replica discipline extended one level (VERDICT r14 #3):
+    rebuild the FULL trigram/continuation count tables in pure Python
+    from the raw fixture, (a) verify the two-level interpolated-KN
+    normalization law — over the full vocabulary, sum_w3 P(w3|w1,w2) == 1
+    exactly for every prefix (which requires the MIDDLE level to
+    normalize too), and (b) recompute every document's bounded-model
+    fixed-point score and compare to the operator's output."""
+    import math
+    from collections import Counter, defaultdict
+
+    from sql2all_spark.operators.kn_trigram import (
+        _B1,
+        _B2,
+        KN3_D,
+        KN3_SCALE,
+        KN3_TOP,
+        KN3_VOCAB,
+        text_kn_trigram_score,
+    )
+    from sql2all_spark.functions.hashing import base_hash
+    from sql2all_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = (
+        d.select(
+            "doc_id",
+            F.transform(
+                F.filter(F.split("text", " "), lambda t: t != F.lit("")),
+                lambda t: base_hash(t) % F.lit(_B1),
+            ).alias("th"),
+        )
+        .filter(F.size("th") >= 3)
+        .collect()
+    )
+    prs = defaultdict(list)
+    tc = Counter()
+    for r in rows:
+        th = r["th"]
+        for i in range(2, len(th)):
+            tg = th[i - 2] * _B2 + th[i - 1] * _B1 + th[i]
+            prs[r["doc_id"]].append(tg)
+            tc[tg] += 1
+    c12, n1f = Counter(), Counter()  # per bigram PREFIX u12
+    n1m = Counter()  # continuation count per bigram SUFFIX v23
+    for tg, c in tc.items():
+        u12 = tg // _B1
+        c12[u12] += c
+        n1f[u12] += 1
+        n1m[tg % _B2] += 1
+    den2, n1fm = Counter(), Counter()  # per middle word w2
+    n1b = Counter()  # N1+(*, w3)
+    for v23, c in n1m.items():
+        den2[v23 // _B1] += c
+        n1fm[v23 // _B1] += 1
+        n1b[v23 % _B1] += 1
+    N = len(n1m)
+    vocab = list(n1b)  # every suffix type with a continuation count
+
+    def pmid(w2: int, w3: int) -> float:
+        disc = (n1m.get(w2 * _B1 + w3, 0) - KN3_D) / den2[w2]
+        lam_mid = (KN3_D * n1fm[w2]) / den2[w2]
+        return max(disc, 0.0) + lam_mid * (n1b[w3] / N)
+
+    # (a) full-model normalization at BOTH levels
+    by_u = defaultdict(list)
+    for tg in tc:
+        by_u[tg // _B1].append(tg)
+    for u12 in list(by_u)[:30]:
+        w2 = u12 % _B1
+        lam12 = (KN3_D * n1f[u12]) / c12[u12]
+        s = sum((tc[tg] - KN3_D) / c12[u12] for tg in by_u[u12])
+        s += lam12 * sum(pmid(w2, w3) for w3 in vocab)
+        assert abs(s - 1.0) < 1e-9, u12
+        assert abs(sum(pmid(w2, w3) for w3 in vocab) - 1.0) < 1e-9, w2
+    # (b) bounded-model per-doc scores, replicated exactly
+    ttop = set(
+        tg
+        for tg, _ in sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :KN3_TOP
+        ]
+    )
+    ctx_top = set(
+        u
+        for u, _ in sorted(c12.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :KN3_VOCAB
+        ]
+    )
+    mid_top = set(
+        v
+        for v, _ in sorted(n1m.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :KN3_VOCAB
+        ]
+    )
+    midctx_top = set(
+        w
+        for w, _ in sorted(den2.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :KN3_VOCAB
+        ]
+    )
+    cont_top = set(
+        v
+        for v, _ in sorted(n1b.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :KN3_VOCAB
+        ]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in text_kn_trigram_score(spark, sf_dir).collect()
+    }
+    assert set(got) == set(prs)
+    for doc_id, tgs in prs.items():
+        ssum = hits = 0
+        for tg in tgs:
+            u12, v23 = tg // _B1, tg % _B2
+            w2, w3 = u12 % _B1, tg % _B1
+            if tg in ttop:
+                p = (tc[tg] - KN3_D) / c12[u12] + (
+                    (KN3_D * n1f[u12]) / c12[u12]
+                ) * pmid(w2, w3)
+                hits += 1
+            else:
+                lam = (
+                    ((KN3_D * n1f[u12]) / c12[u12])
+                    if u12 in ctx_top
+                    else 1.0
+                )
+                nb = n1b[w3] if w3 in cont_top else 1
+                if v23 in mid_top and w2 in midctx_top:
+                    pm = (n1m[v23] - KN3_D) / den2[w2] + (
+                        (KN3_D * n1fm[w2]) / den2[w2]
+                    ) * (nb / N)
+                else:
+                    lam_mid = (
+                        ((KN3_D * n1fm[w2]) / den2[w2])
+                        if w2 in midctx_top
+                        else 1.0
+                    )
+                    pm = lam_mid * (nb / N)
+                p = lam * pm
+            ssum += math.floor(KN3_SCALE * -math.log(p) + 0.5)
+        g = got[doc_id]
+        assert g["n_trigrams"] == len(tgs), doc_id
+        assert g["n_model_hits"] == hits, doc_id
+        # same ±2-units/position tolerance as the bigram replica
+        # (math.log is a third ln implementation; the integer half-up
+        # avg quantization adds at most half a unit)
+        engine_sum = g["avg_neglogp"] * len(tgs) * KN3_SCALE
+        assert abs(engine_sum - ssum) <= 2 * len(tgs), (
+            doc_id,
+            engine_sum,
+            ssum,
+        )

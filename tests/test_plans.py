@@ -1362,3 +1362,25 @@ def test_kn_bigram_single_packed_exchange_broadcast_model(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3  # bscored/ctx_top/cont_top
     # the count exchange is keyed on the packed bigram
     assert "bg" in plan
+
+
+def test_kn_trigram_single_packed_exchange_broadcast_model(spark, sf_dir):
+    """The KN trigram (r15) keeps the bigram scorer's shape one level up:
+    the only corpus-wide shuffles are the packed-trigram count exchange
+    (single int64 key `tg`) and the slim per-doc aggregation; every
+    lower-order statistic is integer arithmetic on the packed key (no
+    re-tokenization); the five model tables attach as BROADCAST
+    left-joins; raw text never crosses an exchange; no cartesian."""
+    plan = _plan(spark, sf_dir, "text_kn_trigram_score")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        head = seg[:120]
+        assert "text" not in head and "token" not in head, head
+        # every corpus/model exchange keys on the packed key, a derived
+        # grouping over it, or the doc id — all 8-byte columns
+        assert ("tg#" in head) or ("_groupingexpression" in head) or (
+            "doc_id" in head
+        ), head
+    # tscored/ctx_top/mid_top/midctx_top/cont_top model joins broadcast
+    assert plan.count("BroadcastHashJoin") >= 5
