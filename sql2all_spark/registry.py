@@ -61,14 +61,15 @@ _QUERY_MODULES = [
     # (oldest-green single-query modules; each filler is displaced
     # behind as another NEW r15 module lands)
     "sql2all_spark.operators.kn_trigram",  # NEW r15: KN trigram LM
+    "sql2all_spark.operators.sp_loop",  # NEW r15: SP EM+prune train loop
     "sql2all_spark.operators.fuzzy",  # r12
     "sql2all_spark.operators.semdedup",  # r13
-    "sql2all_spark.operators.range_search",  # r13
     # --- position > 50 from here: driver-green rows on record (ledger;
     # max attestation age r11 after this rotation = curation's four).
     # tools/check.py still covers them locally and the full-tree gates
     # run all 182.
-    "sql2all_spark.operators.bpe_train",  # r13 filler, displaced by kn_trigram
+    "sql2all_spark.operators.range_search",  # r13 filler, displaced (sp_loop)
+    "sql2all_spark.operators.bpe_train",  # r13 filler, displaced (kn_trigram)
     "sql2all_spark.operators.curation",  # r11-aged; LEADS the r16 window
     "sql2all_spark.operators.sp_unigram",
     "sql2all_spark.operators.domain_label",

@@ -1325,3 +1325,72 @@ def test_kn_trigram_matches_python_replica_and_normalizes(spark, sf_dir):
             engine_sum,
             ssum,
         )
+
+
+def test_sp_train_loop_conserves_chars_shrinks_and_reenters_literally(
+    spark, sf_dir
+):
+    """The EM+prune LOOP (r15) extends the prune-round laws to every
+    round: (a) the FINAL round's EM counts still conserve characters
+    exactly (a segmentation partitions every word in every round);
+    (b) the loop actually converged through the schedule — the final
+    multi-char vocabulary fits the last keep cut and sits inside the
+    FIRST round's keep-40 cut (survivor sets only ever shrink);
+    (c) em1_count matches the round-1 EM ledger; and (d) literal
+    re-entry holds — two E-step plans under DIFFERENT cost tables are
+    byte-identical after id-normalization, so per-round plans are the
+    same plan and lineage cannot grow with the schedule."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sql2all_spark.functions.sp_core import _em_round, _segment_em
+    from sql2all_spark.operators.sp_loop import SP_LOOP_SCHEDULE
+    from sql2all_spark.operators.sp_unigram import SP_TOP, SP_WORD_MAX
+    from sql2all_spark.plans import physical_plan
+    from sql2all_spark.tables import load_table
+
+    rows = (
+        all_specs()["text_sp_unigram_train"].builder(spark, sf_dir).collect()
+    )
+    assert len(rows) < SP_TOP, "fixture grew; rewrite test to drop LIMIT"
+    # (a) character conservation after the full loop
+    em_chars = sum(r["em_count"] * len(r["piece"]) for r in rows)
+    d = load_table(spark, sf_dir, "documents")
+    word_chars = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= SP_WORD_MAX))
+        .agg(F.sum(F.length("w")))
+        .collect()[0][0]
+    )
+    assert em_chars == word_chars, (em_chars, word_chars)
+    # (b) convergence through the schedule
+    multi = [r for r in rows if len(r["piece"]) > 1]
+    assert 0 < len(multi) <= SP_LOOP_SCHEDULE[-1]
+    em1 = all_specs()["text_sp_unigram_em"].builder(spark, sf_dir).collect()
+    keep1 = {
+        r["piece"]
+        for r in sorted(em1, key=lambda r: (-r["em_count"], r["piece"]))[
+            : SP_LOOP_SCHEDULE[0]
+        ]
+    }
+    for r in multi:
+        assert r["piece"] in keep1, r["piece"]
+    # (c) round-1 ledger consistency
+    em1_of = {r["piece"]: r["em_count"] for r in em1}
+    for r in rows:
+        assert r["em1_count"] == em1_of.get(r["piece"], 0), r
+    # (d) literal re-entry: same plan under different cost tables
+    words, vc, _ = _em_round(spark, sf_dir)
+    costs = {r["piece"]: r["cost"] for r in vc.collect()}
+    costs2 = {p: c + 1000 for p, c in costs.items()}
+
+    def norm(p: str) -> str:
+        p = re.sub(r"#\d+L?", "#", p)
+        p = re.sub(r"plan_id=\d+", "plan_id=", p)
+        p = re.sub(r"\[id=#?\d*\]", "[id=]", p)
+        return p
+
+    p1 = norm(physical_plan(_segment_em(words, costs)))
+    p2 = norm(physical_plan(_segment_em(words, costs2)))
+    assert p1 == p2
