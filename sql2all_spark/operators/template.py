@@ -60,13 +60,15 @@ from sql2all_spark.registry import register
 DUP_SPAN_GRAM = 5
 
 
-def _template_oracle() -> str:
+def family_ctes() -> str:
+    """The shared family-graph CTE chain (corpus -> dup-gram ``hits`` ->
+    component labels ``fam``), WITHOUT the leading WITH RECURSIVE —
+    consumed by this module's oracle and by the keeper policy's
+    (operators/template_keeper.py)."""
     gram_hash = base_hash_sql(
         f"array_to_string(w[pos:pos + {DUP_SPAN_GRAM - 1}], ' ')"
     )
-    return f"""
-WITH RECURSIVE
-d AS (
+    return f"""d AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
   WHERE len(string_split(text, ' ')) >= {DUP_SPAN_GRAM}
 ),
@@ -101,33 +103,14 @@ reach(u, r) AS (
   UNION
   SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u
 ),
-fam AS (SELECT u AS h, MIN(r) AS family_id FROM reach GROUP BY u)
-SELECT f.family_id,
-       CAST(COUNT(DISTINCT hits.h) AS BIGINT) AS n_grams,
-       CAST(COUNT(DISTINCT hits.doc_id) AS BIGINT) AS n_docs,
-       CAST(COUNT(*) AS BIGINT) AS n_occurrences
-FROM hits JOIN fam f ON f.h = hits.h
-GROUP BY f.family_id
-ORDER BY n_occurrences DESC NULLS LAST, family_id ASC NULLS FIRST
-"""
+fam AS (SELECT u AS h, MIN(r) AS family_id FROM reach GROUP BY u)"""
 
 
-@register(
-    "text_template_mining",
-    oracle=_template_oracle(),
-    doc="Cross-document template mining: connected components over the"
-    " duplicated-5-gram hash graph (edges = hashes at consecutive"
-    " positions of one document; shared boilerplate links documents"
-    " through shared hash nodes) — one row per boilerplate FAMILY with"
-    " its gram-length, document coverage, and total occurrence volume."
-    "  The enumerating counterpart of text_ngram_novelty's flag, and"
-    " the family report behind license/header/navigation stripping."
-    "  Composition of dup_gram_hits (inverted-index, slim hash"
-    " exchanges) and star_components (O(log d) contraction); the edge"
-    " build is a doc_id-co-partitioned self-join on pos+1, never"
-    " pair-space.  Oracle: recursive-CTE closure over the same graph.",
-)
-def text_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+def family_hits(spark: SparkSession, sf_dir: str):
+    """Shared builder front end: (``hits``, ``fam``) — the persisted
+    dup-gram hit table (doc_id, pos, h) and the per-hash family label
+    (h, family_id) from the O(log d) star contraction.  Consumed by
+    text_template_mining and the keeper policy."""
     # Lazy imports: text.py / graph.py register their own queries on
     # import, and THIS module's position in registry._QUERY_MODULES is
     # part of the driver-window contract — importing them at module
@@ -168,6 +151,40 @@ def text_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("h", F.coalesce("family_id", "h").alias("family_id"))
     )
+    return hits, fam
+
+
+def _template_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+{family_ctes()}
+SELECT f.family_id,
+       CAST(COUNT(DISTINCT hits.h) AS BIGINT) AS n_grams,
+       CAST(COUNT(DISTINCT hits.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM hits JOIN fam f ON f.h = hits.h
+GROUP BY f.family_id
+ORDER BY n_occurrences DESC NULLS LAST, family_id ASC NULLS FIRST
+"""
+
+
+@register(
+    "text_template_mining",
+    oracle=_template_oracle(),
+    doc="Cross-document template mining: connected components over the"
+    " duplicated-5-gram hash graph (edges = hashes at consecutive"
+    " positions of one document; shared boilerplate links documents"
+    " through shared hash nodes) — one row per boilerplate FAMILY with"
+    " its gram-length, document coverage, and total occurrence volume."
+    "  The enumerating counterpart of text_ngram_novelty's flag, and"
+    " the family report behind license/header/navigation stripping."
+    "  Composition of dup_gram_hits (inverted-index, slim hash"
+    " exchanges) and star_components (O(log d) contraction); the edge"
+    " build is a doc_id-co-partitioned self-join on pos+1, never"
+    " pair-space.  Oracle: recursive-CTE closure over the same graph.",
+)
+def text_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits, fam = family_hits(spark, sf_dir)
     return (
         hits.join(fam, "h")
         .groupBy("family_id")

@@ -62,8 +62,10 @@ _QUERY_MODULES = [
     # behind as another NEW r15 module lands)
     "sql2all_spark.operators.kn_trigram",  # NEW r15: KN trigram LM
     "sql2all_spark.operators.sp_loop",  # NEW r15: SP EM+prune train loop
+    # NEW r15: template keeper policy (imports template at module scope,
+    # so r14-green text_template_mining rides along and re-attests)
+    "sql2all_spark.operators.template_keeper",
     "sql2all_spark.operators.fuzzy",  # r12
-    "sql2all_spark.operators.semdedup",  # r13
     # --- position > 50 from here: driver-green rows on record (ledger;
     # max attestation age r11 after this rotation = curation's four).
     # tools/check.py still covers them locally and the full-tree gates
@@ -74,7 +76,8 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.sp_unigram",
     "sql2all_spark.operators.domain_label",
     "sql2all_spark.operators.novelty",
-    "sql2all_spark.operators.template",  # graph/text via LAZY builder imports
+    "sql2all_spark.operators.semdedup",  # r13 filler, displaced (keeper)
+    "sql2all_spark.operators.template",  # no-op: registered via template_keeper
     "sql2all_spark.operators.classifier",
     "sql2all_spark.operators.ccnet",
     "sql2all_spark.operators.dsir",  # registers text's queries too (import)

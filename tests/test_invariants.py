@@ -1394,3 +1394,62 @@ def test_sp_train_loop_conserves_chars_shrinks_and_reenters_literally(
     p1 = norm(physical_plan(_segment_em(words, costs)))
     p2 = norm(physical_plan(_segment_em(words, costs2)))
     assert p1 == p2
+
+
+def test_template_keeper_replicates_policy_and_partitions_hits(
+    spark, sf_dir
+):
+    """Pure-Python replica of the keeper policy over the SAME hit/family
+    tables the builder consumes: merge each (family, doc)'s consecutive
+    positions into spans, pick min(doc_id, span_start), and compare
+    every governance row exactly.  Also pins the accounting bridge to
+    the enumeration: per family, sum(span_tokens) - n_spans*(GRAM-1)
+    == text_template_mining's n_occurrences (spans partition hits)."""
+    from collections import defaultdict
+
+    from sql2all_spark.operators.template import DUP_SPAN_GRAM, family_hits
+
+    hits, fam = family_hits(spark, sf_dir)
+    fam_of = {r["h"]: r["family_id"] for r in fam.collect()}
+    by_fd = defaultdict(list)
+    for r in hits.collect():
+        by_fd[(fam_of[r["h"]], r["doc_id"])].append(r["pos"])
+    spans = defaultdict(list)  # family -> [(doc, start, tokens)]
+    for (f, doc), poss in by_fd.items():
+        poss.sort()
+        start = prev = poss[0]
+        for p in poss[1:]:
+            if p != prev + 1:
+                spans[f].append((doc, start, prev - start + DUP_SPAN_GRAM))
+                start = p
+            prev = p
+        spans[f].append((doc, start, prev - start + DUP_SPAN_GRAM))
+    got = {
+        r["family_id"]: r
+        for r in all_specs()["text_template_keeper"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(spans)
+    for f, sp in spans.items():
+        g = got[f]
+        keeper = min(sp)  # (doc_id, span_start, tokens) lexicographic
+        assert g["n_spans"] == len(sp), f
+        assert g["n_docs"] == len({d for d, _, _ in sp}), f
+        assert g["keeper_doc_id"] == keeper[0], f
+        assert g["keeper_span_start"] == keeper[1], f
+        assert g["keeper_tokens"] == keeper[2], f
+        assert g["strip_tokens"] == sum(t for _, _, t in sp) - keeper[2], f
+    # accounting bridge: spans partition the enumeration's hit set
+    fams = {
+        r["family_id"]: r
+        for r in all_specs()["text_template_mining"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert set(fams) == set(got)
+    for f, g in got.items():
+        tot = g["strip_tokens"] + g["keeper_tokens"]
+        n_hits = tot - g["n_spans"] * (DUP_SPAN_GRAM - 1)
+        assert n_hits == fams[f]["n_occurrences"], f
+        assert g["n_docs"] == fams[f]["n_docs"], f

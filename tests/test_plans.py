@@ -1384,3 +1384,17 @@ def test_kn_trigram_single_packed_exchange_broadcast_model(spark, sf_dir):
         ), head
     # tscored/ctx_top/mid_top/midctx_top/cont_top model joins broadcast
     assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_template_keeper_no_pair_space_and_struct_min(spark, sf_dir):
+    """The keeper policy (r15) inherits the miner's pair-free shape: no
+    cartesian, the run-grouping window partitions by (family, doc) —
+    single-document-bounded — and the family-level keeper choice is a
+    partial-aggregatable struct MIN, not a second window."""
+    plan = _plan(spark, sf_dir, "text_template_keeper")
+    assert "CartesianProduct" not in plan
+    assert "partial_min(struct" in plan  # map-side combinable keeper
+    # exactly one window spec: the (family, doc) run grouping
+    assert plan.count("windowspecdefinition") == 1
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        assert "text" not in seg[:100], seg[:100]
