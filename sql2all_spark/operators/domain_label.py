@@ -39,11 +39,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sql2all_spark.functions.domain_core import (  # noqa: F401 (SEED_MOD
+    # re-exported: tests and oracles reference it from here)
+    SEED_MOD,
+    assigned_domains,
+    load_vecs,
+    seed_centroids,
+)
 from sql2all_spark.functions.embed import DIM, cosine, cosine_sql, dbl
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
-
-SEED_MOD = 7  # vec_id % SEED_MOD == 0 -> labeled seed row
 
 
 def _label_oracle() -> str:
@@ -96,53 +101,11 @@ ORDER BY true_label ASC NULLS FIRST, pred_label ASC NULLS FIRST
     " at 100 TB.",
 )
 def embed_domain_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", "label", dbl(F.col("embedding")).alias("v"))
-    # per-(label, dim) decimal means over the seed subset, reassembled
-    # into a k-row centroid table (array_sort on (dim, m) structs fixes
-    # collect_list's order nondeterminism)
-    cvec = (
-        vecs.filter(F.col("vec_id") % SEED_MOD == 0)
-        .select("label", F.posexplode("v").alias("dim0", "val"))
-        .groupBy(F.col("label").alias("c_label"), F.col("dim0"))
-        .agg(
-            F.round(
-                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("m")
-        )
-        .groupBy("c_label")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("dim0"), F.col("m")))
-                ),
-                lambda s: s.getField("m"),
-            ).alias("cv")
-        )
-    )
-    # struct-MIN argmax-cosine assignment (see sim_ivf_topk): negating
-    # the 6dp-rounded cosine turns (cos DESC, label ASC) into a plain
-    # lexicographic MIN with map-side combine
-    assigned = (
-        vecs.crossJoin(F.broadcast(cvec))
-        .withColumn("nc", -F.round(cosine(F.col("v"), F.col("cv")), 6))
-        .groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct(
-                    F.col("nc").alias("nc"),
-                    F.col("c_label").alias("c_label"),
-                    F.col("label").alias("label"),
-                )
-            ).alias("b")
-        )
-        .select(
-            F.col("b.label").alias("true_label"),
-            F.col("b.c_label").alias("pred_label"),
-        )
-    )
+    # shared struct-MIN assignment (functions/domain_core.py) carrying
+    # the fixture's true label through the argmin struct
+    assigned = assigned_domains(
+        load_vecs(spark, sf_dir), with_true_label=True
+    ).select("true_label", F.col("domain").alias("pred_label"))
     return (
         assigned.groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
@@ -222,39 +185,9 @@ ORDER BY c.domain ASC NULLS FIRST
     " then a k-row aggregate — fixed-point arithmetic end to end.",
 )
 def embed_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", "label", dbl(F.col("embedding")).alias("v"))
-    cvec = (
-        vecs.filter(F.col("vec_id") % SEED_MOD == 0)
-        .select("label", F.posexplode("v").alias("dim0", "val"))
-        .groupBy(F.col("label").alias("c_label"), F.col("dim0"))
-        .agg(
-            F.round(
-                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("m")
-        )
-        .groupBy("c_label")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("dim0"), F.col("m")))
-                ),
-                lambda s: s.getField("m"),
-            ).alias("cv")
-        )
-    )
     counts = (
-        vecs.crossJoin(F.broadcast(cvec))
-        .withColumn("nc", -F.round(cosine(F.col("v"), F.col("cv")), 6))
-        .groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct(F.col("nc").alias("nc"), F.col("c_label").alias("c_label"))
-            ).alias("b")
-        )
-        .groupBy(F.col("b.c_label").alias("domain"))
+        assigned_domains(load_vecs(spark, sf_dir))
+        .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
     tot = counts.agg(
@@ -412,40 +345,7 @@ def embed_domain_mix_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # imports at call time (the template.py discipline).
     from sql2all_spark.operators.novelty import text_ngram_novelty
 
-    e = load_table(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", "label", dbl(F.col("embedding")).alias("v"))
-    cvec = (
-        vecs.filter(F.col("vec_id") % SEED_MOD == 0)
-        .select("label", F.posexplode("v").alias("dim0", "val"))
-        .groupBy(F.col("label").alias("c_label"), F.col("dim0"))
-        .agg(
-            F.round(
-                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("m")
-        )
-        .groupBy("c_label")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("dim0"), F.col("m")))
-                ),
-                lambda s: s.getField("m"),
-            ).alias("cv")
-        )
-    )
-    assigned = (
-        vecs.crossJoin(F.broadcast(cvec))
-        .withColumn("nc", -F.round(cosine(F.col("v"), F.col("cv")), 6))
-        .groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct(F.col("nc").alias("nc"), F.col("c_label").alias("c_label"))
-            ).alias("b")
-        )
-        .select("vec_id", F.col("b.c_label").alias("domain"))
-    )
+    assigned = assigned_domains(load_vecs(spark, sf_dir))
     nov = text_ngram_novelty(spark, sf_dir).select(
         F.col("doc_id").alias("vec_id"), "novelty"
     )

@@ -65,7 +65,8 @@ _QUERY_MODULES = [
     # NEW r15: template keeper policy (imports template at module scope,
     # so r14-green text_template_mining rides along and re-attests)
     "sql2all_spark.operators.template_keeper",
-    "sql2all_spark.operators.fuzzy",  # r12
+    "sql2all_spark.operators.quality_profile",  # NEW r15: per-domain tau
+    "sql2all_spark.operators.fuzzy",  # r12 — final slot: oldest-green filler
     # --- position > 50 from here: driver-green rows on record (ledger;
     # max attestation age r11 after this rotation = curation's four).
     # tools/check.py still covers them locally and the full-tree gates

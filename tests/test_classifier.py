@@ -225,13 +225,17 @@ def test_weight_cache_hit_identical_and_jobless(spark, sf_dir):
     Spark jobs (training collects are gone; only the deferred scan/agg
     plan remains).  The training query seeds the cache, so a full suite
     run trains the GD loop exactly once."""
+    import os
+
+    from sql2all_spark.functions import clf_core as CC
     from sql2all_spark.operators import classifier as C
 
+    key = os.path.realpath(sf_dir)  # ADVICE r14: realpath-keyed store
     # cold: clear the cache, run the filter leg (trains live)
-    C._WEIGHTS_CACHE.clear()
+    CC.clear_weights_cache()
     cold = C.text_quality_filter(spark, sf_dir).collect()
-    assert sf_dir in C._WEIGHTS_CACHE  # the miss stored the weights
-    w_cold = C._WEIGHTS_CACHE[sf_dir]
+    assert key in CC._WEIGHTS_CACHE  # the miss stored the weights
+    w_cold = CC._WEIGHTS_CACHE[key]
 
     # warm: building the leg again must launch NO jobs at all
     st = spark.sparkContext.statusTracker()
@@ -242,20 +246,24 @@ def test_weight_cache_hit_identical_and_jobless(spark, sf_dir):
     assert df.collect() == cold  # values byte-identical, hit vs miss
 
     # the training query re-derives the same floats and re-seeds
-    C._WEIGHTS_CACHE.clear()
+    CC.clear_weights_cache()
     traj = C.text_quality_classifier_train(spark, sf_dir).collect()
     last = traj[-1]
-    assert C._WEIGHTS_CACHE[sf_dir] == [last.w0, last.w1, last.w2, last.w3]
-    assert C._WEIGHTS_CACHE[sf_dir] == w_cold
+    assert CC._WEIGHTS_CACHE[key] == [last.w0, last.w1, last.w2, last.w3]
+    assert CC._WEIGHTS_CACHE[key] == w_cold
+    # path aliasing resolves to the SAME entry (the realpath fix)
+    alias = sf_dir.rstrip("/") + "/."
+    assert CC.trained_weights(None, alias) == w_cold
 
 
 def test_suite_trains_once(spark, sf_dir):
     """train + all three scoring legs = exactly one GD loop: after the
     training query runs, the three legs build with zero additional
     jobs (the train-once / score-everything production shape)."""
+    from sql2all_spark.functions import clf_core as CC
     from sql2all_spark.operators import classifier as C
 
-    C._WEIGHTS_CACHE.clear()
+    CC.clear_weights_cache()
     C.text_quality_classifier_train(spark, sf_dir)  # pays the GD loop
     st = spark.sparkContext.statusTracker()
     before = set(st.getJobIdsForGroup())

@@ -1453,3 +1453,37 @@ def test_template_keeper_replicates_policy_and_partitions_hits(
         n_hits = tot - g["n_spans"] * (DUP_SPAN_GRAM - 1)
         assert n_hits == fams[f]["n_occurrences"], f
         assert g["n_docs"] == fams[f]["n_docs"], f
+
+
+def test_domain_quality_profile_reconciles_with_filter_leg(spark, sf_dir):
+    """The per-domain profile is the SAME scored corpus as the lang-keyed
+    filter leg, re-keyed: total docs, total kept/dropped docs, and the
+    exact fixed-point score sum must all reconcile; per-domain rows must
+    be internally consistent (min <= max, sum within [n*min, n*max]);
+    and kept semantics match the filter threshold."""
+    from collections import Counter
+
+    prof = (
+        all_specs()["embed_domain_quality_profile"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    filt = all_specs()["text_quality_filter"].builder(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in prof) == sum(r["n_docs"] for r in filt)
+    assert sum(r["sum_p_fx"] for r in prof) == sum(
+        r["sum_p_fx"] for r in filt
+    )
+    kept_p = Counter()
+    for r in prof:
+        kept_p[r["kept"]] += r["n_docs"]
+        assert r["min_p_fx"] <= r["max_p_fx"], r
+        assert (
+            r["n_docs"] * r["min_p_fx"]
+            <= r["sum_p_fx"]
+            <= r["n_docs"] * r["max_p_fx"]
+        ), r
+    kept_f = Counter()
+    for r in filt:
+        kept_f[r["kept"]] += r["n_docs"]
+    assert kept_p == kept_f
+    assert {r["kept"] for r in prof} <= {0, 1}

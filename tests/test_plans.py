@@ -1398,3 +1398,21 @@ def test_template_keeper_no_pair_space_and_struct_min(spark, sf_dir):
     assert plan.count("windowspecdefinition") == 1
     for seg in plan.split("Exchange hashpartitioning(")[1:]:
         assert "text" not in seg[:100], seg[:100]
+
+
+def test_domain_quality_profile_slim_bridge_and_no_training_scan(
+    spark, sf_dir
+):
+    """The per-domain profile (r15) composes two green shapes with ONE
+    slim doc-id bridge: the classifier side is a join-free row-local
+    scoring scan (weights are literals via the session store), the
+    domain side is the broadcast-cross + struct-MIN assignment, and no
+    exchange carries text or embeddings after the scans."""
+    plan = _plan(spark, sf_dir, "embed_domain_quality_profile")
+    assert "CartesianProduct" not in plan
+    assert "partial_min(struct" in plan  # the assignment struct-MIN
+    assert "BroadcastNestedLoopJoin" in plan  # k-row centroid cross only
+    assert "windowspecdefinition" not in plan
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        head = seg[:100]
+        assert "text" not in head and "embedding" not in head, head

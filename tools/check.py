@@ -196,12 +196,21 @@ def main() -> int:
     if args.json_out:
         import json
 
+        from collections import Counter
+
         with open(args.json_out, "w") as f:
             json.dump(
                 {
                     "sf_dir": args.sf_dir,
                     "n_queries": len(names),
                     "n_passed": len(names) - failures,
+                    # cache provenance (VERDICT r14 #7): which dir served
+                    # oracle results and the live/cached method split —
+                    # the per-entry "method" fields carry the detail
+                    "oracle_cache_dir": args.oracle_cache,
+                    "methods": dict(
+                        Counter(r.get("method", "error") for r in results)
+                    ),
                     "results": {r["name"]: r for r in results},
                 },
                 f,
