@@ -52,7 +52,6 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.udf_scalar",
     "sql2all_spark.operators.pipeline",
     "sql2all_spark.operators.profiling",
-    "sql2all_spark.operators.layout",
     "sql2all_spark.operators.ann_batch",
     "sql2all_spark.operators.joins",
     "sql2all_spark.operators.tpch_extra",
@@ -66,7 +65,10 @@ _QUERY_MODULES = [
     # so r14-green text_template_mining rides along and re-attests)
     "sql2all_spark.operators.template_keeper",
     "sql2all_spark.operators.quality_profile",  # NEW r15: per-domain tau
-    "sql2all_spark.operators.fuzzy",  # r12 — final slot: oldest-green filler
+    "sql2all_spark.operators.tau_apply",  # NEW r15: tau APPLY leg
+    # layout (r11, 1 query) was displaced by tau_apply — never-attested
+    # elimination outranks soft re-attestation (the r12-r14 precedent);
+    # it joins curation at the FRONT of the r16 window.
     # --- position > 50 from here: driver-green rows on record (ledger;
     # max attestation age r11 after this rotation = curation's four).
     # tools/check.py still covers them locally and the full-tree gates
@@ -77,6 +79,8 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.sp_unigram",
     "sql2all_spark.operators.domain_label",
     "sql2all_spark.operators.novelty",
+    "sql2all_spark.operators.fuzzy",  # r12 filler, displaced (tau_apply)
+    "sql2all_spark.operators.layout",  # r11; displaced by tau_apply -> r16
     "sql2all_spark.operators.semdedup",  # r13 filler, displaced (keeper)
     "sql2all_spark.operators.template",  # no-op: registered via template_keeper
     "sql2all_spark.operators.classifier",

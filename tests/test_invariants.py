@@ -1487,3 +1487,60 @@ def test_domain_quality_profile_reconciles_with_filter_leg(spark, sf_dir):
         kept_f[r["kept"]] += r["n_docs"]
     assert kept_p == kept_f
     assert {r["kept"] for r in prof} <= {0, 1}
+
+
+def test_tau_apply_replicates_discrete_median_policy(spark, sf_dir):
+    """Pure-Python replica of the tau policy over the SAME scored/domain
+    frames the builder consumes: tau_d = the p_fx at rank ceil(n/2)
+    ascending (doc_id tiebreak), keeps = p_fx >= tau_d; every governance
+    row compared exactly.  Also reconciles n_docs per domain against the
+    quality profile (same bridge, same corpus)."""
+    from collections import defaultdict
+
+    from sql2all_spark.functions.clf_core import _feats, _p_fx, _z, trained_weights
+    from sql2all_spark.functions.domain_core import assigned_domains, load_vecs
+    from pyspark.sql import functions as F
+
+    feats = _feats(spark, sf_dir)
+    w = trained_weights(feats, sf_dir)
+    scored = {
+        r["doc_id"]: r["p_fx"]
+        for r in feats.select(
+            "doc_id", _p_fx(_z(w)).alias("p_fx")
+        ).collect()
+    }
+    dom_of = {
+        r["vec_id"]: str(r["domain"])
+        for r in assigned_domains(load_vecs(spark, sf_dir)).collect()
+    }
+    by_dom = defaultdict(list)
+    for doc_id, p in scored.items():
+        by_dom[dom_of.get(doc_id, "unassigned")].append((p, doc_id))
+    got = {
+        r["domain"]: r
+        for r in all_specs()["embed_domain_tau_apply"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(by_dom)
+    for d, rows in by_dom.items():
+        rows.sort()
+        n = len(rows)
+        tau = rows[(n + 1) // 2 - 1][0]
+        kept = [p for p, _ in rows if p >= tau]
+        g = got[d]
+        assert g["tau"] == tau, d
+        assert g["n_docs"] == n, d
+        assert g["n_kept"] == len(kept), d
+        assert g["kept_p1000"] == len(kept) * 1000 // n, d
+        assert g["kept_score_mass"] == sum(kept), d
+        # the median policy keeps at least half, never more than all
+        assert n // 2 <= len(kept) <= n, d
+    prof = {
+        (r["domain"], r["kept"]): r["n_docs"]
+        for r in all_specs()["embed_domain_quality_profile"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    for d, g in got.items():
+        assert g["n_docs"] == prof.get((d, 0), 0) + prof.get((d, 1), 0), d

@@ -41,6 +41,14 @@ REPO = Path(__file__).resolve().parent.parent
 # range_search / bpe_train r13) hold the last slots until this round's
 # NEW operators land and displace them.
 ROTATION_TARGETS = {
+    # new this round (never attested)
+    "text_kn_trigram_score",
+    "text_sp_unigram_train",
+    "text_template_keeper",
+    "embed_domain_quality_profile",
+    "embed_domain_tau_apply",
+    # module-scope rider of the keeper (r14-green, re-attests)
+    "text_template_mining",
     # the r10-aged survivor (leads the rotation)
     "case_when_conditional",
     # retrieval: TF-IDF fix re-attest + r11-aged BM25
@@ -51,7 +59,10 @@ ROTATION_TARGETS = {
     "agg_cms_heavy_hitters",
     "join_skew_salted",
     "layout_bucketed_join",
-    "layout_zorder_cluster",
+    # layout_zorder_cluster (r11) was displaced by the late tau_apply —
+    # never-attested elimination outranks soft re-attestation (the
+    # r12-r14 precedent); it joins curation at the front of the r16
+    # window.
     "pipeline_curation",
     "profile_corpus",
     "sample_group_kfold",
