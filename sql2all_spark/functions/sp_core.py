@@ -149,12 +149,19 @@ vc AS MATERIALIZED (
 )"""
 
 
+def segment_words(words: DataFrame, costs: dict[str, int]) -> DataFrame:
+    """(word, c, seg): Viterbi-segment every distinct word under
+    ``costs`` (Arrow-batched pandas UDF, row-local, shuffle-free) —
+    the shared E-step frame; the encode leg consumes it directly."""
+    seg_udf = pandas_udf(lambda s: _viterbi_series(s, costs), "string")
+    return words.select("word", "c", seg_udf(F.col("word")).alias("seg"))
+
+
 def _segment_em(words: DataFrame, costs: dict[str, int]) -> DataFrame:
     """E-step + M-step under ``costs``: Viterbi-segment every distinct
     word (Arrow-batched pandas UDF, row-local, shuffle-free) and return
     the count-weighted piece ledger (piece, em_count, n_words)."""
-    seg_udf = pandas_udf(lambda s: _viterbi_series(s, costs), "string")
-    final = words.select("word", "c", seg_udf(F.col("word")).alias("seg"))
+    final = segment_words(words, costs)
     wp = (
         final.select(
             "word",

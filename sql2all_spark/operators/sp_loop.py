@@ -112,23 +112,14 @@ LIMIT {SP_TOP}
 """
 
 
-@register(
-    "text_sp_unigram_train",
-    oracle=_sp_loop_oracle(),
-    doc="SentencePiece unigram TRAINING LOOP (Kudo 2018's alternating"
-    " EM / prune schedule, composing text_sp_unigram_em +"
-    f" text_sp_unigram_prune): {len(SP_LOOP_SCHEDULE)} prune rounds with"
-    f" keep schedule {SP_LOOP_SCHEDULE} (multi-char survivors; singles"
-    " always stay — segmentability guarantee), Laplace(+1)-renormalized"
-    " costs between rounds, a final E/M pass, and the converged"
-    " vocabulary report with the round-1 EM count for comparison."
-    "  Scale shape: the corpus is touched ONCE for the shared persisted"
-    " word-count table; every round is a bounded driver-side ledger"
-    " read + a shuffle-free vocabulary-sized Viterbi UDF pass whose"
-    " costs re-enter as literals — per-round plans are IDENTICAL and"
-    " lineage never grows (bpe_train precedent).",
-)
-def text_sp_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def trained_costs(spark: SparkSession, sf_dir: str):
+    """Run the full EM+prune schedule and return ``(words, vc_final,
+    em_final, em1_map, costs_final)`` — the persisted distinct-word
+    table, the final Laplace cost table (DataFrame), the final EM
+    ledger frame (unexecuted lineage under the final costs), the
+    round-1 EM counts, and the final cost dict.  Shared by the
+    training report and the ENCODE leg so the loop has ONE
+    definition."""
     words, vc, em = _em_round(spark, sf_dir)
     singles = sorted(
         r["piece"] for r in vc.collect() if len(r["piece"]) == 1
@@ -136,6 +127,7 @@ def text_sp_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     em1_map: dict[str, int] = {}
     cur_em = em
     vc_cur = vc
+    costs: dict[str, int] = {}
     for rnd, keep in enumerate(SP_LOOP_SCHEDULE, start=1):
         # bounded collect: the prune decision reads the EM ledger
         # (<= previous survivors + alphabet rows) driver-side
@@ -171,6 +163,27 @@ def text_sp_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         costs = {r["piece"]: r["cost"] for r in vc_cur.collect()}
         # costs re-enter the E-step as literals: identical plan per round
         cur_em = _segment_em(words, costs)
+    return words, vc_cur, cur_em, em1_map, costs
+
+
+@register(
+    "text_sp_unigram_train",
+    oracle=_sp_loop_oracle(),
+    doc="SentencePiece unigram TRAINING LOOP (Kudo 2018's alternating"
+    " EM / prune schedule, composing text_sp_unigram_em +"
+    f" text_sp_unigram_prune): {len(SP_LOOP_SCHEDULE)} prune rounds with"
+    f" keep schedule {SP_LOOP_SCHEDULE} (multi-char survivors; singles"
+    " always stay — segmentability guarantee), Laplace(+1)-renormalized"
+    " costs between rounds, a final E/M pass, and the converged"
+    " vocabulary report with the round-1 EM count for comparison."
+    "  Scale shape: the corpus is touched ONCE for the shared persisted"
+    " word-count table; every round is a bounded driver-side ledger"
+    " read + a shuffle-free vocabulary-sized Viterbi UDF pass whose"
+    " costs re-enter as literals — per-round plans are IDENTICAL and"
+    " lineage never grows (bpe_train precedent).",
+)
+def text_sp_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words, vc_cur, cur_em, em1_map, _costs = trained_costs(spark, sf_dir)
     em1_df = spark.createDataFrame(
         sorted(em1_map.items()), "piece string, em1_count long"
     )

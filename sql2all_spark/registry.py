@@ -51,7 +51,6 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.bitext",
     "sql2all_spark.operators.udf_scalar",
     "sql2all_spark.operators.pipeline",
-    "sql2all_spark.operators.profiling",
     "sql2all_spark.operators.ann_batch",
     "sql2all_spark.operators.joins",
     "sql2all_spark.operators.tpch_extra",
@@ -61,6 +60,7 @@ _QUERY_MODULES = [
     # behind as another NEW r15 module lands)
     "sql2all_spark.operators.kn_trigram",  # NEW r15: KN trigram LM
     "sql2all_spark.operators.sp_loop",  # NEW r15: SP EM+prune train loop
+    "sql2all_spark.operators.sp_encode",  # NEW r15: encode leg (after sp_loop)
     # NEW r15: template keeper policy (imports template at module scope,
     # so r14-green text_template_mining rides along and re-attests)
     "sql2all_spark.operators.template_keeper",
@@ -81,6 +81,7 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.novelty",
     "sql2all_spark.operators.fuzzy",  # r12 filler, displaced (tau_apply)
     "sql2all_spark.operators.layout",  # r11; displaced by tau_apply -> r16
+    "sql2all_spark.operators.profiling",  # r11; displaced by sp_encode -> r16
     "sql2all_spark.operators.semdedup",  # r13 filler, displaced (keeper)
     "sql2all_spark.operators.template",  # no-op: registered via template_keeper
     "sql2all_spark.operators.classifier",

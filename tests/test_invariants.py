@@ -1544,3 +1544,46 @@ def test_tau_apply_replicates_discrete_median_policy(spark, sf_dir):
     }
     for d, g in got.items():
         assert g["n_docs"] == prof.get((d, 0), 0) + prof.get((d, 1), 0), d
+
+
+def test_sp_encode_bridges_training_ledger_and_counts(spark, sf_dir):
+    """The encode leg must reconcile EXACTLY with the training loop it
+    applies: corpus-wide sum(n_pieces) equals the final EM ledger's
+    count-weighted piece usage (sum of em_count — each word's
+    segmentation counted once per occurrence), every document's piece
+    count is bounded by [encodable words, encodable chars], and
+    n_words / n_skipped match a raw recount of the fixture."""
+    from collections import Counter
+
+    from sql2all_spark.functions.sp_core import SP_WORD_MAX
+    from sql2all_spark.operators.sp_loop import trained_costs
+    from sql2all_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["doc_id"]: r
+        for r in all_specs()["text_sp_encode"].builder(spark, sf_dir).collect()
+    }
+    # raw recount straight off the fixture
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: w != F.lit("")).alias("ws"),
+    ).collect()
+    assert set(rows) == {r["doc_id"] for r in raw}
+    enc_chars = Counter()
+    for r in raw:
+        g = rows[r["doc_id"]]
+        ws = r["ws"]
+        assert g["n_words"] == len(ws), r["doc_id"]
+        assert g["n_skipped"] == sum(len(w) > SP_WORD_MAX for w in ws)
+        n_enc = len(ws) - g["n_skipped"]
+        assert n_enc <= g["n_pieces"] <= sum(
+            len(w) for w in ws if len(w) <= SP_WORD_MAX
+        ), r["doc_id"]
+        if n_enc:
+            assert g["pieces_p1000"] == g["n_pieces"] * 1000 // n_enc
+    # the cross-query bridge: encode totals == final EM ledger totals
+    _, _, em_final, _, _ = trained_costs(spark, sf_dir)
+    ledger_pieces = sum(r["em_count"] for r in em_final.collect())
+    assert sum(g["n_pieces"] for g in rows.values()) == ledger_pieces

@@ -44,6 +44,7 @@ ROTATION_TARGETS = {
     # new this round (never attested)
     "text_kn_trigram_score",
     "text_sp_unigram_train",
+    "text_sp_encode",
     "text_template_keeper",
     "embed_domain_quality_profile",
     "embed_domain_tau_apply",
@@ -64,7 +65,8 @@ ROTATION_TARGETS = {
     # r12-r14 precedent); it joins curation at the front of the r16
     # window.
     "pipeline_curation",
-    "profile_corpus",
+    # profile_corpus (r11) was displaced by the late text_sp_encode —
+    # same precedent as layout_zorder_cluster above; r16 front window.
     "sample_group_kfold",
     "sim_bitext_margin_mine",
     "sim_embed_contamination",
