@@ -1,0 +1,236 @@
+"""Template STRIP materialization: apply the keeper policy to the
+corpus — the rewrite step after ``text_template_mining`` (enumerate)
+and ``text_template_keeper`` (decide).
+
+For every boilerplate family, the canonical span (smallest
+(doc_id, span_start) — the keeper query's exact policy) survives;
+every OTHER span's words are removed from their documents.  Overlaps
+between different families' spans are handled by construction: strip
+positions are expanded per covered WORD and unioned (DISTINCT), so a
+word claimed by two families is removed once — the per-doc accounting
+is exact, not an upper bound.
+
+Output per document (EVERY document — clean docs pass through):
+word count before/after, the number of spans stripped, and the
+``base_hash`` fingerprint of the REASSEMBLED cleaned text (words
+re-joined by single spaces in position order) — the value a downstream
+exact-dedup pass would key on, and the strongest cross-engine pin: both
+engines must agree on every surviving word and its order.
+
+Scale shape: everything derives from the slim dup-gram hit table
+(``template.family_hits`` — doc_id/pos/hash rows, never raw text,
+never pair-space); the keeper argmin is the partial-aggregatable
+struct-MIN; strip positions explode G words per hit position
+(bounded fan-out) and de-dup on (doc, pos); the reassembly joins the
+corpus' exploded words against strip positions with an ANTI join on
+the 8-byte (doc_id, pos) key and re-aggregates per doc — document text
+crosses the reassembly exchange exactly once, as (pos, word) pairs.
+
+Reference parity note: SQL2ALL has no text surface (its SQL passes
+through verbatim — src/db/sqlite.rs:79); LLM-pipeline extension family
+(SURVEY.md §2), completing mine -> keep -> STRIP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql2all_spark.functions.hashing import base_hash, base_hash_sql
+from sql2all_spark.operators.template import (
+    DUP_SPAN_GRAM,
+    family_ctes,
+    family_hits,
+)
+from sql2all_spark.registry import register
+from sql2all_spark.tables import load_table
+
+
+def _strip_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+{family_ctes()},
+runs AS (
+  SELECT f.family_id, hits.doc_id, hits.pos,
+         hits.pos - ROW_NUMBER() OVER (
+           PARTITION BY f.family_id, hits.doc_id
+           ORDER BY hits.pos ASC) AS grp
+  FROM hits JOIN fam f ON f.h = hits.h
+),
+spans AS (
+  SELECT family_id, doc_id, grp, MIN(pos) AS span_start
+  FROM runs GROUP BY family_id, doc_id, grp
+),
+k AS (
+  SELECT family_id, doc_id, grp FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY family_id
+      ORDER BY doc_id ASC, span_start ASC) AS rn
+    FROM spans
+  ) WHERE rn = 1
+),
+strip_runs AS (
+  SELECT r.family_id, r.doc_id, r.pos, r.grp
+  FROM runs r LEFT JOIN k
+    ON k.family_id = r.family_id AND k.doc_id = r.doc_id
+   AND k.grp = r.grp
+  WHERE k.family_id IS NULL
+),
+strip_pos AS (
+  SELECT DISTINCT doc_id, CAST(pos + i AS BIGINT) AS pos
+  FROM strip_runs, UNNEST(range(0, {DUP_SPAN_GRAM})) t(i)
+),
+strip_spans AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans_stripped
+  FROM (SELECT DISTINCT family_id, doc_id, grp FROM strip_runs)
+  GROUP BY doc_id
+),
+dwp AS (
+  SELECT doc_id, w[CAST(i AS INT)] AS word, CAST(i AS BIGINT) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(range(1, len(w) + 1)) t(i)
+),
+kept AS (
+  SELECT d.doc_id, d.word, d.pos
+  FROM dwp d LEFT JOIN strip_pos s
+    ON s.doc_id = d.doc_id AND s.pos = d.pos
+  WHERE s.doc_id IS NULL
+),
+cleaned AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos ASC) AS txt,
+         CAST(COUNT(*) AS BIGINT) AS n_after
+  FROM kept GROUP BY doc_id
+)
+SELECT doc.doc_id,
+       CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS n_words,
+       CAST(COALESCE(ss.n_spans_stripped, 0) AS BIGINT)
+         AS n_spans_stripped,
+       CAST(len(string_split(doc.text, ' '))
+            - COALESCE(c.n_after, 0) AS BIGINT) AS n_stripped,
+       CAST(COALESCE(c.n_after, 0) AS BIGINT) AS n_after,
+       {base_hash_sql("COALESCE(c.txt, '')")} AS cleaned_fp
+FROM documents doc
+LEFT JOIN cleaned c ON c.doc_id = doc.doc_id
+LEFT JOIN strip_spans ss ON ss.doc_id = doc.doc_id
+ORDER BY doc.doc_id ASC NULLS FIRST
+"""
+
+
+@register(
+    "text_template_strip",
+    oracle=_strip_oracle(),
+    doc="Template STRIP — the corpus rewrite after mining (enumerate)"
+    " and keeper (decide): every non-keeper span's words are removed,"
+    " cross-family overlaps unioned per word position (DISTINCT on the"
+    " (doc, pos) key, so the accounting is exact), and every document"
+    " reports words before/after, spans stripped, and the base_hash"
+    " fingerprint of the REASSEMBLED cleaned text — the strongest"
+    " cross-engine pin (both engines must agree on every surviving"
+    " word and its order) and the key a downstream exact-dedup pass"
+    " consumes.  Pair-free throughout: hit-table-sized until the one"
+    " anti-join of exploded corpus words against slim (doc, pos)"
+    " strip keys.",
+)
+def text_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits, fam = family_hits(spark, sf_dir)
+    runs = hits.join(fam, "h").select(
+        "family_id",
+        "doc_id",
+        "pos",
+        (
+            F.col("pos").cast("long")
+            - F.row_number().over(
+                Window.partitionBy("family_id", "doc_id").orderBy(
+                    F.col("pos").asc()
+                )
+            )
+        ).alias("grp"),
+    )
+    spans = runs.groupBy("family_id", "doc_id", "grp").agg(
+        F.min("pos").alias("span_start")
+    )
+    # keeper argmin by (doc, start) — struct-MIN, map-side combinable;
+    # grp rides along to identify the span ((doc, start) is unique
+    # within a family, so grp never decides the comparison)
+    k = (
+        spans.groupBy("family_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("doc_id").alias("d"),
+                    F.col("span_start").alias("s"),
+                    F.col("grp").alias("g"),
+                )
+            ).alias("k")
+        )
+        .select(
+            "family_id",
+            F.col("k.d").alias("doc_id"),
+            F.col("k.g").alias("grp"),
+        )
+    )
+    strip_runs = runs.join(
+        k, ["family_id", "doc_id", "grp"], "left_anti"
+    )
+    strip_pos = (
+        strip_runs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("pos").cast("long"),
+                    F.col("pos").cast("long") + F.lit(DUP_SPAN_GRAM - 1),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    strip_spans = (
+        strip_runs.select("family_id", "doc_id", "grp")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_spans_stripped"))
+    )
+    d = load_table(spark, sf_dir, "documents")
+    dwp = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "word"),
+    ).select(
+        "doc_id", "word", (F.col("pos0") + F.lit(1)).cast("long").alias("pos")
+    )
+    kept = dwp.join(strip_pos, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("word")))
+                ),
+                lambda s: s.getField("word"),
+            ),
+            " ",
+        ).alias("txt"),
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+    )
+    n_words = F.size(F.split("text", " ")).cast("long")
+    return (
+        d.select("doc_id", n_words.alias("n_words"))
+        .join(cleaned, "doc_id", "left")
+        .join(strip_spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce(F.col("n_spans_stripped"), F.lit(0))
+            .cast("long")
+            .alias("n_spans_stripped"),
+            (F.col("n_words") - F.coalesce(F.col("n_after"), F.lit(0)))
+            .cast("long")
+            .alias("n_stripped"),
+            F.coalesce(F.col("n_after"), F.lit(0))
+            .cast("long")
+            .alias("n_after"),
+            base_hash(F.coalesce(F.col("txt"), F.lit(""))).alias(
+                "cleaned_fp"
+            ),
+        )
+        .orderBy(F.col("doc_id").asc_nulls_first())
+    )

@@ -50,7 +50,6 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.kfold",
     "sql2all_spark.operators.bitext",
     "sql2all_spark.operators.udf_scalar",
-    "sql2all_spark.operators.pipeline",
     "sql2all_spark.operators.ann_batch",
     "sql2all_spark.operators.joins",
     "sql2all_spark.operators.tpch_extra",
@@ -64,6 +63,7 @@ _QUERY_MODULES = [
     # NEW r15: template keeper policy (imports template at module scope,
     # so r14-green text_template_mining rides along and re-attests)
     "sql2all_spark.operators.template_keeper",
+    "sql2all_spark.operators.template_strip",  # NEW r15: the rewrite leg
     "sql2all_spark.operators.quality_profile",  # NEW r15: per-domain tau
     "sql2all_spark.operators.tau_apply",  # NEW r15: tau APPLY leg
     # layout (r11, 1 query) was displaced by tau_apply — never-attested
@@ -82,6 +82,7 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.fuzzy",  # r12 filler, displaced (tau_apply)
     "sql2all_spark.operators.layout",  # r11; displaced by tau_apply -> r16
     "sql2all_spark.operators.profiling",  # r11; displaced by sp_encode -> r16
+    "sql2all_spark.operators.pipeline",  # r11; displaced by template_strip -> r16
     "sql2all_spark.operators.semdedup",  # r13 filler, displaced (keeper)
     "sql2all_spark.operators.template",  # no-op: registered via template_keeper
     "sql2all_spark.operators.classifier",

@@ -1587,3 +1587,84 @@ def test_sp_encode_bridges_training_ledger_and_counts(spark, sf_dir):
     _, _, em_final, _, _ = trained_costs(spark, sf_dir)
     ledger_pieces = sum(r["em_count"] for r in em_final.collect())
     assert sum(g["n_pieces"] for g in rows.values()) == ledger_pieces
+
+
+def test_template_strip_replicates_rewrite_and_reconciles_keeper(
+    spark, sf_dir
+):
+    """Pure-Python replica of the strip rewrite over the same hit/family
+    tables: keeper span per family = min(doc, start) (the keeper
+    query's policy), strip positions = union of non-keeper spans'
+    covered words, cleaned text = surviving words rejoined — every
+    output row compared exactly INCLUDING the cleaned-text base_hash.
+    Also reconciles against text_template_keeper: total stripped words
+    <= sum of keeper strip_tokens (equal iff no cross-family overlap),
+    and clean documents pass through with fp == hash(original)."""
+    from collections import defaultdict
+
+    from sql2all_spark.operators.template import DUP_SPAN_GRAM, family_hits
+    from sql2all_spark.tables import load_table
+    from pyspark.sql import functions as F
+    import hashlib
+
+    def bh(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    hits, fam = family_hits(spark, sf_dir)
+    fam_of = {r["h"]: r["family_id"] for r in fam.collect()}
+    by_fd = defaultdict(list)
+    for r in hits.collect():
+        by_fd[(fam_of[r["h"]], r["doc_id"])].append(r["pos"])
+    spans = defaultdict(list)  # family -> [(doc, start, [positions])]
+    for (f, doc), poss in by_fd.items():
+        poss.sort()
+        run = [poss[0]]
+        for p in poss[1:]:
+            if p == run[-1] + 1:
+                run.append(p)
+            else:
+                spans[f].append((doc, run[0], list(run)))
+                run = [p]
+        spans[f].append((doc, run[0], list(run)))
+    strip_words = defaultdict(set)  # doc -> {word positions}
+    strip_span_n = defaultdict(int)
+    for f, sp in spans.items():
+        keeper = min((d, s) for d, s, _ in sp)
+        for d, s, poss in sp:
+            if (d, s) == keeper:
+                continue
+            strip_span_n[d] += 1
+            for p in poss:
+                strip_words[d].update(range(p, p + DUP_SPAN_GRAM))
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in all_specs()["text_template_strip"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(docs)
+    total_stripped = 0
+    for doc_id, ws in docs.items():
+        g = got[doc_id]
+        sw = strip_words.get(doc_id, set())
+        kept = [w for i, w in enumerate(ws, start=1) if i not in sw]
+        assert g["n_words"] == len(ws), doc_id
+        assert g["n_spans_stripped"] == strip_span_n.get(doc_id, 0), doc_id
+        assert g["n_after"] == len(kept), doc_id
+        assert g["n_stripped"] == len(ws) - len(kept), doc_id
+        assert g["cleaned_fp"] == bh(" ".join(kept)), doc_id
+        total_stripped += g["n_stripped"]
+    keeper_rows = (
+        all_specs()["text_template_keeper"].builder(spark, sf_dir).collect()
+    )
+    assert total_stripped <= sum(r["strip_tokens"] for r in keeper_rows)
+    # at least one real strip and at least one clean pass-through
+    assert total_stripped > 0
+    clean = [d for d in docs if d not in strip_words]
+    assert any(
+        got[d]["cleaned_fp"] == bh(" ".join(docs[d])) for d in clean
+    )

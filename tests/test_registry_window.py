@@ -46,6 +46,7 @@ ROTATION_TARGETS = {
     "text_sp_unigram_train",
     "text_sp_encode",
     "text_template_keeper",
+    "text_template_strip",
     "embed_domain_quality_profile",
     "embed_domain_tau_apply",
     # module-scope rider of the keeper (r14-green, re-attests)
@@ -64,8 +65,8 @@ ROTATION_TARGETS = {
     # never-attested elimination outranks soft re-attestation (the
     # r12-r14 precedent); it joins curation at the front of the r16
     # window.
-    "pipeline_curation",
-    # profile_corpus (r11) was displaced by the late text_sp_encode —
+    # pipeline_curation (r11) was displaced by the late
+    # text_template_strip; profile_corpus (r11) by text_sp_encode —
     # same precedent as layout_zorder_cluster above; r16 front window.
     "sample_group_kfold",
     "sim_bitext_margin_mine",
