@@ -28,18 +28,41 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # round-1-green joins/aggregates/windows/setops/asof_range rotate behind
 # (their green rows are on record; tools/check.py still covers them locally).
 _QUERY_MODULES = [
-    # Round-15 front window (positions 1-50; the arithmetic is ENFORCED
+    # Round-16 front window (positions 1-50; the arithmetic is ENFORCED
     # by tests/test_registry_window.py, not hand-counted here).  This
-    # round (VERDICT r14 #1): relational leads — case_when_conditional,
-    # the one r10-aged survivor, was displaced to slot 51 by r14's late
-    # KN query and re-enters FIRST (its five r14-green module siblings
-    # ride along); retrieval carries the TF-IDF broadcast fix
-    # (VERDICT r14 #2, values identical) and the r11-aged BM25; then
-    # the full r11-aged set of singles (VERDICT's priority order) and
-    # the joins / tpch_extra / setops blocks.  curation (4 r11-aged
-    # queries) did NOT fit the 50 — it leads the r16 window (disclosed
-    # in NOTES.md).  New r15 operators slot in before the tail fillers
-    # as they land.
+    # round (VERDICT r15 #1): the seven r11-aged queries LEAD — the
+    # curation four + layout_zorder_cluster + pipeline_curation +
+    # profile_corpus, all displaced from the r15 window by late r15
+    # operators (disclosed in NOTES.md) — followed by the oldest r12
+    # block (fuzzy 1, aggregates 14, scalar_funcs 8, windows 6, udfs 2,
+    # ivfpq 5, fusion 2 = 38).  similarity (10 r12-aged queries) did
+    # NOT fit the 50 — it leads the r17 window.  NEW r16 operators
+    # displace the r13 tail fillers as they land.
+    "sql2all_spark.operators.curation",  # r11-aged (4): leads
+    "sql2all_spark.operators.layout",  # r11-aged
+    "sql2all_spark.operators.pipeline",  # r11-aged
+    "sql2all_spark.operators.profiling",  # r11-aged
+    "sql2all_spark.operators.fuzzy",  # oldest r12 block from here
+    "sql2all_spark.operators.aggregates",
+    "sql2all_spark.operators.scalar_funcs",
+    "sql2all_spark.operators.windows",
+    "sql2all_spark.operators.udfs",
+    "sql2all_spark.operators.ivfpq",
+    "sql2all_spark.operators.fusion",
+    # = 45 so far; NEW r16 operators land here, displacing the r13
+    # tail fillers below one-for-one (never-attested elimination
+    # outranks soft re-attestation — the r12-r15 precedent).
+    "sql2all_spark.operators.tau_caps",  # NEW r16: tau x source-caps governance
+    "sql2all_spark.operators.strip_dedup",  # NEW r16: strip->exact-dedup yield
+    "sql2all_spark.operators.semdedup",  # r13 filler
+    "sql2all_spark.operators.range_search",  # r13 filler
+    "sql2all_spark.operators.bpe_train",  # r13 filler
+    # --- position > 50 from here: driver-green rows on record (ledger;
+    # max attestation age r12 after this rotation = similarity's ten).
+    # tools/check.py still covers them locally and the full-tree gates
+    # run all 189 + this round's additions.
+    "sql2all_spark.operators.reservoir",  # r13 filler, displaced (tau_caps)
+    "sql2all_spark.operators.retention",  # r13 filler, displaced (strip_dedup)
     "sql2all_spark.operators.relational",
     "sql2all_spark.operators.retrieval",
     "sql2all_spark.operators.sketches",
@@ -54,36 +77,16 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.joins",
     "sql2all_spark.operators.tpch_extra",
     "sql2all_spark.operators.setops",
-    # = 45 so far; NEW r15 operators, then tail fillers to 50
-    # (oldest-green single-query modules; each filler is displaced
-    # behind as another NEW r15 module lands)
-    "sql2all_spark.operators.kn_trigram",  # NEW r15: KN trigram LM
-    "sql2all_spark.operators.sp_loop",  # NEW r15: SP EM+prune train loop
-    "sql2all_spark.operators.sp_encode",  # NEW r15: encode leg (after sp_loop)
-    # NEW r15: template keeper policy (imports template at module scope,
-    # so r14-green text_template_mining rides along and re-attests)
-    "sql2all_spark.operators.template_keeper",
-    "sql2all_spark.operators.template_strip",  # NEW r15: the rewrite leg
-    "sql2all_spark.operators.quality_profile",  # NEW r15: per-domain tau
-    "sql2all_spark.operators.tau_apply",  # NEW r15: tau APPLY leg
-    # layout (r11, 1 query) was displaced by tau_apply — never-attested
-    # elimination outranks soft re-attestation (the r12-r14 precedent);
-    # it joins curation at the FRONT of the r16 window.
-    # --- position > 50 from here: driver-green rows on record (ledger;
-    # max attestation age r11 after this rotation = curation's four).
-    # tools/check.py still covers them locally and the full-tree gates
-    # run all 182.
-    "sql2all_spark.operators.range_search",  # r13 filler, displaced (sp_loop)
-    "sql2all_spark.operators.bpe_train",  # r13 filler, displaced (kn_trigram)
-    "sql2all_spark.operators.curation",  # r11-aged; LEADS the r16 window
+    "sql2all_spark.operators.kn_trigram",
+    "sql2all_spark.operators.sp_loop",
+    "sql2all_spark.operators.sp_encode",  # after sp_loop (imports it)
+    "sql2all_spark.operators.template_keeper",  # registers template's query too
+    "sql2all_spark.operators.template_strip",
+    "sql2all_spark.operators.quality_profile",
+    "sql2all_spark.operators.tau_apply",
     "sql2all_spark.operators.sp_unigram",
     "sql2all_spark.operators.domain_label",
     "sql2all_spark.operators.novelty",
-    "sql2all_spark.operators.fuzzy",  # r12 filler, displaced (tau_apply)
-    "sql2all_spark.operators.layout",  # r11; displaced by tau_apply -> r16
-    "sql2all_spark.operators.profiling",  # r11; displaced by sp_encode -> r16
-    "sql2all_spark.operators.pipeline",  # r11; displaced by template_strip -> r16
-    "sql2all_spark.operators.semdedup",  # r13 filler, displaced (keeper)
     "sql2all_spark.operators.template",  # no-op: registered via template_keeper
     "sql2all_spark.operators.classifier",
     "sql2all_spark.operators.ccnet",
@@ -102,19 +105,11 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.graph",  # imports dedup (already registered)
     "sql2all_spark.operators.multimodal",
     "sql2all_spark.operators.mm_cluster",
-    "sql2all_spark.operators.reservoir",
     "sql2all_spark.operators.tokenize",
     "sql2all_spark.operators.timeseries",
-    "sql2all_spark.operators.retention",
     "sql2all_spark.operators.incremental",
     "sql2all_spark.operators.sampling",
-    "sql2all_spark.operators.ivfpq",
-    "sql2all_spark.operators.fusion",
-    "sql2all_spark.operators.udfs",
-    "sql2all_spark.operators.aggregates",
-    "sql2all_spark.operators.scalar_funcs",
-    "sql2all_spark.operators.windows",
-    "sql2all_spark.operators.similarity",
+    "sql2all_spark.operators.similarity",  # r12-aged; LEADS the r17 window
 ]
 
 

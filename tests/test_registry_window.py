@@ -28,79 +28,71 @@ REPO = Path(__file__).resolve().parent.parent
 
 # Queries the CURRENT round explicitly rotated into the window — update
 # this set each round alongside registry._QUERY_MODULES (the per-round
-# rotation contract; prior rounds' sets live in git history).  Round 15
-# (VERDICT r14 #1): case_when_conditional — the one r10-aged survivor,
-# displaced to slot 51 by r14's late KN query — re-enters FIRST (its
-# five r14-green relational siblings ride along); retrieval carries the
-# TF-IDF broadcast-hint fix (VERDICT r14 #2, values identical) plus the
-# r11-aged BM25; then the full r11-aged set: every single-query module
-# (VERDICT's priority list), sketches, ann_batch, and the joins /
-# tpch_extra / setops blocks.  curation's four r11-aged queries did NOT
-# fit the 50-slot window — they stay r11 and LEAD the r16 window
-# (disclosed in NOTES.md).  Tail fillers (fuzzy r12, semdedup /
-# range_search / bpe_train r13) hold the last slots until this round's
-# NEW operators land and displace them.
+# rotation contract; prior rounds' sets live in git history).  Round 16
+# (VERDICT r15 #1): the seven r11-aged queries lead — curation's four +
+# layout_zorder_cluster + pipeline_curation + profile_corpus, all
+# displaced from the r15 window by late r15 operators (disclosed in
+# NOTES.md r15) — followed by the oldest r12 block: fuzzy (1),
+# aggregates (14), scalar_funcs (8), windows (6), udfs (2), ivfpq (5),
+# fusion (2) = 45 total.  similarity's ten r12-aged queries did NOT
+# fit the 50-slot window — they stay r12 and LEAD the r17 window.
+# r13 tail fillers (semdedup / range_search / bpe_train / reservoir /
+# retention) hold the last slots until this round's NEW operators land
+# and displace them.
 ROTATION_TARGETS = {
-    # new this round (never attested)
-    "text_kn_trigram_score",
-    "text_sp_unigram_train",
-    "text_sp_encode",
-    "text_template_keeper",
-    "text_template_strip",
-    "embed_domain_quality_profile",
-    "embed_domain_tau_apply",
-    # module-scope rider of the keeper (r14-green, re-attests)
-    "text_template_mining",
-    # the r10-aged survivor (leads the rotation)
-    "case_when_conditional",
-    # retrieval: TF-IDF fix re-attest + r11-aged BM25
-    "text_tfidf_topterms",
-    "text_bm25_retrieval",
-    # r11-aged singles and small families
-    "agg_bloom_filter_probe",
-    "agg_cms_heavy_hitters",
-    "join_skew_salted",
-    "layout_bucketed_join",
-    # layout_zorder_cluster (r11) was displaced by the late tau_apply —
-    # never-attested elimination outranks soft re-attestation (the
-    # r12-r14 precedent); it joins curation at the front of the r16
-    # window.
-    # pipeline_curation (r11) was displaced by the late
-    # text_template_strip; profile_corpus (r11) by text_sp_encode —
-    # same precedent as layout_zorder_cluster above; r16 front window.
-    "sample_group_kfold",
-    "sim_bitext_margin_mine",
-    "sim_embed_contamination",
-    "sim_grouped_ann",
-    "sim_hard_negatives",
-    "sim_pq_train_loop",
-    "udf_pandas_readability",
-    # r11-aged joins block
-    "join_inner_fact_fact",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_nonequi_theta",
-    "join_multiway_revenue",
-    # r11-aged tpch_extra block
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_dormant_customers",
-    # r11-aged setops block
-    "setop_union_all_distinct",
-    "setop_intersect_except",
-    "setop_intersect_except_all",
-    "subquery_scalar_and_in",
-    "subquery_correlated_cte",
+    # the r11-aged seven (lead the rotation)
+    "text_boilerplate_chunks",
+    "dedup_source_overlap",
+    "sample_epoch_plan",
+    "dedup_keeper_select",
+    "layout_zorder_cluster",
+    "pipeline_curation",
+    "profile_corpus",
+    # oldest r12 block: fuzzy
+    "dedup_fuzzy_editdist",
+    # oldest r12 block: aggregates (14)
+    "agg_having",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube_grouping",
+    "agg_stats_moments",
+    "agg_corr_moments",
+    "agg_percentile_minmax",
+    "agg_string_agg",
+    "agg_approx_count_distinct",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_unpivot",
+    "agg_hll_sketch_rollup",
+    "agg_approx_quantiles",
+    # oldest r12 block: scalar_funcs (8)
+    "func_array_family",
+    "func_string_family",
+    "func_date_family",
+    "func_math_family",
+    "func_json_family",
+    "func_struct_map",
+    "func_variant_json",
+    "func_regexp_family",
+    # oldest r12 block: windows (6)
+    "window_ranking",
+    "window_lag_lead",
+    "window_running_frame",
+    "window_range_frame",
+    "window_topk_per_group",
+    "window_distribution_ranks",
+    # oldest r12 block: udfs (2)
+    "udaf_zscore_group",
+    "udtf_sentence_split",
+    # oldest r12 block: ivfpq (5)
+    "sim_ivfpq_topk",
+    "sim_ivf_batch_multiprobe",
+    "sim_ivfpq_residual_topk",
+    "sim_ivfpq_indexed_query",
+    "sim_ivfpq_index_refresh",
+    # oldest r12 block: fusion (2)
+    "sim_hybrid_rrf",
+    "sim_mmr_diversify",
 }
 
 
