@@ -178,17 +178,25 @@ def _segment_em(words: DataFrame, costs: dict[str, int]) -> DataFrame:
     )
 
 
-def _em_round(spark: SparkSession, sf_dir: str):
-    """Shared round-1 pipeline: (words, vc, em) — the persisted distinct-
-    word table, the seed piece-cost table, and the round-1 EM ledger."""
+def _distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted distinct-word count table (word, c) — the ONE
+    corpus scan every training round and the encode leg share.  Split
+    out of ``_em_round`` so a warm ``sp_loop.trained_costs`` cache hit
+    can rebuild the word frame without the seed-vocabulary machinery."""
     d = load_table(spark, sf_dir, "documents")
-    words = (
+    return (
         d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
         .filter((F.col("word") != "") & (F.length("word") <= SP_WORD_MAX))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
         .transform(persist_tracked)
     )
+
+
+def _em_round(spark: SparkSession, sf_dir: str):
+    """Shared round-1 pipeline: (words, vc, em) — the persisted distinct-
+    word table, the seed piece-cost table, and the round-1 EM ledger."""
+    words = _distinct_words(spark, sf_dir)
     pieces = (
         words.select(
             "word",

@@ -48,8 +48,7 @@ from sql2all_spark.functions.sp_core import (
     segment_words,
 )
 from sql2all_spark.operators.sp_loop import (
-    SP_LOOP_SCHEDULE,
-    _sp_loop_oracle,
+    _sp_loop_chain,
     trained_costs,
 )
 from sql2all_spark.registry import register
@@ -57,12 +56,13 @@ from sql2all_spark.tables import load_table
 
 
 def _encode_oracle() -> str:
-    # the loop oracle's WITH-chain, minus its final SELECT: everything
-    # up to the last chain's CTEs, then the encode-specific tail
-    loop = _sp_loop_oracle()
-    chain = loop[: loop.rindex("SELECT ")].rstrip().rstrip(",")
-    tag = f"_p{len(SP_LOOP_SCHEDULE)}"
-    return f"""{chain},
+    # the loop's WITH-chain composed STRUCTURALLY (ADVICE r15: the old
+    # rindex("SELECT ") slice of the assembled loop SQL would silently
+    # truncate at the wrong spot if the final projection ever gained a
+    # nested SELECT), then the encode-specific tail CTEs
+    chain, tag, _prev = _sp_loop_chain()
+    return f"""
+WITH {chain},
 np AS (
   SELECT word,
          CAST(len(string_split(seg, chr(127))) - 1 AS BIGINT) AS np

@@ -34,6 +34,8 @@ through verbatim — src/db/sqlite.rs:79); LLM-pipeline extension family
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,6 +43,7 @@ from sql2all_spark.functions.sp_core import (
     SP_KEEP,
     SP_SCALE,
     SP_TOP,
+    _distinct_words,
     _dp_em_ctes,
     _em_round,
     _seed_ctes,
@@ -90,7 +93,15 @@ vc{tag} AS MATERIALIZED (
 )"""
 
 
-def _sp_loop_oracle() -> str:
+def _sp_loop_chain() -> tuple[str, str, str]:
+    """The loop's WITH-chain BODY plus its terminal identifiers
+    ``(blocks, tag, prev)``: the chained seed + DP/EM blocks with the
+    prune CTEs between rounds, the final round's tag (``vc{tag}`` /
+    ``final{tag}`` name it), and the final EM ledger CTE name.
+    Exposed separately from :func:`_sp_loop_oracle` so downstream
+    oracles (the ENCODE leg) can append their own tail CTEs instead of
+    string-slicing the assembled SQL (ADVICE r15: a nested SELECT in
+    the final projection would silently truncate a ``rindex`` slice)."""
     parts = [_seed_ctes(), _dp_em_ctes("")]
     prev = "em"
     tag = ""
@@ -99,7 +110,11 @@ def _sp_loop_oracle() -> str:
         parts.append(_prune_ctes(prev, keep, tag))
         parts.append(_dp_em_ctes(tag))
         prev = f"em{tag}"
-    blocks = ",\n".join(parts)
+    return ",\n".join(parts), tag, prev
+
+
+def _sp_loop_oracle() -> str:
+    blocks, tag, prev = _sp_loop_chain()
     return f"""
 WITH {blocks}
 SELECT {prev}.piece, {prev}.em_count, {prev}.n_words,
@@ -112,6 +127,26 @@ LIMIT {SP_TOP}
 """
 
 
+# Session store for the converged loop artifacts, keyed on the
+# realpath of the fixture dir (the clf_core._WEIGHTS_CACHE pattern,
+# ADVICE r15): the training query and the ENCODE leg share the exact
+# same EM+prune schedule, so whichever runs first in a session pays the
+# multi-round loop (several bounded driver collects +
+# len(SP_LOOP_SCHEDULE)+1 Viterbi UDF passes) ONCE; the second re-enters
+# the final costs/em1 ledgers as literals and runs a single Viterbi
+# pass over the rebuilt distinct-word table.  Values are byte-identical
+# either way: the cache holds the exact collected cost integers, and
+# the warm path recomputes the final E-step frame from the same (words,
+# costs) inputs.  Fixture dirs are immutable in this harness; anyone
+# regenerating one in-place must call clear_trained_cache().
+_TRAINED_CACHE: dict[str, tuple[dict[str, int], dict[str, int]]] = {}
+
+
+def clear_trained_cache() -> None:
+    """Invalidate the session loop store (fixture regenerated in-place)."""
+    _TRAINED_CACHE.clear()
+
+
 def trained_costs(spark: SparkSession, sf_dir: str):
     """Run the full EM+prune schedule and return ``(words, vc_final,
     em_final, em1_map, costs_final)`` — the persisted distinct-word
@@ -119,7 +154,16 @@ def trained_costs(spark: SparkSession, sf_dir: str):
     ledger frame (unexecuted lineage under the final costs), the
     round-1 EM counts, and the final cost dict.  Shared by the
     training report and the ENCODE leg so the loop has ONE
-    definition."""
+    definition (warm calls skip the loop via the session store)."""
+    key = os.path.realpath(sf_dir)
+    hit = _TRAINED_CACHE.get(key)
+    if hit is not None:
+        costs, em1_map = hit
+        words = _distinct_words(spark, sf_dir)
+        vc_cur = spark.createDataFrame(
+            sorted(costs.items()), "piece string, cost long"
+        )
+        return words, vc_cur, _segment_em(words, costs), dict(em1_map), dict(costs)
     words, vc, em = _em_round(spark, sf_dir)
     singles = sorted(
         r["piece"] for r in vc.collect() if len(r["piece"]) == 1
@@ -163,6 +207,7 @@ def trained_costs(spark: SparkSession, sf_dir: str):
         costs = {r["piece"]: r["cost"] for r in vc_cur.collect()}
         # costs re-enter the E-step as literals: identical plan per round
         cur_em = _segment_em(words, costs)
+    _TRAINED_CACHE[key] = (dict(costs), dict(em1_map))
     return words, vc_cur, cur_em, em1_map, costs
 
 

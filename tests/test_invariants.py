@@ -1589,6 +1589,45 @@ def test_sp_encode_bridges_training_ledger_and_counts(spark, sf_dir):
     assert sum(g["n_pieces"] for g in rows.values()) == ledger_pieces
 
 
+def test_sp_trained_costs_session_store_cold_warm_identical(spark, sf_dir):
+    """The loop session store (ADVICE r15, the clf_core pattern): the
+    training query and the encode leg share one EM+prune run per
+    (session, corpus).  Pins (a) cold-vs-warm value identity for BOTH
+    consumers, (b) a warm BUILD launches ZERO Spark jobs (the
+    multi-round collects are gone; only deferred lineage remains), and
+    (c) path aliasing resolves to the same realpath-keyed entry."""
+    import os
+
+    from sql2all_spark.operators import sp_loop
+    from sql2all_spark.operators.sp_encode import text_sp_encode
+
+    key = os.path.realpath(sf_dir)
+    sp_loop.clear_trained_cache()
+    cold = (
+        all_specs()["text_sp_unigram_train"].builder(spark, sf_dir).collect()
+    )
+    assert key in sp_loop._TRAINED_CACHE  # the miss seeded the store
+    costs_cold, em1_cold = sp_loop._TRAINED_CACHE[key]
+
+    # warm BUILD must launch no jobs (lazy word scan + literal costs)
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup())
+    df = all_specs()["text_sp_unigram_train"].builder(spark, sf_dir)
+    ran = len(set(st.getJobIdsForGroup()) - before)
+    assert ran == 0, f"warm-store build launched {ran} loop jobs"
+    assert df.collect() == cold  # values byte-identical, hit vs miss
+
+    # the encode leg consumes the SAME warm entry and stays identical
+    # to its own cold run (aliased path -> same realpath entry)
+    alias = sf_dir.rstrip("/") + "/."
+    enc_warm = text_sp_encode(spark, alias).collect()
+    assert (costs_cold, em1_cold) == sp_loop._TRAINED_CACHE[key]
+    sp_loop.clear_trained_cache()
+    enc_cold = text_sp_encode(spark, sf_dir).collect()
+    assert enc_cold == enc_warm
+    assert sp_loop._TRAINED_CACHE[key] == (costs_cold, em1_cold)
+
+
 def test_template_strip_replicates_rewrite_and_reconciles_keeper(
     spark, sf_dir
 ):
