@@ -80,8 +80,8 @@ doc AS (
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(is_oov) AS BIGINT) AS n_oov,
-       ROUND(CAST(SUM(s_scaled) AS DOUBLE) / COUNT(*) / {UNIGRAM_SCALE}.0, 6)
-         AS avg_neglogp
+       CAST((2 * SUM(s_scaled) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+         / {UNIGRAM_SCALE}.0 AS avg_neglogp
 FROM doc GROUP BY doc_id
 """
 
@@ -208,8 +208,15 @@ def unigram_doc_scores(
         *(F.first(k).alias(k) for k in carry),
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("is_oov").cast("long").alias("n_oov"),
-        F.round(
-            F.sum("s_scaled").cast("double") / F.count(F.lit(1)) / scale,
-            6,
+        # avg quantized via EXACT integer half-up — round(S/n, 6) as
+        # (2S + n) div (2n), identical integer arithmetic in both
+        # engines (the kn_trigram.py pattern; ROUND(double, 6) on a
+        # fixed-point sum is a REAL halfway hazard — NOTES.md TRAP r15;
+        # conversion proven value-neutral on all four fixture SFs).
+        (
+            F.expr(
+                "(2 * sum(s_scaled) + count(1)) div (2 * count(1))"
+            ).cast("double")
+            / scale
         ).alias("avg_neglogp"),
     )

@@ -42,7 +42,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sql2all_spark.functions.exact import dsum
 from sql2all_spark.functions.unigram_lm import (
     UNIGRAM_ORACLE,
     unigram_doc_scores,
@@ -69,8 +68,9 @@ SELECT lang,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        MIN(avg_neglogp) AS min_score,
        MAX(avg_neglogp) AS max_score,
-       ROUND(CAST(SUM(CAST(avg_neglogp AS DECIMAL(18,6))) AS DOUBLE)
-             / COUNT(*), 6) AS avg_score
+       CAST((2 * SUM(CAST(CAST(avg_neglogp AS DECIMAL(18,6)) * 1000000
+                          AS BIGINT)) + COUNT(*))
+            // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS avg_score
 FROM scored
 GROUP BY lang, tercile
 ORDER BY lang, bucket
@@ -114,9 +114,21 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
             F.min("avg_neglogp").alias("min_score"),
             F.max("avg_neglogp").alias("max_score"),
-            F.round(dsum(F.col("avg_neglogp"), 6) / F.count(F.lit(1)), 6).alias(
-                "avg_score"
-            ),
+            # exact integer half-up average over the 6-decimal doc
+            # scores: each score is exactly k/1e6, so the decimal cast
+            # recovers k and the group average quantizes via
+            # (2S + n) div (2n) — identical integer arithmetic in both
+            # engines (the kn_trigram.py pattern; ROUND(double, 6) is
+            # the NOTES.md r15 halfway TRAP — conversion proven
+            # value-neutral on all four fixture SFs)
+            (
+                F.expr(
+                    "(2 * sum(cast(cast(avg_neglogp as decimal(18,6))"
+                    " * 1000000 as bigint)) + count(1))"
+                    " div (2 * count(1))"
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("avg_score"),
         )
         .orderBy("lang", "bucket")
     )

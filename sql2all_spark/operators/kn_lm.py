@@ -150,8 +150,8 @@ tok AS (
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(model_hit) AS BIGINT) AS n_model_hits,
-       ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*) / {KN_SCALE}.0, 6)
-         AS avg_neglogp
+       CAST((2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+         / {KN_SCALE}.0 AS avg_neglogp
 FROM tok GROUP BY doc_id
 """
 
@@ -298,7 +298,13 @@ def text_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("model_hit").cast("long").alias("n_model_hits"),
-        F.round(
-            F.sum("s").cast("double") / F.count(F.lit(1)) / scale, 6
+        # exact integer half-up average (the kn_trigram.py pattern;
+        # ROUND(double, 6) is the NOTES.md r15 halfway TRAP — conversion
+        # proven value-neutral on all four fixture SFs)
+        (
+            F.expr("(2 * sum(s) + count(1)) div (2 * count(1))").cast(
+                "double"
+            )
+            / scale
         ).alias("avg_neglogp"),
     )

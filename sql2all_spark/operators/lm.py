@@ -108,8 +108,8 @@ tok AS (
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(bigram_hit) AS BIGINT) AS n_bigram_hits,
-       ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*) / {LM_SCALE}.0, 6)
-         AS avg_neglogp
+       CAST((2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+         / {LM_SCALE}.0 AS avg_neglogp
 FROM tok GROUP BY doc_id
 """,
     doc=f"Stupid-Backoff bigram LM score: top-{BIGRAM_TOP} bigram model"
@@ -210,7 +210,13 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("bigram_hit").cast("long").alias("n_bigram_hits"),
-        F.round(F.sum("s").cast("double") / F.count(F.lit(1)) / scale, 6).alias(
-            "avg_neglogp"
-        ),
+        # exact integer half-up average (the kn_trigram.py pattern;
+        # ROUND(double, 6) is the NOTES.md r15 halfway TRAP — conversion
+        # proven value-neutral on all four fixture SFs)
+        (
+            F.expr("(2 * sum(s) + count(1)) div (2 * count(1))").cast(
+                "double"
+            )
+            / scale
+        ).alias("avg_neglogp"),
     )

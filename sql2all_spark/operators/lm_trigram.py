@@ -141,8 +141,8 @@ SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(trigram_hit) AS BIGINT) AS n_trigram_hits,
        CAST(SUM(bigram_hit) AS BIGINT) AS n_bigram_hits,
-       ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*) / {LM_SCALE}.0, 6)
-         AS avg_neglogp
+       CAST((2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+         / {LM_SCALE}.0 AS avg_neglogp
 FROM tok GROUP BY doc_id
 """,
     doc=f"Stupid-Backoff trigram LM score: top-{TRIGRAM_TOP} trigram model"
@@ -277,7 +277,13 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.sum("trigram_hit").cast("long").alias("n_trigram_hits"),
         F.sum("bigram_hit").cast("long").alias("n_bigram_hits"),
-        F.round(
-            F.sum("s").cast("double") / F.count(F.lit(1)) / F.lit(float(LM_SCALE)), 6
+        # exact integer half-up average (the kn_trigram.py pattern;
+        # ROUND(double, 6) is the NOTES.md r15 halfway TRAP — conversion
+        # proven value-neutral on all four fixture SFs)
+        (
+            F.expr("(2 * sum(s) + count(1)) div (2 * count(1))").cast(
+                "double"
+            )
+            / F.lit(float(LM_SCALE))
         ).alias("avg_neglogp"),
     )
