@@ -1707,3 +1707,50 @@ def test_template_strip_replicates_rewrite_and_reconciles_keeper(
     assert any(
         got[d]["cleaned_fp"] == bh(" ".join(docs[d])) for d in clean
     )
+
+
+def test_tau_caps_reconciles_both_parent_policies(spark, sf_dir):
+    """The two-policy table must reconcile EXACTLY against both parents:
+    (a) per domain, its tau equals embed_domain_tau_apply's tau and the
+    source-summed doc/tau-keep counts equal the apply leg's n_docs /
+    n_kept (tau binds first, so the cap cannot change them); (b) per
+    source, the domain-summed final keeps equal min(CAP_N, that
+    source's total tau-survivors) — the cap's meaning under tau-first
+    ordering; and (c) every row obeys 0 <= n_final_kept <= n_tau_kept
+    <= n_docs with n_cap_dropped the exact difference."""
+    from collections import defaultdict
+
+    from sql2all_spark.operators.classifier import CAP_N
+
+    rows = (
+        all_specs()["embed_domain_tau_caps"].builder(spark, sf_dir).collect()
+    )
+    apply_rows = {
+        r["domain"]: r
+        for r in all_specs()["embed_domain_tau_apply"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    # (c) row-local sanity + exact difference
+    for r in rows:
+        assert 0 <= r["n_final_kept"] <= r["n_tau_kept"] <= r["n_docs"], r
+        assert r["n_cap_dropped"] == r["n_tau_kept"] - r["n_final_kept"], r
+    # (a) the tau leg is unchanged by the cap
+    by_dom = defaultdict(lambda: [0, 0])
+    taus = {}
+    for r in rows:
+        by_dom[r["domain"]][0] += r["n_docs"]
+        by_dom[r["domain"]][1] += r["n_tau_kept"]
+        taus.setdefault(r["domain"], set()).add(r["tau"])
+    assert set(by_dom) == set(apply_rows)
+    for d, (nd, nk) in by_dom.items():
+        assert taus[d] == {apply_rows[d]["tau"]}, d
+        assert nd == apply_rows[d]["n_docs"], d
+        assert nk == apply_rows[d]["n_kept"], d
+    # (b) the cap binds exactly on the survivor pool per source
+    by_src = defaultdict(lambda: [0, 0])
+    for r in rows:
+        by_src[r["source"]][0] += r["n_tau_kept"]
+        by_src[r["source"]][1] += r["n_final_kept"]
+    for s, (surv, fin) in by_src.items():
+        assert fin == min(CAP_N, surv), (s, surv, fin)

@@ -1416,3 +1416,20 @@ def test_domain_quality_profile_slim_bridge_and_no_training_scan(
     for seg in plan.split("Exchange hashpartitioning(")[1:]:
         head = seg[:100]
         assert "text" not in head and "embedding" not in head, head
+
+
+def test_tau_caps_two_windows_group_limit_slim_exchanges(spark, sf_dir):
+    """The two-policy composition (r16) keeps both parents' shapes: the
+    assignment leg is still broadcast-cross + struct-MIN, the per-domain
+    median is the one oracle-exactness window, and the source cap's
+    rank-filter compiles to WindowGroupLimit (bounded per-source heap,
+    the caps-leg pin) — no cartesian, and no exchange carries text or
+    embeddings after the scans."""
+    plan = _plan(spark, sf_dir, "embed_domain_tau_caps")
+    assert "CartesianProduct" not in plan
+    assert "partial_min(struct" in plan  # the assignment struct-MIN
+    assert "BroadcastNestedLoopJoin" in plan  # k-row centroid cross only
+    assert "WindowGroupLimit" in plan  # the cap is a bounded heap
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        head = seg[:100]
+        assert "text" not in head and "embedding" not in head, head
