@@ -24,6 +24,12 @@ CLF_LR = 2.0
 CLF_GOLD_CHARS = 280  # heuristic gold label: length-gate quality proxy
 CLF_SCALE = 1_000_000  # sigmoid fixed-point scale
 CLF_HALF = CLF_SCALE // 2
+# Per-source keep budget for text_source_quality_caps and the tau x caps
+# composition (operators/tau_caps.py).  Lives here, not in classifier.py,
+# so composing operators can import it without dragging the classifier
+# module's registrations into the driver window (the r15 shared-core
+# import-order discipline).
+CAP_N = 5
 
 
 def _feats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -50,6 +50,7 @@ from pyspark.sql.window import Window
 from sql2all_spark.cache import persist_tracked
 from sql2all_spark.functions.clf_core import (  # noqa: F401 (re-exports:
     # tests and the profile operator import these names from here)
+    CAP_N,
     CLF_GOLD_CHARS,
     CLF_HALF,
     CLF_LR,
@@ -146,7 +147,9 @@ def text_quality_classifier_train(
 # RefinedWeb-style per-source cap against over-represented domains.
 # ---------------------------------------------------------------------------
 
-CAP_N = 5  # per-source keep budget for text_source_quality_caps
+# per-source keep budget: clf_core.CAP_N (shared with tau_caps without
+# dragging this module's registrations into the driver window; imported
+# in the header block above)
 
 
 

@@ -41,11 +41,8 @@ from pyspark.sql import functions as F
 
 from sql2all_spark.cache import persist_tracked
 from sql2all_spark.functions.clf_core import (
-    CLF_ROUNDS,
-    _Z_W_SQL,
     _feats,
     _p_fx,
-    _p_fx_sql,
     _w_chain_sql,
     _z,
     trained_weights,
@@ -55,38 +52,8 @@ from sql2all_spark.functions.domain_core import (
     assigned_domains,
     load_vecs,
 )
+from sql2all_spark.functions.tau_core import tau_chain_ctes
 from sql2all_spark.registry import register
-
-
-def tau_chain_ctes(carry: str = "") -> str:
-    """The dom/scored/joined/ranked/tau CTE block — shared with the
-    caps composition (``operators/tau_caps.py``).  ``carry`` names one
-    extra feats column (e.g. ``"source"``) threaded through
-    scored -> joined -> ranked; the default output is byte-identical
-    to the r15 oracle text (sf1 oracle-cache stability)."""
-    c1 = f", f.{carry}" if carry else ""
-    c2 = f", s.{carry}" if carry else ""
-    c3 = f", {carry}" if carry else ""
-    return f"""dom AS (SELECT vec_id, c_label AS domain FROM assign WHERE rk = 1),
-scored AS (
-  SELECT f.doc_id{c1}, {_p_fx_sql(_Z_W_SQL)} AS p_fx
-  FROM feats f, w{CLF_ROUNDS} w
-),
-joined AS (
-  SELECT COALESCE(CAST(d.domain AS VARCHAR), 'unassigned') AS domain,
-         s.doc_id{c2}, s.p_fx
-  FROM scored s LEFT JOIN dom d ON d.vec_id = s.doc_id
-),
-ranked AS (
-  SELECT domain, doc_id{c3}, p_fx,
-         ROW_NUMBER() OVER (
-           PARTITION BY domain ORDER BY p_fx ASC, doc_id ASC) AS rn,
-         COUNT(*) OVER (PARTITION BY domain) AS n
-  FROM joined
-),
-tau AS (
-  SELECT domain, p_fx AS tau FROM ranked WHERE rn = (n + 1) // 2
-)"""
 
 
 def _tau_oracle() -> str:

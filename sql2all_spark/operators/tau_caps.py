@@ -51,7 +51,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sql2all_spark.cache import persist_tracked
+# ONLY non-registering functions.* imports here: register() evaluates
+# oracles eagerly at import time, so importing classifier / tau_apply
+# at module scope would drag their queries into the driver window
+# (the r15 shared-core import-order discipline).
 from sql2all_spark.functions.clf_core import (
+    CAP_N,
     _feats,
     _p_fx,
     _w_chain_sql,
@@ -63,8 +68,7 @@ from sql2all_spark.functions.domain_core import (
     assigned_domains,
     load_vecs,
 )
-from sql2all_spark.operators.classifier import CAP_N
-from sql2all_spark.operators.tau_apply import tau_chain_ctes
+from sql2all_spark.functions.tau_core import tau_chain_ctes
 from sql2all_spark.registry import register
 
 
