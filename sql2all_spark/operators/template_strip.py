@@ -47,10 +47,14 @@ from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
 
-def _strip_oracle() -> str:
-    return f"""
-WITH RECURSIVE
-{family_ctes()},
+def strip_chain_ctes() -> str:
+    """The full strip WITH-chain BODY (family graph -> runs -> spans ->
+    keeper -> strip positions -> reassembled ``cleaned`` docs) — shared
+    with the post-strip dedup composition (``operators/strip_dedup.py``)
+    so downstream oracles append their own tail instead of slicing the
+    assembled SQL (the sp_loop ADVICE-r15 lesson).  Callers open with
+    ``WITH RECURSIVE`` (the family closure needs it)."""
+    return f"""{family_ctes()},
 runs AS (
   SELECT f.family_id, hits.doc_id, hits.pos,
          hits.pos - ROW_NUMBER() OVER (
@@ -101,7 +105,13 @@ cleaned AS (
   SELECT doc_id, string_agg(word, ' ' ORDER BY pos ASC) AS txt,
          CAST(COUNT(*) AS BIGINT) AS n_after
   FROM kept GROUP BY doc_id
-)
+)"""
+
+
+def _strip_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+{strip_chain_ctes()}
 SELECT doc.doc_id,
        CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS n_words,
        CAST(COALESCE(ss.n_spans_stripped, 0) AS BIGINT)
@@ -117,22 +127,14 @@ ORDER BY doc.doc_id ASC NULLS FIRST
 """
 
 
-@register(
-    "text_template_strip",
-    oracle=_strip_oracle(),
-    doc="Template STRIP — the corpus rewrite after mining (enumerate)"
-    " and keeper (decide): every non-keeper span's words are removed,"
-    " cross-family overlaps unioned per word position (DISTINCT on the"
-    " (doc, pos) key, so the accounting is exact), and every document"
-    " reports words before/after, spans stripped, and the base_hash"
-    " fingerprint of the REASSEMBLED cleaned text — the strongest"
-    " cross-engine pin (both engines must agree on every surviving"
-    " word and its order) and the key a downstream exact-dedup pass"
-    " consumes.  Pair-free throughout: hit-table-sized until the one"
-    " anti-join of exploded corpus words against slim (doc, pos)"
-    " strip keys.",
-)
-def text_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cleaned_corpus(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(documents, cleaned, strip_spans) — the strip pipeline up to the
+    reassembled per-doc cleaned text; shared with the post-strip dedup
+    composition so the rewrite has ONE definition.  ``cleaned`` holds
+    (doc_id, txt, n_after) for documents that kept at least one word;
+    ``strip_spans`` the per-doc stripped-span counts."""
     hits, fam = family_hits(spark, sf_dir)
     runs = hits.join(fam, "h").select(
         "family_id",
@@ -211,6 +213,26 @@ def text_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("txt"),
         F.count(F.lit(1)).cast("long").alias("n_after"),
     )
+    return d, cleaned, strip_spans
+
+
+@register(
+    "text_template_strip",
+    oracle=_strip_oracle(),
+    doc="Template STRIP — the corpus rewrite after mining (enumerate)"
+    " and keeper (decide): every non-keeper span's words are removed,"
+    " cross-family overlaps unioned per word position (DISTINCT on the"
+    " (doc, pos) key, so the accounting is exact), and every document"
+    " reports words before/after, spans stripped, and the base_hash"
+    " fingerprint of the REASSEMBLED cleaned text — the strongest"
+    " cross-engine pin (both engines must agree on every surviving"
+    " word and its order) and the key a downstream exact-dedup pass"
+    " consumes.  Pair-free throughout: hit-table-sized until the one"
+    " anti-join of exploded corpus words against slim (doc, pos)"
+    " strip keys.",
+)
+def text_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, cleaned, strip_spans = cleaned_corpus(spark, sf_dir)
     n_words = F.size(F.split("text", " ")).cast("long")
     return (
         d.select("doc_id", n_words.alias("n_words"))

@@ -1754,3 +1754,67 @@ def test_tau_caps_reconciles_both_parent_policies(spark, sf_dir):
         by_src[r["source"]][1] += r["n_final_kept"]
     for s, (surv, fin) in by_src.items():
         assert fin == min(CAP_N, surv), (s, surv, fin)
+
+
+def test_post_strip_dedup_replicates_groups_and_gains_yield(spark, sf_dir):
+    """Pure-Python replica of the post-strip dedup over its two sibling
+    queries' own outputs: group text_template_strip's per-doc cleaned_fp
+    values, recompute every group's member count / MIN keeper /
+    distinct-pre-fingerprint count from the raw fixture, and compare
+    each output row exactly.  Also pins the operator's reason to exist:
+    post-strip collapse strictly contains pre-strip collapse (every
+    dedup_exact duplicate group stays merged — identical raw text stays
+    identical after the strip) and merged_gain > 0 somewhere (the strip
+    CREATED collapse the raw fingerprint could not see)."""
+    import hashlib
+    from collections import defaultdict
+
+    from sql2all_spark.tables import load_table
+
+    out = (
+        all_specs()["dedup_post_strip"].builder(spark, sf_dir).collect()
+    )
+    strip_fp = {
+        r["doc_id"]: r["cleaned_fp"]
+        for r in all_specs()["text_template_strip"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    pre_fp = {
+        r["doc_id"]: hashlib.md5(
+            r["text"].strip().lower().encode()
+        ).hexdigest()
+        for r in docs
+    }
+    # replica groups over the sibling query's fingerprints
+    groups = defaultdict(list)
+    for doc_id, fp in strip_fp.items():
+        groups[fp].append(doc_id)
+    expect = {
+        fp: (
+            len(ids),
+            min(ids),
+            len({pre_fp[i] for i in ids}),
+        )
+        for fp, ids in groups.items()
+        if len(ids) >= 2
+    }
+    got = {
+        r["cleaned_fp"]: (r["n_docs"], r["keeper_doc_id"], r["n_pre_fps"])
+        for r in out
+    }
+    assert got == expect
+    for r in out:
+        assert r["merged_gain"] == r["n_pre_fps"] - 1, r
+    # pre-strip duplicate groups stay merged post-strip
+    pre_groups = defaultdict(list)
+    for doc_id, fp in pre_fp.items():
+        pre_groups[fp].append(doc_id)
+    for fp, ids in pre_groups.items():
+        if len(ids) >= 2:
+            assert len({strip_fp[i] for i in ids}) == 1, fp
+    # and the strip created NEW collapse (the yield claim)
+    assert any(r["merged_gain"] > 0 for r in out)

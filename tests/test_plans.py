@@ -1433,3 +1433,19 @@ def test_tau_caps_two_windows_group_limit_slim_exchanges(spark, sf_dir):
     for seg in plan.split("Exchange hashpartitioning(")[1:]:
         head = seg[:100]
         assert "text" not in head and "embedding" not in head, head
+
+
+def test_post_strip_dedup_inherits_strip_shape_fp_exchange(spark, sf_dir):
+    """The post-strip dedup (r16) keeps the strip chain's shape (no
+    cartesian, struct-MIN keeper, anti-join reassembly) and adds exactly
+    dedup_exact's shape on top: the final aggregation exchanges on the
+    8-byte cleaned fingerprint, and no exchange ever carries the raw
+    text column."""
+    plan = _plan(spark, sf_dir, "dedup_post_strip")
+    assert "CartesianProduct" not in plan
+    assert "partial_min(struct" in plan  # the keeper argmin
+    assert "LeftAnti" in plan  # the (doc, pos) strip reassembly
+    segs = [s[:120] for s in plan.split("Exchange hashpartitioning(")[1:]]
+    assert any("cleaned_fp" in s for s in segs)  # the dedup shuffle key
+    for s in segs:
+        assert "text#" not in s, s

@@ -40,6 +40,13 @@ REPO = Path(__file__).resolve().parent.parent
 # retention) hold the last slots until this round's NEW operators land
 # and displace them.
 ROTATION_TARGETS = {
+    # new this round (never attested)
+    "embed_domain_tau_caps",
+    "dedup_post_strip",
+    # module-scope riders of strip_dedup (template_strip imports
+    # template) — both r15-green, re-attest
+    "text_template_mining",
+    "text_template_strip",
     # the r11-aged seven (lead the rotation)
     "text_boilerplate_chunks",
     "dedup_source_overlap",
