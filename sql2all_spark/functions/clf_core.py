@@ -107,14 +107,17 @@ def _z(w: list[float]):
     )
 
 
-def _w_chain_sql(with_acc: bool = True) -> str:
+def _w_chain_sql(with_acc: bool = True, with_kw: bool = True) -> str:
     """Shared unrolled-GD CTE chain ``WITH feats, w0, g1, w1 [, c1] …``
     ending at w{CLF_ROUNDS}: w{k} derives from w{k-1} via the same
     DECIMAL(28,12) gradient sums and ROUND(·,6) updates the Spark loop
     performs; with_acc adds c{k} accuracy recounts under w{k}.  The
     scoring-leg oracles (filter / source caps) reuse the chain without
-    the accuracy CTEs."""
-    parts = [f"WITH {_FEATS_SQL.strip()}"]
+    the accuracy CTEs.  ``with_kw=False`` omits the leading ``WITH`` so
+    callers already inside a WITH [RECURSIVE] list can append the chain
+    structurally (never slice the assembled SQL — the ADVICE r15 rule)."""
+    head = f"WITH {_FEATS_SQL.strip()}" if with_kw else _FEATS_SQL.strip()
+    parts = [head]
     parts.append(
         ",\nw0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"
     )

@@ -53,14 +53,18 @@ _QUERY_MODULES = [
     # tail fillers below one-for-one (never-attested elimination
     # outranks soft re-attestation — the r12-r15 precedent).
     "sql2all_spark.operators.tau_caps",  # NEW r16: tau x source-caps governance
-    "sql2all_spark.operators.strip_dedup",  # NEW r16: strip->exact-dedup yield
-    "sql2all_spark.operators.semdedup",  # r13 filler
-    "sql2all_spark.operators.range_search",  # r13 filler
-    "sql2all_spark.operators.bpe_train",  # r13 filler
+    # NEW r16: strip->exact-dedup yield (imports template_strip at module
+    # scope, so r15-green text_template_mining + text_template_strip ride
+    # along and re-attest)
+    "sql2all_spark.operators.strip_dedup",
+    "sql2all_spark.operators.strip_keeper",  # NEW r16: quality keeper leg
     # --- position > 50 from here: driver-green rows on record (ledger;
     # max attestation age r12 after this rotation = similarity's ten).
     # tools/check.py still covers them locally and the full-tree gates
     # run all 189 + this round's additions.
+    "sql2all_spark.operators.semdedup",  # r13 filler, displaced (post_strip_keeper)
+    "sql2all_spark.operators.range_search",  # r13 filler, displaced (riders)
+    "sql2all_spark.operators.bpe_train",  # r13 filler, displaced (riders)
     "sql2all_spark.operators.reservoir",  # r13 filler, displaced (tau_caps)
     "sql2all_spark.operators.retention",  # r13 filler, displaced (strip_dedup)
     "sql2all_spark.operators.relational",

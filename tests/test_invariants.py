@@ -1818,3 +1818,80 @@ def test_post_strip_dedup_replicates_groups_and_gains_yield(spark, sf_dir):
             assert len({strip_fp[i] for i in ids}) == 1, fp
     # and the strip created NEW collapse (the yield claim)
     assert any(r["merged_gain"] > 0 for r in out)
+
+
+def test_post_strip_keeper_replicates_argmax_policy(spark, sf_dir):
+    """Pure-Python replica of the quality keeper over its sibling
+    queries' own outputs: group text_template_strip's per-doc
+    cleaned_fp, score every doc with the same stored weights
+    (clf_core.trained_weights re-derivation through the builder), take
+    argmax (p_fx, -doc_id), and compare every governance row exactly.
+    Also pins the group bridge to dedup_post_strip (same groups, same
+    member counts) and that the policy is NON-vacuous on the fixture
+    (keeper_differs = 1 somewhere — the reason the leg exists)."""
+    from collections import defaultdict
+
+    from sql2all_spark.functions.clf_core import (
+        _feats,
+        _p_fx,
+        _z,
+        trained_weights,
+    )
+
+    out = (
+        all_specs()["dedup_post_strip_keeper"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    strip_fp = {
+        r["doc_id"]: r["cleaned_fp"]
+        for r in all_specs()["text_template_strip"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    feats = _feats(spark, sf_dir)
+    w = trained_weights(feats, sf_dir)
+    score = {
+        r["doc_id"]: r["p"]
+        for r in feats.select(
+            "doc_id", _p_fx(_z(w)).alias("p")
+        ).collect()
+    }
+    groups = defaultdict(list)
+    for doc_id, fp in strip_fp.items():
+        groups[fp].append(doc_id)
+    expect = {}
+    for fp, ids in groups.items():
+        if len(ids) < 2:
+            continue
+        keeper = max(ids, key=lambda i: (score[i], -i))
+        expect[fp] = (
+            len(ids),
+            keeper,
+            score[keeper],
+            min(ids),
+            int(keeper != min(ids)),
+            sum(score[i] for i in ids) - score[keeper],
+        )
+    got = {
+        r["cleaned_fp"]: (
+            r["n_docs"],
+            r["keeper_doc_id"],
+            r["keeper_score"],
+            r["naive_keeper_doc_id"],
+            r["keeper_differs"],
+            r["dropped_score_mass"],
+        )
+        for r in out
+    }
+    assert got == expect
+    # bridge to dedup_post_strip: identical groups and member counts
+    ps = {
+        r["cleaned_fp"]: r["n_docs"]
+        for r in all_specs()["dedup_post_strip"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert {fp: g[0] for fp, g in expect.items()} == ps
+    # non-vacuous on the fixture
+    assert any(r["keeper_differs"] == 1 for r in out)

@@ -1449,3 +1449,15 @@ def test_post_strip_dedup_inherits_strip_shape_fp_exchange(spark, sf_dir):
     assert any("cleaned_fp" in s for s in segs)  # the dedup shuffle key
     for s in segs:
         assert "text#" not in s, s
+
+
+def test_post_strip_keeper_struct_max_no_group_window(spark, sf_dir):
+    """The keeper argmax is a partial-aggregatable struct MAX — the
+    dedup_keeper_select precedent: no per-group window anywhere on the
+    keeper side (the only windows belong to the strip chain's run
+    grouping), no cartesian, and no exchange carries raw text."""
+    plan = _plan(spark, sf_dir, "dedup_post_strip_keeper")
+    assert "CartesianProduct" not in plan
+    assert "partial_max(struct" in plan  # map-side combinable argmax
+    for s in plan.split("Exchange hashpartitioning(")[1:]:
+        assert "text#" not in s[:120], s[:120]

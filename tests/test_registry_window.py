@@ -43,6 +43,7 @@ ROTATION_TARGETS = {
     # new this round (never attested)
     "embed_domain_tau_caps",
     "dedup_post_strip",
+    "dedup_post_strip_keeper",
     # module-scope riders of strip_dedup (template_strip imports
     # template) — both r15-green, re-attest
     "text_template_mining",
