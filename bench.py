@@ -86,6 +86,14 @@ HEADLINE = [
     "text_quality_calibration",
     "embed_domain_label",
     "embed_domain_mix_weights",
+    # round-15 additions (the two late ones — exclusive-run baselines
+    # were the r16 verdict item)
+    "text_sp_encode",
+    "text_template_strip",
+    # round-16 additions
+    "embed_domain_tau_caps",
+    "dedup_post_strip",
+    "dedup_post_strip_keeper",
 ]
 
 
