@@ -238,3 +238,22 @@ def _em_round(spark: SparkSession, sf_dir: str):
     costs = {r["piece"]: r["cost"] for r in vc.collect()}
     em = _segment_em(words, costs)
     return words, vc, em
+
+
+def encode_np_dw_ctes(tag: str) -> str:
+    """The ENCODE-side (word -> n_pieces) + exploded-corpus-words CTE
+    pair appended after the loop chain's ``final{tag}`` — shared by the
+    sp_encode oracle and the sequence-packing composition
+    (``operators/sp_pack.py``) so the segmentation-to-piece-count rule
+    has ONE definition (text byte-identical to the r15 encode oracle)."""
+    return f"""np AS (
+  SELECT word,
+         CAST(len(string_split(seg, chr(127))) - 1 AS BIGINT) AS np
+  FROM final{tag}
+),
+dw AS (
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+)"""

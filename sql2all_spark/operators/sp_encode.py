@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from sql2all_spark.functions.sp_core import (
     SP_WORD_MAX,
     _SEP,
+    encode_np_dw_ctes,
     segment_words,
 )
 from sql2all_spark.operators.sp_loop import (
@@ -61,19 +62,11 @@ def _encode_oracle() -> str:
     # truncate at the wrong spot if the final projection ever gained a
     # nested SELECT), then the encode-specific tail CTEs
     chain, tag, _prev = _sp_loop_chain()
+    # np/dw moved to sp_core.encode_np_dw_ctes in r16 (shared with the
+    # sp_pack sequence-packing oracle); assembled text byte-identical
     return f"""
 WITH {chain},
-np AS (
-  SELECT word,
-         CAST(len(string_split(seg, chr(127))) - 1 AS BIGINT) AS np
-  FROM final{tag}
-),
-dw AS (
-  SELECT doc_id, w AS word
-  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
-        FROM documents)
-  WHERE w <> ''
-),
+{encode_np_dw_ctes(tag)},
 enc AS (
   SELECT d.doc_id, n.np FROM dw d JOIN np n USING (word)
 ),
@@ -98,18 +91,14 @@ ORDER BY a.doc_id ASC NULLS FIRST
 """
 
 
-@register(
-    "text_sp_encode",
-    oracle=_encode_oracle(),
-    doc="SentencePiece ENCODE — the application leg of the trained"
-    " EM+prune loop (the bpe_encode sibling): Viterbi-tokenize every"
-    " DISTINCT word once under the converged costs, meet the corpus"
-    " through a hint-free (word -> n_pieces) join, and report per"
-    " document the word/piece counts, the long-word skip count, and"
-    " the integer pieces-per-kiloword rate.  The oracle reuses the"
-    " loop chain's final segmentation CTE — no extra DP.",
-)
-def text_sp_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def encode_pieces(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(documents, dw, per_enc): the corpus, its exploded non-empty
+    words, and the per-doc encoded piece/word counts under the trained
+    loop costs — the encode frame shared with the sequence-packing
+    composition (``operators/sp_pack.py``) so the tokenize-then-count
+    rule has ONE definition."""
     words, _vc, _em, _em1, costs = trained_costs(spark, sf_dir)
     seg = segment_words(words, costs).select(
         "word",
@@ -130,6 +119,22 @@ def text_sp_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_enc_words"),
         )
     )
+    return d, dw, per_enc
+
+
+@register(
+    "text_sp_encode",
+    oracle=_encode_oracle(),
+    doc="SentencePiece ENCODE — the application leg of the trained"
+    " EM+prune loop (the bpe_encode sibling): Viterbi-tokenize every"
+    " DISTINCT word once under the converged costs, meet the corpus"
+    " through a hint-free (word -> n_pieces) join, and report per"
+    " document the word/piece counts, the long-word skip count, and"
+    " the integer pieces-per-kiloword rate.  The oracle reuses the"
+    " loop chain's final segmentation CTE — no extra DP.",
+)
+def text_sp_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _d, dw, per_enc = encode_pieces(spark, sf_dir)
     per_all = dw.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_words"),
         F.count_if(F.length("word") > SP_WORD_MAX)

@@ -34,10 +34,12 @@ _QUERY_MODULES = [
     # curation four + layout_zorder_cluster + pipeline_curation +
     # profile_corpus, all displaced from the r15 window by late r15
     # operators (disclosed in NOTES.md) — followed by the oldest r12
-    # block (fuzzy 1, aggregates 14, scalar_funcs 8, windows 6, udfs 2,
-    # ivfpq 5, fusion 2 = 38).  similarity (10 r12-aged queries) did
-    # NOT fit the 50 — it leads the r17 window.  NEW r16 operators
-    # displace the r13 tail fillers as they land.
+    # block (fuzzy 1, aggregates 14, scalar_funcs 8, windows 6,
+    # ivfpq 5 = 34).  The LATE r16 operators (kn_ccnet, sp_pack,
+    # funnel: 3 new + the sp_loop rider) displaced udfs (2) and
+    # fusion (2) — both r12-aged with green rows on record; they join
+    # similarity (10) at the HEAD of the r17 window (never-attested
+    # elimination outranks soft re-attestation, the r12-r15 precedent).
     "sql2all_spark.operators.curation",  # r11-aged (4): leads
     "sql2all_spark.operators.layout",  # r11-aged
     "sql2all_spark.operators.pipeline",  # r11-aged
@@ -46,10 +48,8 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.aggregates",
     "sql2all_spark.operators.scalar_funcs",
     "sql2all_spark.operators.windows",
-    "sql2all_spark.operators.udfs",
     "sql2all_spark.operators.ivfpq",
-    "sql2all_spark.operators.fusion",
-    # = 45 so far; NEW r16 operators land here, displacing the r13
+    # = 41 so far; NEW r16 operators land here, displacing the r13
     # tail fillers below one-for-one (never-attested elimination
     # outranks soft re-attestation — the r12-r15 precedent).
     "sql2all_spark.operators.tau_caps",  # NEW r16: tau x source-caps governance
@@ -58,10 +58,23 @@ _QUERY_MODULES = [
     # along and re-attest)
     "sql2all_spark.operators.strip_dedup",
     "sql2all_spark.operators.strip_keeper",  # NEW r16: quality keeper leg
+    # NEW r16 (late): CCNet bucketing on the KN trigram score
+    # (kn3_core is non-registering — no rider)
+    "sql2all_spark.operators.kn_ccnet",
+    # NEW r16 (late): sequence packing on trained piece counts; imports
+    # sp_loop at module scope, so r15-green text_sp_unigram_train rides
+    # along and re-attests (the encode builder import is run-time-local)
+    "sql2all_spark.operators.sp_pack",
+    # NEW r16 (late): the strip->dedup->tau->caps funnel capstone
+    # (template_strip already registered via strip_dedup — no rider)
+    "sql2all_spark.operators.funnel",
     # --- position > 50 from here: driver-green rows on record (ledger;
-    # max attestation age r12 after this rotation = similarity's ten).
-    # tools/check.py still covers them locally and the full-tree gates
-    # run all 189 + this round's additions.
+    # max attestation age r12 after this rotation: similarity's ten +
+    # udfs' two + fusion's two — displaced by the late r16 operators,
+    # they lead the r17 window).  tools/check.py still covers them
+    # locally and the full-tree gates run the whole registry.
+    "sql2all_spark.operators.udfs",  # r12-aged; leads r17 with fusion
+    "sql2all_spark.operators.fusion",  # r12-aged; leads r17 with udfs
     "sql2all_spark.operators.semdedup",  # r13 filler, displaced (post_strip_keeper)
     "sql2all_spark.operators.range_search",  # r13 filler, displaced (riders)
     "sql2all_spark.operators.bpe_train",  # r13 filler, displaced (riders)
@@ -82,7 +95,7 @@ _QUERY_MODULES = [
     "sql2all_spark.operators.tpch_extra",
     "sql2all_spark.operators.setops",
     "sql2all_spark.operators.kn_trigram",
-    "sql2all_spark.operators.sp_loop",
+    "sql2all_spark.operators.sp_loop",  # no-op: registered via sp_pack
     "sql2all_spark.operators.sp_encode",  # after sp_loop (imports it)
     "sql2all_spark.operators.template_keeper",  # registers template's query too
     "sql2all_spark.operators.template_strip",

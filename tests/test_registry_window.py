@@ -33,17 +33,23 @@ REPO = Path(__file__).resolve().parent.parent
 # layout_zorder_cluster + pipeline_curation + profile_corpus, all
 # displaced from the r15 window by late r15 operators (disclosed in
 # NOTES.md r15) — followed by the oldest r12 block: fuzzy (1),
-# aggregates (14), scalar_funcs (8), windows (6), udfs (2), ivfpq (5),
-# fusion (2) = 45 total.  similarity's ten r12-aged queries did NOT
-# fit the 50-slot window — they stay r12 and LEAD the r17 window.
-# r13 tail fillers (semdedup / range_search / bpe_train / reservoir /
-# retention) hold the last slots until this round's NEW operators land
-# and displace them.
+# aggregates (14), scalar_funcs (8), windows (6), ivfpq (5) = 34.
+# The LATE r16 operators (kn_ccnet / sp_pack / funnel — 3 new + the
+# sp_loop rider) displaced udfs (2) and fusion (2), both r12-aged with
+# green rows on record; they join similarity's ten r12-aged queries at
+# the HEAD of the r17 window (never-attested elimination outranks soft
+# re-attestation — the r12-r15 precedent, disclosed in NOTES.md r16).
 ROTATION_TARGETS = {
     # new this round (never attested)
     "embed_domain_tau_caps",
     "dedup_post_strip",
     "dedup_post_strip_keeper",
+    "text_kn_ccnet_buckets",
+    "text_sp_pack_sequences",
+    "pipeline_pretrain_funnel",
+    # module-scope rider of sp_pack (imports sp_loop for the oracle
+    # chain) — r15-green, re-attests
+    "text_sp_unigram_train",
     # module-scope riders of strip_dedup (template_strip imports
     # template) — both r15-green, re-attest
     "text_template_mining",
@@ -89,18 +95,12 @@ ROTATION_TARGETS = {
     "window_range_frame",
     "window_topk_per_group",
     "window_distribution_ranks",
-    # oldest r12 block: udfs (2)
-    "udaf_zscore_group",
-    "udtf_sentence_split",
     # oldest r12 block: ivfpq (5)
     "sim_ivfpq_topk",
     "sim_ivf_batch_multiprobe",
     "sim_ivfpq_residual_topk",
     "sim_ivfpq_indexed_query",
     "sim_ivfpq_index_refresh",
-    # oldest r12 block: fusion (2)
-    "sim_hybrid_rrf",
-    "sim_mmr_diversify",
 }
 
 
