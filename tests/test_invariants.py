@@ -1895,3 +1895,144 @@ def test_post_strip_keeper_replicates_argmax_policy(spark, sf_dir):
     assert {fp: g[0] for fp, g in expect.items()} == ps
     # non-vacuous on the fixture
     assert any(r["keeper_differs"] == 1 for r in out)
+
+
+def test_sp_pack_matches_python_replica_and_conserves_tokens(spark, sf_dir):
+    """Full replica of the r16 sequence packer: rebuild the packed
+    manifest in pure Python from the encode leg's per-doc piece counts
+    (cumsum in doc_id order, cut every SP_PACK_LEN) and compare every
+    row; plus the conservation laws — contiguous seq_ids, every
+    sequence but the last exactly full, token totals equal
+    sum(n_pieces) + n_docs (one EOS per document), and full+split doc
+    counts tiling each sequence's membership."""
+    from collections import defaultdict
+
+    from sql2all_spark.operators.sp_encode import text_sp_encode
+    from sql2all_spark.operators.sp_pack import (
+        SP_PACK_LEN,
+        text_sp_pack_sequences,
+    )
+
+    enc = {
+        r["doc_id"]: r["n_pieces"]
+        for r in text_sp_encode(spark, sf_dir).collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n_docs, n_tok, full, split
+    c = 0
+    for doc_id in sorted(enc):
+        toks = enc[doc_id] + 1  # EOS
+        c_start, c_end = c, c + toks
+        first_seq, last_seq = c_start // SP_PACK_LEN, (c_end - 1) // SP_PACK_LEN
+        for s in range(first_seq, last_seq + 1):
+            a = agg[s]
+            a[0] += 1
+            a[1] += min(c_end, (s + 1) * SP_PACK_LEN) - max(
+                c_start, s * SP_PACK_LEN
+            )
+            if first_seq == last_seq:
+                a[2] += 1
+            else:
+                a[3] += 1
+        c = c_end
+    rows = text_sp_pack_sequences(spark, sf_dir).collect()
+    assert [r["seq_id"] for r in rows] == sorted(agg)
+    assert sorted(agg) == list(range(len(agg)))  # contiguous from 0
+    total = sum(enc.values()) + len(enc)
+    assert sum(r["n_tokens"] for r in rows) == total  # conservation
+    for r in rows:
+        a = agg[r["seq_id"]]
+        assert (r["n_docs"], r["n_tokens"], r["n_full_docs"], r["n_split_docs"]) == (
+            a[0],
+            a[1],
+            a[2],
+            a[3],
+        ), r
+        assert r["n_full_docs"] + r["n_split_docs"] == r["n_docs"]
+        assert r["fill_p1000"] == r["n_tokens"] * 1000 // SP_PACK_LEN
+        if r["seq_id"] < len(agg) - 1:
+            assert r["n_tokens"] == SP_PACK_LEN  # only the tail is partial
+
+
+def test_pretrain_funnel_reconciles_with_post_strip_dedup(spark, sf_dir):
+    """The funnel's stage ledger must reconcile against its parents:
+    stage chaining (n_in[k+1] == n_out[k]), the integer keep rate, and
+    stage 1's survivor count derived independently from the
+    dedup_post_strip duplicate-group report (survivors = total docs -
+    sum(n_docs - 1) over groups — the MIN-doc_id keeper rule)."""
+    from sql2all_spark.functions.clf_core import CAP_N
+    from sql2all_spark.operators.funnel import pipeline_pretrain_funnel
+    from sql2all_spark.operators.strip_dedup import dedup_post_strip
+    from sql2all_spark.tables import load_table
+
+    rows = {r["stage_ord"]: r for r in pipeline_pretrain_funnel(spark, sf_dir).collect()}
+    assert [rows[k]["stage"] for k in (1, 2, 3)] == [
+        "post_strip_dedup",
+        "domain_tau",
+        "source_caps",
+    ]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    dup_groups = dedup_post_strip(spark, sf_dir).collect()
+    survivors = n_docs - sum(g["n_docs"] - 1 for g in dup_groups)
+    assert rows[1]["n_in"] == n_docs
+    assert rows[1]["n_out"] == survivors
+    for k in (1, 2, 3):
+        r = rows[k]
+        assert r["n_dropped"] == r["n_in"] - r["n_out"]
+        assert 0 <= r["n_out"] <= r["n_in"]
+        assert r["keep_p1000"] == (
+            0 if r["n_in"] == 0 else r["n_out"] * 1000 // r["n_in"]
+        )
+    assert rows[2]["n_in"] == rows[1]["n_out"]
+    assert rows[3]["n_in"] == rows[2]["n_out"]
+    # tau keeps each domain's upper half: at least half survive overall
+    assert rows[2]["n_out"] * 2 >= rows[2]["n_in"]
+    n_sources = (
+        load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    assert rows[3]["n_out"] <= n_sources * CAP_N
+
+
+def test_kn_ccnet_buckets_tile_the_scorer(spark, sf_dir):
+    """The bucket profile must tile the scorer output exactly: per-lang
+    doc/trigram/model-hit sums equal the lang-joined scorer's, and the
+    NTILE ordering implies head <= middle <= tail score bands within
+    each language (ties may touch at the boundary)."""
+    from collections import defaultdict
+
+    from sql2all_spark.functions.kn3_core import kn3_doc_scores
+    from sql2all_spark.operators.kn_ccnet import text_kn_ccnet_buckets
+    from sql2all_spark.tables import load_table
+
+    lang = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    per_lang = defaultdict(lambda: [0, 0, 0])
+    for r in kn3_doc_scores(spark, sf_dir).collect():
+        a = per_lang[lang[r["doc_id"]]]
+        a[0] += 1
+        a[1] += r["n_trigrams"]
+        a[2] += r["n_model_hits"]
+    rows = text_kn_ccnet_buckets(spark, sf_dir).collect()
+    got = defaultdict(lambda: [0, 0, 0])
+    bands = defaultdict(dict)
+    for r in rows:
+        g = got[r["lang"]]
+        g[0] += r["n_docs"]
+        g[1] += r["n_trigrams"]
+        g[2] += r["n_model_hits"]
+        bands[r["lang"]][r["bucket"]] = (r["min_score"], r["max_score"])
+        assert r["min_score"] <= r["avg_score"] <= r["max_score"]
+    assert {k: list(v) for k, v in got.items()} == {
+        k: list(v) for k, v in per_lang.items()
+    }
+    for lg, b in bands.items():
+        if {"head", "middle", "tail"} <= set(b):
+            assert b["head"][1] <= b["middle"][0] or abs(
+                b["head"][1] - b["middle"][0]
+            ) < 1e-12
+            assert b["middle"][1] <= b["tail"][0] or abs(
+                b["middle"][1] - b["tail"][0]
+            ) < 1e-12

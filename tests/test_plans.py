@@ -1461,3 +1461,62 @@ def test_post_strip_keeper_struct_max_no_group_window(spark, sf_dir):
     assert "partial_max(struct" in plan  # map-side combinable argmax
     for s in plan.split("Exchange hashpartitioning(")[1:]:
         assert "text#" not in s[:120], s[:120]
+
+
+def test_kn_ccnet_buckets_inherits_scorer_shape_one_lang_window(
+    spark, sf_dir
+):
+    """The KN-CCNet bucketing (r16) composes the kn3_core scorer
+    unchanged — packed-key exchanges only, >= 5 broadcast model joins,
+    no cartesian — and adds exactly ONE window (the per-lang NTILE
+    tercile); the lang join is slim (doc_id, lang), so no exchange
+    carries the text column."""
+    plan = _plan(spark, sf_dir, "text_kn_ccnet_buckets")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert plan.count("windowspecdefinition") == 1
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        assert "text#" not in seg[:120], seg[:120]
+
+
+def test_sp_pack_two_phase_prefix_sum_no_global_corpus_window(
+    spark, sf_dir
+):
+    """The sequence packer (r16) must never run the corpus through a
+    single-partition global window: exactly TWO window specs exist —
+    the per-bucket cumulative sum PARTITIONED by pid, and the exclusive
+    bucket-offset roll over the NPART-row totals frame (the only
+    unpartitioned one, bounded at SP_PACK_NPART rows); the offsets
+    attach by broadcast; the final aggregation exchanges on the 8-byte
+    seq_id; no exchange carries text."""
+    plan = _plan(spark, sf_dir, "text_sp_pack_sequences")
+    assert "CartesianProduct" not in plan
+    assert plan.count("windowspecdefinition") == 2
+    # the corpus-sized cumsum window is partitioned: its spec leads with
+    # the pid partition column followed by the doc_id ordering
+    assert any(
+        "pid#" in w[:60] and "doc_id#" in w[:120]
+        for w in plan.split("windowspecdefinition(")[1:]
+    ), "pid-partitioned cumsum window missing"
+    segs = [s[:120] for s in plan.split("Exchange hashpartitioning(")[1:]]
+    assert any("seq_id" in s for s in segs)  # final manifest shuffle
+    for s in segs:
+        assert "text#" not in s, s
+
+
+def test_pretrain_funnel_composes_parent_shapes(spark, sf_dir):
+    """The funnel capstone (r16) keeps every parent shape: the strip
+    chain's anti-join reassembly (LeftAnti) and pair-free windows, the
+    assignment's broadcast-cross + struct-MIN (the only nested-loop
+    join is the k-row centroid cross), the cap's WindowGroupLimit
+    bounded heap — and no exchange carries text or embeddings after
+    the scans."""
+    plan = _plan(spark, sf_dir, "pipeline_pretrain_funnel")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan  # strip reassembly
+    assert "partial_min(struct" in plan  # assignment struct-MIN
+    assert "BroadcastNestedLoopJoin" in plan  # k-row centroid cross only
+    assert "WindowGroupLimit" in plan  # the source cap bounded heap
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        head = seg[:120]
+        assert "text#" not in head and "embedding" not in head, head
