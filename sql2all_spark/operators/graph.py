@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sql2all_spark.operators.dedup import dedup_ngram_jaccard
 from sql2all_spark.operators.dedup_shared import (
@@ -35,9 +36,17 @@ from sql2all_spark.tables import load_table
 MAX_ROUNDS = 25  # safety bound ≫ any real near-dup cluster diameter
 
 
-def _truncate_lineage(df: DataFrame) -> DataFrame:
+def _truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Checkpoint an iterative intermediate, picking the storage that fits
     the deployment.
+
+    ``eager=False`` (local mode only): truncate the Catalyst lineage NOW
+    but let the caller's next action materialize the blocks — a loop
+    that immediately runs a convergence aggregate over the result then
+    pays ONE job per round instead of two (localCheckpoint persists
+    blocks as the RDD computes, so nothing is recomputed).  Reliable
+    checkpoints ignore the flag: a non-eager reliable checkpoint
+    re-runs the whole lineage a second time to write the files.
 
     Iterative plans grow multiplicatively in lineage (round N references
     round N-1 twice), which blows up Catalyst planning long before
@@ -62,7 +71,7 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
         has_dir = False
     if has_dir:
         return df.checkpoint()
-    return df.localCheckpoint()
+    return df.localCheckpoint(eager=eager)
 
 # CLUSTER_JACCARD_FLOOR (0.4, vs the 0.05 pair-mining floor) now lives in
 # dedup_shared.py with its rationale; imported above.
@@ -129,31 +138,38 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
 
-    for _ in range(MAX_ROUNDS):
-        # each node's best neighbor label this round
-        nbr = (
-            edges.join(labels, edges.v == labels.doc_id)
-            .groupBy("u")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = _truncate_lineage(
-            labels.join(nbr, labels.doc_id == nbr.u, "left").select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce("nbr_min", F.col("cluster_id")),
-                ).alias("cluster_id"),
+    # Loop shuffles sized from the materialized edge count (looputil):
+    # the propagation rounds re-shuffle a slim bounded edge/label set.
+    from sql2all_spark.looputil import loop_shuffle_partitions
+
+    with loop_shuffle_partitions(edges):
+        for _ in range(MAX_ROUNDS):
+            # each node's best neighbor label this round
+            nbr = (
+                edges.join(labels, edges.v == labels.doc_id)
+                .groupBy("u")
+                .agg(F.min("cluster_id").alias("nbr_min"))
             )
-        )
-        # labels only ever decrease, so an unchanged sum ⇔ a fixpoint —
-        # one scalar aggregate instead of a join-and-count per round
-        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    else:  # pragma: no cover - MAX_ROUNDS is far above any real diameter
-        raise RuntimeError(f"label propagation did not converge in {MAX_ROUNDS} rounds")
+            new_labels = _truncate_lineage(
+                labels.join(nbr, labels.doc_id == nbr.u, "left").select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce("nbr_min", F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+            )
+            # labels only ever decrease, so an unchanged sum ⇔ a fixpoint —
+            # one scalar aggregate instead of a join-and-count per round
+            new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+            labels = new_labels
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        else:  # pragma: no cover - MAX_ROUNDS ≫ any real diameter
+            raise RuntimeError(
+                f"label propagation did not converge in {MAX_ROUNDS} rounds"
+            )
 
     from pyspark.sql.window import Window
 
@@ -179,36 +195,41 @@ def _large_star(e: DataFrame) -> DataFrame:
     """Large-star round (Kiveris et al., "Connected Components in MapReduce
     and Beyond"): every node connects its STRICTLY LARGER neighbors to the
     minimum of its neighborhood (incl. itself).  Output edges are directed
-    (larger, smaller); no self-loops possible since min ≤ u < v."""
+    (larger, smaller); no self-loops possible since min ≤ u < v.
+
+    The neighborhood minimum is a window MIN over the symmetrized edge
+    list instead of the groupBy-then-self-join formulation: one exchange
+    per round where the join formulation needed three (group, join
+    probe, output distinct).  Output rows may repeat — the small-star
+    half's terminal distinct dedups once per round, which is cheaper
+    than a distinct per half (guide §2.4: fewer exchanges outright)."""
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     return (
-        sym.join(m, "u")
+        sym.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Small-star round: every node connects ALL its smaller-or-equal
-    neighbors (and itself) to the minimum among them."""
-    d = (
-        e.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    m = d.groupBy("u").agg(F.min("v").alias("m"))
-    out = (
-        d.join(m, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .unionByName(m.select("u", F.col("m").alias("v")))
-    )
+    neighbors (and itself) to the minimum among them.
+
+    Same window-MIN restructuring as :func:`_large_star` (the window is
+    insensitive to the duplicate rows large-star may now emit), with the
+    ONE terminal distinct of the combined round: 3 exchanges per
+    large+small round total, versus 7 for the groupBy/join/distinct
+    formulation."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    wd = d.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    out = wd.select(F.col("v").alias("u"), F.col("m").alias("v")).filter(
+        F.col("u") != F.col("v")
+    ).unionByName(wd.select("u", F.col("m").alias("v")))
     return out.distinct()
 
 
@@ -228,21 +249,29 @@ def star_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> tuple[Dat
     e = _truncate_lineage(edges.select("u", "v"))
     prev_sig = None
     rounds = 0
-    for _ in range(max_rounds):
-        e = _truncate_lineage(_small_star(_large_star(e)))
-        rounds += 1
-        # bit_xor, not sum: xor of 64-bit hashes cannot overflow under ANSI
-        # mode, and the edge set is distinct so xor-of-set detects change
-        sig = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        sig = (sig.n, sig.h)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    else:  # pragma: no cover - log2(diameter) ≪ max_rounds
-        raise RuntimeError(f"star rounds did not converge in {max_rounds}")
+    # Loop shuffles sized from the materialized edge count (looputil):
+    # the session width is for corpus-scale frames, and every round here
+    # re-shuffles a slim bounded edge set O(log d) times.
+    from sql2all_spark.looputil import loop_shuffle_partitions
+
+    with loop_shuffle_partitions(e):
+        for _ in range(max_rounds):
+            e = _truncate_lineage(_small_star(_large_star(e)))
+            rounds += 1
+            # bit_xor, not sum: xor of 64-bit hashes cannot overflow under
+            # ANSI mode; the edge set is distinct so xor-of-set detects change
+            sig = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            ).collect()[0]
+            sig = (sig.n, sig.h)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        else:  # pragma: no cover - log2(diameter) ≪ max_rounds
+            raise RuntimeError(
+                f"star rounds did not converge in {max_rounds}"
+            )
     # Fixpoint edge set is a star forest: (member, center) for every
     # non-center member.  Centers label themselves.
     members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))

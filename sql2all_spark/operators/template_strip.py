@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sql2all_spark.cache import persist_tracked
 from sql2all_spark.functions.hashing import base_hash, base_hash_sql
 from sql2all_spark.operators.template import (
     DUP_SPAN_GRAM,
@@ -136,6 +137,8 @@ def cleaned_corpus(
     (doc_id, txt, n_after) for documents that kept at least one word;
     ``strip_spans`` the per-doc stripped-span counts."""
     hits, fam = family_hits(spark, sf_dir)
+    # runs feeds the span/keeper derivation AND the anti-join that
+    # removes keeper spans — persist the slim frame once.
     runs = hits.join(fam, "h").select(
         "family_id",
         "doc_id",
@@ -148,7 +151,7 @@ def cleaned_corpus(
                 )
             )
         ).alias("grp"),
-    )
+    ).transform(persist_tracked)
     spans = runs.groupBy("family_id", "doc_id", "grp").agg(
         F.min("pos").alias("span_start")
     )
@@ -172,10 +175,17 @@ def cleaned_corpus(
             F.col("k.g").alias("grp"),
         )
     )
+    # strip_runs feeds BOTH the per-word positions and the per-doc span
+    # counts; persist the slim (family, doc, pos, grp) rows so the two
+    # consumers don't each re-derive runs -> anti-join (guide §5:
+    # persist only reused, recompute-expensive intermediates).
     strip_runs = runs.join(
         k, ["family_id", "doc_id", "grp"], "left_anti"
-    )
-    strip_pos = (
+    ).transform(persist_tracked)
+    # Per-doc SET of word positions to remove, as one array row per
+    # affected doc.  Hit-table-sized: only documents carrying a
+    # non-keeper span appear.
+    strip_sets = (
         strip_runs.select(
             "doc_id",
             F.explode(
@@ -185,7 +195,8 @@ def cleaned_corpus(
                 )
             ).alias("pos"),
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("sp"))
     )
     strip_spans = (
         strip_runs.select("family_id", "doc_id", "grp")
@@ -194,24 +205,39 @@ def cleaned_corpus(
         .agg(F.count(F.lit(1)).cast("long").alias("n_spans_stripped"))
     )
     d = load_table(spark, sf_dir, "documents")
-    dwp = d.select(
-        "doc_id",
-        F.posexplode(F.split("text", " ")).alias("pos0", "word"),
-    ).select(
-        "doc_id", "word", (F.col("pos0") + F.lit(1)).cast("long").alias("pos")
+    # Row-local rewrite (guide §2.3 "shuffle keys and metadata instead
+    # of payloads", §2.4): the document text joins the slim per-doc
+    # strip set once on doc_id — size-gated broadcast at small scale,
+    # one text exchange at most on a cluster — and the surviving words
+    # are selected by JVM higher-order array functions.  The previous
+    # formulation exploded every document into (doc_id, pos, word) rows,
+    # anti-joined them against (doc, pos) keys, and re-aggregated with
+    # collect_list + array_sort: the full word mass crossed TWO
+    # exchanges per run.  Values are identical: kept words in position
+    # order re-joined by single spaces; a doc with no strip rows keeps
+    # its text verbatim (sp NULL branch); a doc whose every word is
+    # stripped now yields an explicit ('', 0) row where the aggregation
+    # formulation omitted the row — every consumer COALESCEs through a
+    # left join, so the frames are interchangeable (and '' hashes
+    # identically to the oracle's COALESCE(c.txt, '')).
+    kept_words = F.when(
+        F.col("sp").isNull(), F.split(F.col("text"), " ")
+    ).otherwise(
+        F.expr(
+            "transform(filter(transform(split(text, ' '),"
+            " (x, i) -> struct(x AS w, CAST(i + 1 AS BIGINT) AS p)),"
+            " s -> NOT array_contains(sp, s.p)), s -> s.w)"
+        )
     )
-    kept = dwp.join(strip_pos, ["doc_id", "pos"], "left_anti")
-    cleaned = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("word")))
-                ),
-                lambda s: s.getField("word"),
-            ),
-            " ",
-        ).alias("txt"),
-        F.count(F.lit(1)).cast("long").alias("n_after"),
+    cleaned = (
+        d.select("doc_id", "text")
+        .join(strip_sets, "doc_id", "left")
+        .withColumn("kw", kept_words)
+        .select(
+            "doc_id",
+            F.array_join(F.col("kw"), " ").alias("txt"),
+            F.size(F.col("kw")).cast("long").alias("n_after"),
+        )
     )
     return d, cleaned, strip_spans
 
