@@ -345,10 +345,17 @@ def embed_domain_mix_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # imports at call time (the template.py discipline).
     from sql2all_spark.operators.novelty import text_ngram_novelty
 
+    from sql2all_spark.cache import persist_tracked
+
     assigned = assigned_domains(load_vecs(spark, sf_dir))
     nov = text_ngram_novelty(spark, sf_dir).select(
         F.col("doc_id").alias("vec_id"), "novelty"
     )
+    # persisted (guide §5): dstats is k rows but its lineage is the
+    # whole assignment + novelty composition (two corpus scans); both
+    # the `tot` broadcast build and the crossJoin probe read it — the
+    # cache halves the query (4 embeddings scans -> 2 in the before
+    # plan, plans/r16/embed_domain_mix_novelty_before.txt).
     dstats = (
         assigned.join(nov, "vec_id", "left")
         .select("domain", F.coalesce("novelty", F.lit(0.0)).alias("nv"))
@@ -361,6 +368,7 @@ def embed_domain_mix_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("mean_novelty"),
         )
+        .transform(persist_tracked)
     )
     tot = dstats.agg(
         F.sum("n_vecs").alias("n_total"),

@@ -244,8 +244,15 @@ def pipeline_pretrain_funnel(
         .join(F.broadcast(c3), F.lit(True))
     )
 
-    def _stage(ord_: int, name: str, n_in: str, n_out: str) -> DataFrame:
-        return allc.select(
+    # One explode over the single allc row instead of a 3-arm union of
+    # selects from allc: the union form repeated the ENTIRE chain's
+    # logical subtree three times (a ~1.5 MB physical plan whose
+    # analysis/optimization dominated the query — guide §3.3 "planning
+    # time itself can become the bottleneck") and executed the counts
+    # three times.  The explode keeps ONE subtree and one execution;
+    # rows, schema and values are identical.
+    def _stage(ord_: int, name: str, n_in: str, n_out: str):
+        return F.struct(
             F.lit(ord_).cast("long").alias("stage_ord"),
             F.lit(name).alias("stage"),
             F.col(n_in).alias("n_in"),
@@ -260,8 +267,15 @@ def pipeline_pretrain_funnel(
         )
 
     return (
-        _stage(1, "post_strip_dedup", "n0", "n1")
-        .unionByName(_stage(2, "domain_tau", "n1", "n2"))
-        .unionByName(_stage(3, "source_caps", "n2", "n3"))
+        allc.select(
+            F.explode(
+                F.array(
+                    _stage(1, "post_strip_dedup", "n0", "n1"),
+                    _stage(2, "domain_tau", "n1", "n2"),
+                    _stage(3, "source_caps", "n2", "n3"),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
         .orderBy(F.col("stage_ord").asc_nulls_first())
     )

@@ -106,6 +106,10 @@ def embed_domain_tau_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_fx",
     )
     by_dom = Window.partitionBy("domain")
+    # persisted (the tau_caps precedent): the tau derivation and the
+    # probe side both read this slim frame — without the cache the
+    # whole upstream (both corpus scans + the bridge + the domain
+    # window) replays once per consumer (guide §5).
     ranked = joined.select(
         "domain",
         "p_fx",
@@ -113,7 +117,7 @@ def embed_domain_tau_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(by_dom.orderBy(F.col("p_fx").asc(), F.col("doc_id").asc()))
         .alias("rn"),
         F.count(F.lit(1)).over(by_dom).alias("n"),
-    )
+    ).transform(persist_tracked)
     tau = ranked.filter(
         F.col("rn") == F.expr("(n + 1) div 2")
     ).select("domain", F.col("p_fx").alias("tau"))
