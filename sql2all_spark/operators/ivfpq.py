@@ -265,7 +265,11 @@ def ivfpq_topk_impl(
         F.broadcast(probes), "cent_id"
     )
     subs = subvector_frame(vecs).transform(persist_tracked)
-    cb1 = refined_codebook(subs)
+    # persisted (guide §5): the trained 256-row codebook is consumed by
+    # BOTH the encode broadcast and the ADC-table broadcast — without
+    # the cache each broadcast build re-runs the whole training chain
+    # (seed + assign + recompute over the full subvector frame).
+    cb1 = refined_codebook(subs).transform(persist_tracked)
     # encode ONLY the probed cells' members: the candidate id set prunes
     # the subvector frame before any codebook work (at scale: a partition-
     # pruned scan of the stored code table)
@@ -550,7 +554,9 @@ def ivfpq_residual_impl(
         "vec_id", _residual(F.col("v"), F.col("cv")).alias("v")
     )
     rsubs = subvector_frame(res).transform(persist_tracked)
-    cb1 = refined_codebook(rsubs)
+    # persisted: consumed by the encode broadcast AND the per-cell ADC
+    # broadcast — one training run instead of two (guide §5).
+    cb1 = refined_codebook(rsubs).transform(persist_tracked)
     codes = encode(rsubs.join(cand.select("vec_id"), "vec_id"), cb1)
     codesc = codes.join(cand.select("vec_id", "cent_id"), "vec_id")
     # per-probed-cell ADC table: the probe's residual w.r.t. EACH probed
@@ -685,8 +691,12 @@ def build_ivfpq_index(
     tvecs = t.select("vec_id", dbl(F.col("embedding")).alias("v"))
     cents = tvecs.filter(F.col("vec_id").isin(IVFPQ_CENT_IDS)).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    )
-    cb = refined_codebook(subvector_frame(tvecs))
+    ).transform(persist_tracked)
+    # persisted (guide §5): cb feeds the encode broadcast AND the
+    # codebook sidecar write; cents feeds the routing broadcast AND the
+    # centroid sidecar write — without the caches the training chain and
+    # the centroid scan each execute twice per build.
+    cb = refined_codebook(subvector_frame(tvecs)).transform(persist_tracked)
     cells, _ = _route_cells(vecs, cents=cents)
     codes = _pack_codes(encode(subvector_frame(vecs), cb))
     idx = cells.join(codes, "vec_id").select(

@@ -181,8 +181,10 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = subvector_frame(vecs).transform(persist_tracked)
 
     # seed codebooks + one k-means refinement round (pqmath; M*K = 256
-    # slim rows re-assembled into ordered arrays), then encode + ADC
-    cb1 = refined_codebook(subs)
+    # slim rows re-assembled into ordered arrays), then encode + ADC.
+    # Persisted: consumed by the encode broadcast AND the ADC-table
+    # broadcast — one training run instead of two (guide §5).
+    cb1 = refined_codebook(subs).transform(persist_tracked)
     codes = encode(subs, cb1)
     adctab = adc_table(subs, cb1, PQ_PROBE_ID)
     shortlist = (

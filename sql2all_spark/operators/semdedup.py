@@ -148,18 +148,27 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(
         (F.col("vec_id") >= 1) & (F.col("vec_id") <= SEM_K)
     ).select(F.col("vec_id").alias("cent_id"), _dbl(F.col("embedding")).alias("cv"))
-    rk = F.row_number().over(
-        Window.partitionBy("vec_id").orderBy(
-            F.round(_cosine(F.col("v"), F.col("cv")), 6).desc(),
-            F.col("cent_id").asc(),
-        )
-    )
+    # argmax-cosine via partial-aggregatable struct MIN on (negated
+    # rounded cosine, cent_id) — identical to ranking by ROUND(cos,6)
+    # DESC, cent_id ASC and keeping rk=1 (the domain_core.assigned_domains
+    # pattern), but map-side combine collapses the K candidate rows per
+    # vector BEFORE the exchange instead of shuffling and sorting all K
+    # (guide §2.3 "aggregate before you shuffle").
     assign = (
         v.select("vec_id", "v")
         .crossJoin(F.broadcast(cents))
-        .withColumn("rk", rk)
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cent_id")
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.round(_cosine(F.col("v"), F.col("cv")), 6)).alias(
+                        "nc"
+                    ),
+                    F.col("cent_id").alias("cent_id"),
+                )
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.cent_id").alias("cent_id"))
         .transform(persist_tracked)
     )
 
