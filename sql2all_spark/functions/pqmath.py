@@ -140,6 +140,46 @@ def encode(subs: DataFrame, cb: DataFrame) -> DataFrame:
     return assign_nearest(subs, cb).select("vec_id", "m", "c")
 
 
+def packed_codes(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, codes[M]): PQ-encode and pack without shuffling the
+    subvector payload.
+
+    Value-identical to ``encode`` followed by the callers' pack step —
+    per subspace the argmin is keyed on (ROUND(d2, 6), c) exactly as in
+    :func:`assign_nearest` — but the encode exchange drops the trailing
+    ``sv`` field from the struct MIN (``encode`` only reads the winning
+    code; only training's :func:`recompute_codebook` needs the winner's
+    subvector), so the first shuffle carries (vec_id, m, (d, c)) instead
+    of dragging PQ_SUB doubles per row (guide §2.3 project before the
+    exchange).
+
+    A fully-fused single-exchange form (M conditional struct-MINs of one
+    groupBy(vec_id)) was measured SLOWER (+19% on the refresh path at
+    sf0.1): every joined candidate row pays M=16 aggregate-update
+    evaluations instead of one, and that per-row CPU swamps the saved
+    slim exchange.  Two cheap exchanges beat one expensive aggregate."""
+    slim = (
+        subs.join(F.broadcast(cb), "m")
+        .withColumn("d2", dist2(F.col("sv"), F.col("cv")))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(
+                    F.round(F.col("d2"), 6).alias("d"),
+                    F.col("c").alias("c"),
+                )
+            ).alias("b")
+        )
+        .select("vec_id", "m", F.col("b.c").alias("c"))
+    )
+    return slim.groupBy("vec_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("m", "c"))),
+            lambda s: s.c.cast("int"),
+        ).alias("codes")
+    )
+
+
 def adc_table(subs: DataFrame, cb: DataFrame, probe_id: int) -> DataFrame:
     """(m, c, qd2): the probe's asymmetric-distance table — M*K rows,
     broadcast into the shortlist scoring join."""

@@ -56,6 +56,7 @@ from sql2all_spark.functions.pqmath import (
     dist2,
     dist2_sql,
     encode,
+    packed_codes,
     refined_codebook,
     subvector_frame,
 )
@@ -698,7 +699,7 @@ def build_ivfpq_index(
     # the centroid scan each execute twice per build.
     cb = refined_codebook(subvector_frame(tvecs)).transform(persist_tracked)
     cells, _ = _route_cells(vecs, cents=cents)
-    codes = _pack_codes(encode(subvector_frame(vecs), cb))
+    codes = packed_codes(subvector_frame(vecs), cb)
     idx = cells.join(codes, "vec_id").select(
         "vec_id", "label", "v", "codes", "cent_id"
     )
@@ -744,7 +745,7 @@ def refresh_ivfpq_index(
         "vec_id", "label", dbl(F.col("embedding")).alias("v")
     )
     cells, _ = _route_cells(vecs, cents=cents)
-    codes = _pack_codes(encode(subvector_frame(vecs), cb))
+    codes = packed_codes(subvector_frame(vecs), cb)
     idx = cells.join(codes, "vec_id").select(
         "vec_id", "label", "v", "codes", "cent_id"
     )
