@@ -163,8 +163,14 @@ FROM tok GROUP BY doc_id"""
 def kn3_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document interpolated-KN trigram scores: (doc_id, n_trigrams,
     n_model_hits, avg_neglogp).  The kn_trigram.py builder, verbatim."""
+    from sql2all_spark.spread import spread_fanout
+
     d = load_table(spark, sf_dir, "documents")
-    w = d.select(
+    # §2.5 re-spread: tokenize + per-token hash + trigram pack is the
+    # scan-side CPU mass and the fixture scan is one unsplittable row
+    # group (measured two 0.66 s single-task jobs); no-op on
+    # multi-split layouts.  All downstream sums are fixed-point ints.
+    w = spread_fanout(d.select("doc_id", "text")).select(
         "doc_id",
         F.filter(
             F.split(F.col("text"), " "), lambda tok: tok != F.lit("")
@@ -190,6 +196,12 @@ def kn3_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c123"))
         .transform(persist_tracked)
     )
+    # ctx / midctx / cont are each consumed TWICE (the tscored build and
+    # their own *_top broadcast) and their lineage is a full aggregation
+    # over the persisted tc/mid — without a persist the concurrent
+    # broadcast-build jobs re-ran each aggregation (profiled: five
+    # 1.3-1.9 s jobs re-grouping tc at the head of every scorer run).
+    # Guide §5: reused + expensive to recompute.
     ctx = (
         tc.groupBy(F.expr(f"tg div {_B1}").alias("u12"))
         .agg(
@@ -197,6 +209,7 @@ def kn3_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double").alias("n1fd"),
             F.sum("c123").cast("long").alias("c12"),
         )
+        .transform(persist_tracked)
     )
     mid = (
         tc.groupBy((F.col("tg") % F.lit(_B2)).alias("v23"))
@@ -206,14 +219,22 @@ def kn3_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(persist_tracked)
     )
-    midctx = mid.groupBy(F.expr(f"v23 div {_B1}").alias("w2")).agg(
-        F.sum("n1m").cast("double").alias("den2"),
-        F.count(F.lit(1)).cast("double").alias("n1fmd"),
-        F.sum("n1m").cast("long").alias("den2i"),
+    midctx = (
+        mid.groupBy(F.expr(f"v23 div {_B1}").alias("w2"))
+        .agg(
+            F.sum("n1m").cast("double").alias("den2"),
+            F.count(F.lit(1)).cast("double").alias("n1fmd"),
+            F.sum("n1m").cast("long").alias("den2i"),
+        )
+        .transform(persist_tracked)
     )
-    cont = mid.groupBy((F.col("v23") % F.lit(_B1)).alias("w3")).agg(
-        F.count(F.lit(1)).cast("double").alias("n1bd"),
-        F.count(F.lit(1)).cast("long").alias("n1b"),
+    cont = (
+        mid.groupBy((F.col("v23") % F.lit(_B1)).alias("w3"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n1bd"),
+            F.count(F.lit(1)).cast("long").alias("n1b"),
+        )
+        .transform(persist_tracked)
     )
     nt = mid.agg(F.count(F.lit(1)).cast("double").alias("nd"))
     ttop = tc.orderBy(

@@ -43,6 +43,16 @@ from pyspark.sql import DataFrame
 LOOP_ROWS_PER_PARTITION = 4_000_000
 LOOP_MIN_PARTITIONS = 8
 
+# Below this measured input size the loop also runs with AQE OFF: AQE
+# materializes every exchange as its own job to re-plan, which turns one
+# logical round over a few-thousand-row frame into 4-6 scheduler round
+# trips (measured: text_template_mining ran 64 jobs for ~10 star rounds,
+# ~4 s of driver gaps against 1.5 s of executor work).  One partition's
+# worth of rows is the natural cutoff: at or below it there is nothing
+# for AQE to coalesce and no skew to split, above it (cluster-scale
+# frames) AQE keeps its value and stays on.
+LOOP_AQE_OFF_ROWS = LOOP_ROWS_PER_PARTITION
+
 
 @contextmanager
 def loop_shuffle_partitions(
@@ -55,6 +65,7 @@ def loop_shuffle_partitions(
     recompute).  Yields the width chosen."""
     spark = materialized.sparkSession
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    session_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     n_rows = materialized.count()
     derived = max(
         LOOP_MIN_PARTITIONS,
@@ -62,9 +73,12 @@ def loop_shuffle_partitions(
     )
     parts = min(session_parts, derived)
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    if n_rows <= LOOP_AQE_OFF_ROWS:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         yield parts
     finally:
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(session_parts)
         )
+        spark.conf.set("spark.sql.adaptive.enabled", session_aqe)

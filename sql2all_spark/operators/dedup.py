@@ -261,10 +261,17 @@ from sql2all_spark.operators.dedup_shared import (  # noqa: E402
     " MinHash-LSH: exact scores, no probabilistic recall.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql2all_spark.spread import spread_fanout
+
     d = load_table(spark, sf_dir, "documents")
-    # hashed-bigram table: computed once, persisted for both join sides
+    # hashed-bigram table: computed once, persisted for both join sides.
+    # The scan is re-spread first (§2.5): the bigram hash + distinct is
+    # the query's CPU mass and the fixture scan is one unsplittable row
+    # group — measured 0.7 s single-task before, ~0.1 s across the
+    # session after; a no-op on multi-split production layouts.
     b = (
-        d.select("doc_id", "lang", F.split(F.col("text"), " ").alias("w"))
+        spread_fanout(d.select("doc_id", "lang", "text"))
+        .select("doc_id", "lang", F.split(F.col("text"), " ").alias("w"))
         .filter(F.size(F.col("w")) >= 2)
         .select(
             "doc_id",
@@ -635,10 +642,15 @@ WHERE CAST(p.i AS DOUBLE) / na.n >= {CONT_FLOOR}
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from sql2all_spark.spread import spread_fanout
+
     d = load_table(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= CONT_GRAM
-    )
+    # §2.5 re-spread: the 3-gram hash transform below is the scan-side
+    # CPU mass and the fixture is one unsplittable row group (measured
+    # 1.1 s single-task); no-op on multi-split layouts.
+    w = spread_fanout(d.select("doc_id", "text")).select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= CONT_GRAM)
     hg = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size("w") - (CONT_GRAM - 1)),

@@ -122,8 +122,14 @@ def _grams() -> F.Column:
     " band applied first.",
 )
 def dedup_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql2all_spark.spread import spread_fanout
+
     d = load_table(spark, sf_dir, "documents")
-    titles = d.select(
+    # §2.5 re-spread before the q-gram explode/distinct (the scan-side
+    # CPU mass; the fixture scan is one unsplittable row group — four
+    # ~1 s single-task jobs measured before).  No-op at production split
+    # counts.
+    titles = spread_fanout(d.select("doc_id", "text")).select(
         "doc_id",
         F.lower(F.substring("text", 1, FUZZY_KEY_LEN)).alias("title"),
     ).transform(persist_tracked)

@@ -550,7 +550,13 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dot product instead of three.  Persisted because three consumers read
     # it (band build + both hydration sides of the verify join).
     emb = _dbl(F.col("embedding"))
-    v = e.select(
+    # §2.5 re-spread: the per-vector norm + sign-bucket math below is the
+    # scan-side CPU mass and the fixture embeddings table is one
+    # unsplittable row group; no-op on multi-split layouts.  Per-row
+    # exact math — partition-order independent.
+    from sql2all_spark.spread import spread_fanout
+
+    v = spread_fanout(e.select("vec_id", "label", "embedding")).select(
         "vec_id",
         "label",
         emb.alias("v"),

@@ -634,10 +634,17 @@ def dup_gram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql2all_spark.functions.hashing import base_hash
 
     n = DUP_SPAN_GRAM
+    from sql2all_spark.spread import spread_fanout
+
     d = load_table(spark, sf_dir, "documents")
-    w = d.select("doc_id", _tokens(F.col("text")).alias("w")).filter(
-        F.size("w") >= n
-    )
+    # §2.5 re-spread: the 5-gram join+hash transform below is the
+    # scan-side CPU mass of the whole template family and the fixture
+    # scan is one unsplittable row group (measured ~0.9 s single-task,
+    # twice, at the head of every consumer); no-op on multi-split
+    # layouts.  Downstream is all integer/hash math.
+    w = spread_fanout(d.select("doc_id", "text")).select(
+        "doc_id", _tokens(F.col("text")).alias("w")
+    ).filter(F.size("w") >= n)
     pos = F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("pos")
     p = w.select("doc_id", "w", pos)
     grams = p.select(
