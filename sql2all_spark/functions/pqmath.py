@@ -50,7 +50,16 @@ def subvector_frame(vecs: DataFrame) -> DataFrame:
 
     Input must carry ``vec_id`` and a double-array ``v`` column.  Callers
     persist the result when it feeds multiple stages (refinement assign,
-    encode, and the probe's ADC row all read it)."""
+    encode, and the probe's ADC row all read it).
+
+    The input is re-spread first (§2.5): when it is the raw embeddings
+    scan (one unsplittable fixture row group) the M-way explode and
+    every downstream K×M distance evaluation ran single-task; on a
+    multi-split scan or an already-shuffled frame this is a no-op.
+    Downstream is deterministic per-row math + decimal-exact sums."""
+    from sql2all_spark.spread import spread_fanout
+
+    vecs = spread_fanout(vecs)
     return vecs.select(
         "vec_id",
         F.posexplode(

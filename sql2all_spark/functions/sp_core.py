@@ -183,9 +183,15 @@ def _distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan every training round and the encode leg share.  Split
     out of ``_em_round`` so a warm ``sp_loop.trained_costs`` cache hit
     can rebuild the word frame without the seed-vocabulary machinery."""
+    from sql2all_spark.spread import spread_fanout
+
     d = load_table(spark, sf_dir, "documents")
+    # §2.5 re-spread: the word explode + partial count below ran as one
+    # task (single-row-group fixture scan); no-op on multi-split
+    # layouts.  Counts are integers — partition-order independent.
     return (
-        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        spread_fanout(d.select("text"))
+        .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
         .filter((F.col("word") != "") & (F.length("word") <= SP_WORD_MAX))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -122,7 +122,17 @@ def unigram_doc_scores(
     joins versus the bare scorer (the r13 ``text_importance_resample``
     rewrite: 3 documents scans + a doc_id join → 2 scans, join-free).
     """
-    d = load_table(spark, sf_dir, "documents")
+    from sql2all_spark.spread import spread_fanout
+
+    # §2.5 re-spread ONCE for both passes (the count pass's explode+hash
+    # and the per-doc pass's carry expressions — the DSIR trigram
+    # transform is the single heaviest row-local projection in the repo):
+    # the fixture scan is one unsplittable row group, so both passes ran
+    # single-task.  No-op on multi-split layouts; every consumer's sums
+    # are fixed-point integers (order-independent).
+    d = spread_fanout(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     # Token-hash projection happens row-locally on the exploded scalar,
     # BEFORE any exchange (module docstring): the count shuffle and the
     # score rows carry 8-byte ints, never token strings.

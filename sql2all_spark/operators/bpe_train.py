@@ -108,9 +108,14 @@ def _apply_merge(syms: Column, a: str, b: str) -> Column:
 
 
 def _initial_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql2all_spark.spread import spread_fanout
+
     d = load_table(spark, sf_dir, "documents")
+    # §2.5 re-spread: the word explode + count ran single-task on the
+    # one-row-group fixture scan; no-op on multi-split layouts.
     wc = (
-        d.select(F.explode(F.split("text", " ")).alias("word"))
+        spread_fanout(d.select("text"))
+        .select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -134,22 +139,28 @@ def train_bpe(
 
     cur = _initial_vocab(spark, sf_dir).transform(persist_tracked)
     rules: list[tuple] = []
-    for rank in range(1, rounds + 1):
-        best = _mine_best(cur).collect()
-        if not best:
-            break  # vocabulary fully merged (not reachable on the fixture)
-        r = best[0]
-        rules.append(
-            (rank, r["sym_a"], r["sym_b"], r["sym_a"] + r["sym_b"],
-             r["pair_count"])
-        )
-        nxt = _truncate_lineage(
-            cur.select(
-                "c", _apply_merge(F.col("syms"), r["sym_a"], r["sym_b"]).alias("syms")
+    # Loop shuffles sized from the materialized vocab count, AQE off for
+    # tiny frames (looputil) — each mining round is one pair-explode +
+    # partial-agg + argmax over a bounded word-count-sized frame.
+    from sql2all_spark.looputil import loop_shuffle_partitions
+
+    with loop_shuffle_partitions(cur):
+        for rank in range(1, rounds + 1):
+            best = _mine_best(cur).collect()
+            if not best:
+                break  # vocabulary fully merged (not reachable on the fixture)
+            r = best[0]
+            rules.append(
+                (rank, r["sym_a"], r["sym_b"], r["sym_a"] + r["sym_b"],
+                 r["pair_count"])
             )
-        )
-        release_tracked()
-        cur = nxt.transform(persist_tracked)
+            nxt = _truncate_lineage(
+                cur.select(
+                    "c", _apply_merge(F.col("syms"), r["sym_a"], r["sym_b"]).alias("syms")
+                )
+            )
+            release_tracked()
+            cur = nxt.transform(persist_tracked)
     return rules, cur
 
 

@@ -80,9 +80,16 @@ def write_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     these are external tables rooted under the per-process tempdir."""
     key = _sf_key(sf_dir)
     t_orders, t_lineitem = f"bk_orders_{key}", f"bk_lineitem_{key}"
+    # Repartition on the bucket key to the bucket count before writing:
+    # the fixture scan is one row group, so without this each bucketed
+    # write ran as ONE task serially sorting and writing every bucket's
+    # file (§2.5).  Hash-partitioned on the bucket column the write runs
+    # N_BUCKETS-wide and each task emits its bucket's file; at
+    # production bucket counts (thousands) this is full parallelism.
     (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderstatus")
+        .repartition(N_BUCKETS, "o_orderkey")
         .write.mode("overwrite")
         .format("parquet")
         .bucketBy(N_BUCKETS, "o_orderkey")
@@ -93,6 +100,7 @@ def write_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(N_BUCKETS, "l_orderkey")
         .write.mode("overwrite")
         .format("parquet")
         .bucketBy(N_BUCKETS, "l_orderkey")
