@@ -79,9 +79,17 @@ def _shingles(words: Column) -> Column:
 
 
 def _shingled_docs(d: DataFrame) -> DataFrame:
-    """documents → (doc_id, shingles), splitting text exactly once."""
+    """documents → (doc_id, shingles), splitting text exactly once.
+
+    Re-spread first (§2.5): shingling + the downstream minhash/simhash
+    signature transforms are the scan-side CPU mass and the fixture
+    scan is one unsplittable row group; no-op on multi-split layouts
+    (integer signature math downstream)."""
+    from sql2all_spark.spread import spread_fanout
+
     return (
-        d.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+        spread_fanout(d.select("doc_id", "text"))
+        .select("doc_id", F.split(F.col("text"), " ").alias("words"))
         .filter(F.size(F.col("words")) >= 3)
         .select("doc_id", _shingles(F.col("words")).alias("shingles"))
     )

@@ -173,7 +173,13 @@ FROM tok GROUP BY doc_id
     " written identically in both engines.",
 )
 def text_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from sql2all_spark.spread import spread_fanout
+
+    d = spread_fanout(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    # §2.5 re-spread above (tokenize + hash + bigram pack is the
+    # scan-side CPU mass; int sums downstream).
     # ADVICE r14: drop empty-string tokens (consecutive/trailing spaces)
     # BEFORE hashing — the ladder's tokenization discipline
     # (unigram_lm/novelty filter token <> ''); unfiltered, '' hashes to a
