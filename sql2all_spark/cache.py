@@ -58,6 +58,28 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+def materialize_tracked(df: DataFrame) -> DataFrame:
+    """:func:`persist_tracked` plus eager materialization (one ``count``
+    action) — for persisted frames consumed by SEVERAL broadcast-exchange
+    builds of the same query.
+
+    Spark materializes every BroadcastExchange on a separate thread as
+    soon as the consuming job is submitted; a lazily-persisted frame in
+    those subtrees is not cached yet when the builds start, so each build
+    recomputes the full lineage instead of reading blocks (concurrent
+    tasks computing the same InMemoryRelation partition do not wait for
+    each other).  Measured on text_template_strip: the 32-task gram-hash
+    scan stage ran 11× inside broadcast builds, 21.6s of a 43s wall.
+    Populating the cache with one count action first makes every
+    subsequent build a cache read (guide §3.1 "compute/cache the small
+    side first", §5).  Only worth it at fan-out sites — a frame whose
+    consumers run sequentially pays the count for nothing."""
+    df.persist()
+    _tracked().append(df)
+    df.count()
+    return df
+
+
 def release_tracked() -> None:
     """Unpersist every DataFrame recorded by :func:`persist_tracked` on
     THIS thread.

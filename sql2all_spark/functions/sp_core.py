@@ -183,15 +183,19 @@ def _distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan every training round and the encode leg share.  Split
     out of ``_em_round`` so a warm ``sp_loop.trained_costs`` cache hit
     can rebuild the word frame without the seed-vocabulary machinery."""
-    from sql2all_spark.spread import spread_fanout
-
     d = load_table(spark, sf_dir, "documents")
-    # §2.5 re-spread: the word explode + partial count below ran as one
-    # task (single-row-group fixture scan); no-op on multi-split
-    # layouts.  Counts are integers — partition-order independent.
+    # NOT spread (§1.1 measured negative result): spreading this scan
+    # looked free for the warm encode leg, but the EM+prune loop runs
+    # ~10 Viterbi-DP/collect jobs over the persisted result per cold
+    # train, and the spread multiplied every one of those jobs' task
+    # count and per-task pandas-UDF overhead — cold text_sp_encode
+    # regressed 5.9 s -> ~40 s in the exclusive bench (where the encode
+    # query is the session's first sp query and pays the cold loop).
+    # The one-task scan is the faster shape for a vocabulary-bound
+    # driver loop; on a production multi-split layout the scan is
+    # already wide.
     return (
-        spread_fanout(d.select("text"))
-        .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
         .filter((F.col("word") != "") & (F.length("word") <= SP_WORD_MAX))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -53,7 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sql2all_spark.cache import persist_tracked
+from sql2all_spark.cache import materialize_tracked
 from sql2all_spark.functions.clf_core import (
     CAP_N,
     CLF_ROUNDS,
@@ -189,14 +189,19 @@ def pipeline_pretrain_funnel(
         perdoc.groupBy("cleaned_fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-        .transform(persist_tracked)
+        .transform(materialize_tracked)
     )
-    feats = _feats(spark, sf_dir).transform(persist_tracked)
+    feats = _feats(spark, sf_dir).transform(materialize_tracked)
     w = trained_weights(feats, sf_dir)
     scored = feats.select("doc_id", "source", _p_fx(_z(w)).alias("p_fx"))
     surv = scored.join(keep1, "doc_id")
-    dom = assigned_domains(load_vecs(spark, sf_dir)).select(
-        F.col("vec_id").alias("doc_id"), "domain"
+    # dom's lineage is the 2-embeddings-scan assignment chain; it feeds
+    # the broadcast side of the joined left join — materialize so the
+    # broadcast build is a cache read (cache.materialize_tracked).
+    dom = (
+        assigned_domains(load_vecs(spark, sf_dir))
+        .select(F.col("vec_id").alias("doc_id"), "domain")
+        .transform(materialize_tracked)
     )
     joined = surv.join(dom, "doc_id", "left").select(
         F.coalesce(F.col("domain").cast("string"), F.lit("unassigned")).alias(
@@ -216,7 +221,7 @@ def pipeline_pretrain_funnel(
         .over(by_dom.orderBy(F.col("p_fx").asc(), F.col("doc_id").asc()))
         .alias("rn"),
         F.count(F.lit(1)).over(by_dom).alias("n"),
-    ).transform(persist_tracked)  # tau + s2 + the c2/c3 counts read it
+    ).transform(materialize_tracked)  # tau + s2 + the c2/c3 counts read it
     tau = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
         "domain", F.col("p_fx").alias("tau")
     )
@@ -225,7 +230,7 @@ def pipeline_pretrain_funnel(
         ranked.join(tau, "domain")
         .filter(F.col("p_fx") >= F.col("tau"))
         .select("domain", "doc_id", "source", "p_fx")
-        .transform(persist_tracked)
+        .transform(materialize_tracked)
     )
     win_src = Window.partitionBy("source").orderBy(
         F.col("p_fx").desc(), F.col("doc_id").asc()

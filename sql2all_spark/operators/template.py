@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql2all_spark.cache import persist_tracked
+from sql2all_spark.cache import materialize_tracked
 from sql2all_spark.functions.hashing import base_hash_sql
 from sql2all_spark.registry import register
 
@@ -128,7 +128,11 @@ def family_hits(spark: SparkSession, sf_dir: str):
         f"{_TEXT_GRAM}: oracle and builder would diverge"
     )
 
-    hits = dup_gram_hits(spark, sf_dir).transform(persist_tracked)
+    # Eagerly materialized: hits sits under every downstream broadcast
+    # build (fam, keeper argmin, strip sets) — left lazy, the concurrent
+    # broadcast-exchange threads each recompute the gram-hash scan
+    # (cache.materialize_tracked docstring has the measurement).
+    hits = dup_gram_hits(spark, sf_dir).transform(materialize_tracked)
     nxt = hits.select(
         "doc_id", (F.col("pos") - 1).alias("pos"), F.col("h").alias("h2")
     )

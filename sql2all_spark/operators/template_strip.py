@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sql2all_spark.cache import persist_tracked
+from sql2all_spark.cache import materialize_tracked
 from sql2all_spark.functions.hashing import base_hash, base_hash_sql
 from sql2all_spark.operators.template import (
     DUP_SPAN_GRAM,
@@ -151,7 +151,9 @@ def cleaned_corpus(
                 )
             )
         ).alias("grp"),
-    ).transform(persist_tracked)
+        # Eager (materialize_tracked): runs sits under the keeper-argmin
+        # and strip-set broadcast builds — see cache.materialize_tracked.
+    ).transform(materialize_tracked)
     spans = runs.groupBy("family_id", "doc_id", "grp").agg(
         F.min("pos").alias("span_start")
     )
@@ -181,7 +183,7 @@ def cleaned_corpus(
     # persist only reused, recompute-expensive intermediates).
     strip_runs = runs.join(
         k, ["family_id", "doc_id", "grp"], "left_anti"
-    ).transform(persist_tracked)
+    ).transform(materialize_tracked)
     # Per-doc SET of word positions to remove, as one array row per
     # affected doc.  Hit-table-sized: only documents carrying a
     # non-keeper span appear.

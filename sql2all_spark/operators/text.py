@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql2all_spark.functions.hashing import base_hash_sql
-from sql2all_spark.cache import persist_tracked
+from sql2all_spark.cache import materialize_tracked, persist_tracked
 from sql2all_spark.registry import register
 from sql2all_spark.tables import load_table
 
@@ -653,7 +653,10 @@ def dup_gram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_hash(F.array_join(F.slice(F.col("w"), F.col("pos"), n), " ")).alias(
             "h"
         ),
-    ).transform(persist_tracked)
+        # Eager: the dup-side broadcast build and the probe side both
+        # reference grams; left lazy they race and each computes the
+        # gram explode+hash pass (cache.materialize_tracked).
+    ).transform(materialize_tracked)
     dup = (
         grams.groupBy("h")
         .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))

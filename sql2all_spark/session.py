@@ -43,6 +43,38 @@ def _default_driver_mem() -> str:
     return f"{max(1, min(16, total_gib // 2))}g"
 
 
+def _default_local_dir() -> str | None:
+    """Shuffle/spill scratch directory (``spark.local.dir``).
+
+    Spark defaults to ``/tmp``, which on this box is ext4 on a virtio
+    disk with ~1.7 ms latency per small write (measured: 200×64 KB
+    appends = 0.34 s on /tmp vs 0.006 s on tmpfs) — and shuffle-file
+    writes are exactly that pattern, one small file per (map task ×
+    reduce partition).  SQL-tab metrics showed single Exchanges of
+    ~250k slim rows charging 30+ s of cumulative "shuffle write time"
+    (~1 s per map task) purely to this latency.  The guide's baseline
+    configuration (§9) assumes "machines with fast local disks"; on a
+    RAM-rich sandbox the equivalent is tmpfs, so default to /dev/shm
+    when it is present and writable.  ``SPARK_GRAFT_LOCAL_DIR``
+    overrides outright (set it to a real NVMe path on a cluster whose
+    RAM is not to be shared with shuffle data); any failure falls back
+    to Spark's own default.  Static conf: only effective for the JVM
+    that launches the session — the driver-contract path
+    (configure_existing) keeps the driver's own setting."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env or None
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        d = os.path.join(shm, "sql2all-spark-local")
+        try:
+            os.makedirs(d, exist_ok=True)
+            return d
+        except OSError:
+            return None
+    return None
+
+
 DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
@@ -71,6 +103,10 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.driver.memory": _default_driver_mem(),
     "spark.ui.enabled": "false",
 }
+
+_LOCAL_DIR = _default_local_dir()
+if _LOCAL_DIR:
+    DEFAULT_CONFS["spark.local.dir"] = _LOCAL_DIR
 
 
 def cpu_count() -> int:
