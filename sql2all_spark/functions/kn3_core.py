@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql2all_spark.cache import persist_tracked
+from sql2all_spark.cache import materialize_tracked
 from sql2all_spark.functions.hashing import base_hash, base_hash_sql
 from sql2all_spark.tables import load_table
 
@@ -189,12 +189,12 @@ def kn3_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode INLINE in one select (a two-step explode re-evaluates the
     # packed projection per OUTPUT element — the text.py measurement)
     pr = t.select("doc_id", F.explode(tgs).alias("tg")).transform(
-        persist_tracked
+        materialize_tracked
     )
     tc = (
         pr.groupBy("tg")
         .agg(F.count(F.lit(1)).alias("c123"))
-        .transform(persist_tracked)
+        .transform(materialize_tracked)
     )
     # ctx / midctx / cont are each consumed TWICE (the tscored build and
     # their own *_top broadcast) and their lineage is a full aggregation
@@ -209,7 +209,7 @@ def kn3_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double").alias("n1fd"),
             F.sum("c123").cast("long").alias("c12"),
         )
-        .transform(persist_tracked)
+        .transform(materialize_tracked)
     )
     mid = (
         tc.groupBy((F.col("tg") % F.lit(_B2)).alias("v23"))
@@ -217,7 +217,7 @@ def kn3_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double").alias("n1md"),
             F.count(F.lit(1)).cast("long").alias("n1m"),
         )
-        .transform(persist_tracked)
+        .transform(materialize_tracked)
     )
     midctx = (
         mid.groupBy(F.expr(f"v23 div {_B1}").alias("w2"))
@@ -226,7 +226,7 @@ def kn3_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double").alias("n1fmd"),
             F.sum("n1m").cast("long").alias("den2i"),
         )
-        .transform(persist_tracked)
+        .transform(materialize_tracked)
     )
     cont = (
         mid.groupBy((F.col("v23") % F.lit(_B1)).alias("w3"))
@@ -234,7 +234,7 @@ def kn3_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double").alias("n1bd"),
             F.count(F.lit(1)).cast("long").alias("n1b"),
         )
-        .transform(persist_tracked)
+        .transform(materialize_tracked)
     )
     nt = mid.agg(F.count(F.lit(1)).cast("double").alias("nd"))
     ttop = tc.orderBy(

@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql2all_spark.cache import persist_tracked
+from sql2all_spark.cache import materialize_tracked, persist_tracked
 from sql2all_spark.functions.embed import DIM, dbl
 from sql2all_spark.functions.pqmath import (
     PQ_K,
@@ -270,7 +270,7 @@ def ivfpq_topk_impl(
     # BOTH the encode broadcast and the ADC-table broadcast — without
     # the cache each broadcast build re-runs the whole training chain
     # (seed + assign + recompute over the full subvector frame).
-    cb1 = refined_codebook(subs).transform(persist_tracked)
+    cb1 = refined_codebook(subs).transform(materialize_tracked)
     # encode ONLY the probed cells' members: the candidate id set prunes
     # the subvector frame before any codebook work (at scale: a partition-
     # pruned scan of the stored code table)
@@ -557,7 +557,7 @@ def ivfpq_residual_impl(
     rsubs = subvector_frame(res).transform(persist_tracked)
     # persisted: consumed by the encode broadcast AND the per-cell ADC
     # broadcast — one training run instead of two (guide §5).
-    cb1 = refined_codebook(rsubs).transform(persist_tracked)
+    cb1 = refined_codebook(rsubs).transform(materialize_tracked)
     codes = encode(rsubs.join(cand.select("vec_id"), "vec_id"), cb1)
     codesc = codes.join(cand.select("vec_id", "cent_id"), "vec_id")
     # per-probed-cell ADC table: the probe's residual w.r.t. EACH probed
@@ -692,12 +692,12 @@ def build_ivfpq_index(
     tvecs = t.select("vec_id", dbl(F.col("embedding")).alias("v"))
     cents = tvecs.filter(F.col("vec_id").isin(IVFPQ_CENT_IDS)).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    ).transform(persist_tracked)
+    ).transform(materialize_tracked)
     # persisted (guide §5): cb feeds the encode broadcast AND the
     # codebook sidecar write; cents feeds the routing broadcast AND the
     # centroid sidecar write — without the caches the training chain and
     # the centroid scan each execute twice per build.
-    cb = refined_codebook(subvector_frame(tvecs)).transform(persist_tracked)
+    cb = refined_codebook(subvector_frame(tvecs)).transform(materialize_tracked)
     cells, _ = _route_cells(vecs, cents=cents)
     codes = packed_codes(subvector_frame(vecs), cb)
     idx = cells.join(codes, "vec_id").select(

@@ -170,7 +170,7 @@ LIMIT {PQ_TOPK}
     " with no all-pairs anywhere.",
 )
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sql2all_spark.cache import persist_tracked
+    from sql2all_spark.cache import materialize_tracked, persist_tracked
 
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select(
@@ -184,7 +184,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slim rows re-assembled into ordered arrays), then encode + ADC.
     # Persisted: consumed by the encode broadcast AND the ADC-table
     # broadcast — one training run instead of two (guide §5).
-    cb1 = refined_codebook(subs).transform(persist_tracked)
+    cb1 = refined_codebook(subs).transform(materialize_tracked)
     codes = encode(subs, cb1)
     adctab = adc_table(subs, cb1, PQ_PROBE_ID)
     shortlist = (
