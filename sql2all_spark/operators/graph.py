@@ -150,6 +150,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("u")
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
+            # eager=False: the sum-aggregate below is the round's first
+            # action, so it materializes the checkpoint blocks itself —
+            # one job per round instead of checkpoint-then-aggregate
             new_labels = _truncate_lineage(
                 labels.join(nbr, labels.doc_id == nbr.u, "left").select(
                     "doc_id",
@@ -157,7 +160,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("cluster_id"),
                         F.coalesce("nbr_min", F.col("cluster_id")),
                     ).alias("cluster_id"),
-                )
+                ),
+                eager=False,
             )
             # labels only ever decrease, so an unchanged sum ⇔ a fixpoint —
             # one scalar aggregate instead of a join-and-count per round
@@ -256,7 +260,11 @@ def star_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> tuple[Dat
 
     with loop_shuffle_partitions(e):
         for _ in range(max_rounds):
-            e = _truncate_lineage(_small_star(_large_star(e)))
+            # eager=False: the signature aggregate below materializes
+            # the blocks — one job per round instead of two
+            e = _truncate_lineage(
+                _small_star(_large_star(e)), eager=False
+            )
             rounds += 1
             # bit_xor, not sum: xor of 64-bit hashes cannot overflow under
             # ANSI mode; the edge set is distinct so xor-of-set detects change
