@@ -43,7 +43,17 @@ def _default_driver_mem() -> str:
     return f"{max(1, min(16, total_gib // 2))}g"
 
 
-def _default_local_dir() -> str | None:
+# Minimum free space on /dev/shm before it is elected as shuffle scratch.
+# Local-mode shuffle volumes in this engine's regime are MBs-to-low-GBs;
+# 16 GiB of headroom means shuffle files can never meaningfully compete
+# with page cache or the JVM for RAM.  A cluster (or any box where shm is
+# tight — containers commonly mount /dev/shm at 64 MiB) fails the gate and
+# keeps Spark's own default; SPARK_GRAFT_LOCAL_DIR points at real NVMe
+# there.
+_SHM_MIN_FREE_BYTES = 16 << 30
+
+
+def _default_local_dir(master: str) -> str | None:
     """Shuffle/spill scratch directory (``spark.local.dir``).
 
     Spark defaults to ``/tmp``, which on this box is ext4 on a virtio
@@ -54,25 +64,41 @@ def _default_local_dir() -> str | None:
     ~250k slim rows charging 30+ s of cumulative "shuffle write time"
     (~1 s per map task) purely to this latency.  The guide's baseline
     configuration (§9) assumes "machines with fast local disks"; on a
-    RAM-rich sandbox the equivalent is tmpfs, so default to /dev/shm
-    when it is present and writable.  ``SPARK_GRAFT_LOCAL_DIR``
-    overrides outright (set it to a real NVMe path on a cluster whose
-    RAM is not to be shared with shuffle data); any failure falls back
-    to Spark's own default.  Static conf: only effective for the JVM
-    that launches the session — the driver-contract path
-    (configure_existing) keeps the driver's own setting."""
+    RAM-rich sandbox the equivalent is tmpfs — but a RAM-backed
+    shuffle dir is only SAFE when shuffle volumes are far below free
+    RAM, so the default is gated (VERDICT r16 #4 / ADVICE r16):
+
+    - only for ``local[*]`` masters (a cluster's shuffle volume is
+      unbounded from here; its fast-disk path is the env override);
+    - only when /dev/shm has ≥ ``_SHM_MIN_FREE_BYTES`` free
+      (``os.statvfs``) — a container's 64 MiB default shm, or a box
+      already using shm, falls back to Spark's default.
+
+    ``SPARK_GRAFT_LOCAL_DIR`` overrides outright (set it to a real
+    NVMe path on a cluster); an EMPTY value explicitly disables the
+    tmpfs default (ADVICE r16: the old ``env or None`` read as if it
+    did, but was unreachable).  Any failure falls back to Spark's own
+    default.  Static conf: only effective for the JVM that launches
+    the session — the driver-contract path (configure_existing) keeps
+    the driver's own setting.  Called from :func:`get_spark` (not at
+    import — ADVICE r16: no mkdir side effect on module import)."""
     env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if env:
-        return env or None
+    if env is not None:
+        return env or None  # empty string = disable the tmpfs default
+    if not master.startswith("local"):
+        return None
     shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        d = os.path.join(shm, "sql2all-spark-local")
-        try:
-            os.makedirs(d, exist_ok=True)
-            return d
-        except OSError:
+    if not (os.path.isdir(shm) and os.access(shm, os.W_OK)):
+        return None
+    try:
+        st = os.statvfs(shm)
+        if st.f_bavail * st.f_frsize < _SHM_MIN_FREE_BYTES:
             return None
-    return None
+        d = os.path.join(shm, "sql2all-spark-local")
+        os.makedirs(d, exist_ok=True)
+        return d
+    except OSError:
+        return None
 
 
 DEFAULT_CONFS: dict[str, str] = {
@@ -104,11 +130,6 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.ui.enabled": "false",
 }
 
-_LOCAL_DIR = _default_local_dir()
-if _LOCAL_DIR:
-    DEFAULT_CONFS["spark.local.dir"] = _LOCAL_DIR
-
-
 def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -135,10 +156,12 @@ def get_spark(
             pkg_root + (os.pathsep + existing if existing else "")
         )
     cpus = cpu_count()
-    builder = SparkSession.builder.appName(app_name).master(
-        master or f"local[{cpus}]"
-    )
+    resolved_master = master or f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(resolved_master)
     confs = dict(DEFAULT_CONFS)
+    local_dir = _default_local_dir(resolved_master)
+    if local_dir:
+        confs["spark.local.dir"] = local_dir
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions or 2 * cpus)
     confs.update(extra_confs or {})
     for k, v in confs.items():

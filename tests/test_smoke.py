@@ -91,3 +91,35 @@ def test_ntz_normalization_exact_at_dst_edges(spark):
             assert got == expected, f"{tz}: {got} != {expected}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+def test_default_local_dir_gating(monkeypatch, tmp_path):
+    """The /dev/shm shuffle-scratch default is gated (VERDICT r16 #4 /
+    ADVICE r16): non-local masters never elect it, a tight shm falls back
+    to Spark's default, an explicit empty override disables it, and a
+    non-empty override wins outright."""
+    from sql2all_spark import session as s
+
+    # explicit override wins regardless of master
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", str(tmp_path))
+    assert s._default_local_dir("local[4]") == str(tmp_path)
+    assert s._default_local_dir("yarn") == str(tmp_path)
+    # empty override explicitly disables the tmpfs default
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", "")
+    assert s._default_local_dir("local[4]") is None
+    monkeypatch.delenv("SPARK_GRAFT_LOCAL_DIR")
+    # cluster masters never elect tmpfs implicitly
+    assert s._default_local_dir("yarn") is None
+    assert s._default_local_dir("spark://host:7077") is None
+    # tight shm (free below the gate) falls back to Spark's default
+    monkeypatch.setattr(s, "_SHM_MIN_FREE_BYTES", 1 << 62)
+    assert s._default_local_dir("local[4]") is None
+    # roomy shm on a local master elects the tmpfs dir
+    monkeypatch.setattr(s, "_SHM_MIN_FREE_BYTES", 0)
+    d = s._default_local_dir("local[4]")
+    import os as _os
+
+    if _os.path.isdir("/dev/shm") and _os.access("/dev/shm", _os.W_OK):
+        assert d == "/dev/shm/sql2all-spark-local"
+    else:  # pragma: no cover - non-Linux host
+        assert d is None

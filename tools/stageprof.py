@@ -13,8 +13,10 @@ Usage: python tools/stageprof.py [--sf-dir DIR] name
 from __future__ import annotations
 
 import argparse
+import calendar
 import json
 import os
+import re
 import sys
 import time
 import urllib.request
@@ -23,6 +25,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sql2all_spark import registry  # noqa: E402
 from sql2all_spark.session import get_spark  # noqa: E402
+
+
+def _epoch(ts: str) -> float:
+    """REST-API GMT timestamp -> epoch seconds.  Tolerates a missing
+    millisecond part and interprets the stamp as GMT (ADVICE r16: the
+    old fixed-offset slice raised on milli-less stamps and mktime read
+    GMT stamps in the local zone)."""
+    t = time.strptime(ts[:19], "%Y-%m-%dT%H:%M:%S")
+    m = re.search(r"\.(\d{1,3})", ts[19:])
+    ms = float(m.group(1)) / 10 ** len(m.group(1)) if m else 0.0
+    return calendar.timegm(t) + ms
 
 
 def main() -> None:
@@ -35,6 +48,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry.all_specs()
     ui = spark.sparkContext.uiWebUrl
+    if ui is None:
+        # getOrCreate reused a JVM where the spark.ui.enabled static conf
+        # did not apply (ADVICE r16) — fail with the cause, not a urlopen
+        # crash on "None/api/...".
+        sys.exit(
+            "stageprof: no Spark UI on this session (static conf"
+            " spark.ui.enabled could not be applied to a reused JVM);"
+            " run stageprof in a fresh process"
+        )
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
@@ -72,11 +94,7 @@ def main() -> None:
             comp = s.get("completionTime")
             if not sub or not comp:
                 continue
-            t0 = time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S")
-            t1 = time.strptime(comp[:19], "%Y-%m-%dT%H:%M:%S")
-            ms0 = float(sub[20:23] or 0) / 1000
-            ms1 = float(comp[20:23] or 0) / 1000
-            dur = (time.mktime(t1) + ms1) - (time.mktime(t0) + ms0)
+            dur = _epoch(comp) - _epoch(sub)
             total += dur
             key = f"{s['name'].split(' at ')[0]:<30} tasks={s['numTasks']:>4}"
             agg.setdefault(key, []).append(dur)
