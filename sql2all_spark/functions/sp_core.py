@@ -203,10 +203,17 @@ def _distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _em_round(spark: SparkSession, sf_dir: str):
-    """Shared round-1 pipeline: (words, vc, em) — the persisted distinct-
-    word table, the seed piece-cost table, and the round-1 EM ledger."""
-    words = _distinct_words(spark, sf_dir)
+def _em_round(spark: SparkSession, sf_dir: str, words: DataFrame | None = None):
+    """Shared round-1 pipeline: (words, vc, em, costs) — the persisted
+    distinct-word table, the seed piece-cost table, the round-1 EM
+    ledger, and the ALREADY-COLLECTED seed cost dict (r17: the seed
+    build collects vc exactly once; callers needing the dict — the
+    loop's singles set, the prune round — reuse it instead of paying a
+    second collect job).  ``words`` may be passed in by a caller that
+    already built/materialized the word table (the loop's
+    scale-adaptive shuffle scope counts it first)."""
+    if words is None:
+        words = _distinct_words(spark, sf_dir)
     pieces = (
         words.select(
             "word",
@@ -247,7 +254,7 @@ def _em_round(spark: SparkSession, sf_dir: str):
     # bounded collect: <= SP_VOCAB + alphabet rows (the codebook precedent)
     costs = {r["piece"]: r["cost"] for r in vc.collect()}
     em = _segment_em(words, costs)
-    return words, vc, em
+    return words, vc, em, costs
 
 
 def encode_np_dw_ctes(tag: str) -> str:

@@ -164,49 +164,77 @@ def trained_costs(spark: SparkSession, sf_dir: str):
             sorted(costs.items()), "piece string, cost long"
         )
         return words, vc_cur, _segment_em(words, costs), dict(em1_map), dict(costs)
-    words, vc, em = _em_round(spark, sf_dir)
-    singles = sorted(
-        r["piece"] for r in vc.collect() if len(r["piece"]) == 1
-    )
+    # COLD path (r17 restructure — VERDICT r16 #3): the loop's ~33 driver
+    # jobs were the cost, not the math.  Three fixes, values identical:
+    # (a) the whole train scope runs under loop_shuffle_partitions(words)
+    #     — shuffle width derived from the measured word count, AQE off
+    #     below one partition's worth of rows, so each bounded collect is
+    #     ONE job instead of 3-6 AQE exchange materializations;
+    # (b) the singles set reuses the seed cost dict _em_round already
+    #     collected (was: a second vc.collect() job re-running the seed);
+    # (c) the per-round Laplace cost table is built from the ALREADY-
+    #     COLLECTED EM ledger: the totals t = SUM(em), v = COUNT(*) are
+    #     exact integers computed driver-side (Python int sum == Spark's
+    #     long sum, both cast to the identical double), and only the
+    #     -LN stays engine-side — same FLOOR quantization discipline,
+    #     ONE local single-stage job per round instead of the old
+    #     createDataFrame -> agg -> broadcast-join -> collect chain.
+    from sql2all_spark.cache import materialize_tracked
+    from sql2all_spark.looputil import loop_shuffle_partitions
+
+    words = _distinct_words(spark, sf_dir)
     em1_map: dict[str, int] = {}
-    cur_em = em
-    vc_cur = vc
     costs: dict[str, int] = {}
-    for rnd, keep in enumerate(SP_LOOP_SCHEDULE, start=1):
-        # bounded collect: the prune decision reads the EM ledger
-        # (<= previous survivors + alphabet rows) driver-side
-        em_rows = cur_em.collect()
-        em_map = {r["piece"]: r["em_count"] for r in em_rows}
-        if rnd == 1:
-            em1_map = dict(em_map)
-        kept = sorted(em_rows, key=lambda r: (-r["em_count"], r["piece"]))
-        survivors = {r["piece"] for r in kept[:keep]} | set(singles)
-        # Laplace-renormalized costs, computed ENGINE-side (Spark ln —
-        # the FLOOR quantization discipline shared with the oracle)
-        em0 = spark.createDataFrame(
-            sorted((p, em_map.get(p, 0)) for p in survivors),
-            "piece string, em long",
-        )
-        tot2 = em0.agg(
-            F.sum("em").cast("double").alias("t"),
-            F.count(F.lit(1)).cast("double").alias("v"),
-        )
-        vc_cur = em0.join(F.broadcast(tot2), F.lit(True)).select(
-            "piece",
-            F.floor(
-                F.lit(float(SP_SCALE))
-                * -F.log(
-                    (F.col("em").cast("double") + F.lit(1.0))
-                    / (F.col("t") + F.col("v"))
-                )
-                + F.lit(0.5)
+    with loop_shuffle_partitions(words) as width:
+        if width > 1:
+            # The word table materializes as ONE cached partition (AQE
+            # coalesces the word-count shuffle), so every Viterbi E-step
+            # ran single-threaded.  Re-spread it ONCE to the loop width
+            # (8-way here — deterministic round-robin, §2.5) so the
+            # loop's 3 UDF passes and the seed explode run parallel.
+            # This is NOT the r16-reverted 32-way scan spread: that one
+            # multiplied the task count of ~33 AQE-planned jobs; here
+            # the loop runs AQE-off at the derived width and the job
+            # count is already fused (r17 #3), so the per-pass task
+            # overhead is bounded by width, not cores.
+            words = materialize_tracked(words.repartition(width))
+        words, vc, em, costs0 = _em_round(spark, sf_dir, words=words)
+        singles = sorted(p for p in costs0 if len(p) == 1)
+        cur_em = em
+        vc_cur = vc
+        for rnd, keep in enumerate(SP_LOOP_SCHEDULE, start=1):
+            # bounded collect: the prune decision reads the EM ledger
+            # (<= previous survivors + alphabet rows) driver-side
+            em_rows = cur_em.collect()
+            em_map = {r["piece"]: r["em_count"] for r in em_rows}
+            if rnd == 1:
+                em1_map = dict(em_map)
+            kept = sorted(
+                em_rows, key=lambda r: (-r["em_count"], r["piece"])
             )
-            .cast("long")
-            .alias("cost"),
-        )
-        costs = {r["piece"]: r["cost"] for r in vc_cur.collect()}
-        # costs re-enter the E-step as literals: identical plan per round
-        cur_em = _segment_em(words, costs)
+            survivors = {r["piece"] for r in kept[:keep]} | set(singles)
+            em0_rows = sorted((p, em_map.get(p, 0)) for p in survivors)
+            # exact-integer totals (Laplace denominator) driver-side;
+            # the ln itself stays ENGINE-side (Spark ln — the FLOOR
+            # quantization discipline shared with the oracle)
+            tv = float(sum(em for _, em in em0_rows)) + float(len(em0_rows))
+            em0 = spark.createDataFrame(em0_rows, "piece string, em long")
+            vc_cur = em0.select(
+                "piece",
+                F.floor(
+                    F.lit(float(SP_SCALE))
+                    * -F.log(
+                        (F.col("em").cast("double") + F.lit(1.0))
+                        / F.lit(tv)
+                    )
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("cost"),
+            )
+            costs = {r["piece"]: r["cost"] for r in vc_cur.collect()}
+            # costs re-enter the E-step as literals: identical plan per round
+            cur_em = _segment_em(words, costs)
     _TRAINED_CACHE[key] = (dict(costs), dict(em1_map))
     return words, vc_cur, cur_em, em1_map, costs
 

@@ -155,7 +155,14 @@ LIMIT {SP_TOP}
     " the oracle unrolls the identical DP as chained SQL CTEs.",
 )
 def text_sp_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
-    words, vc, em = _em_round(spark, sf_dir)
+    # Seed-chain collect under the derived loop width (r17, see
+    # text_sp_unigram_prune) — the report frame runs at session width.
+    from sql2all_spark.functions.sp_core import _distinct_words
+    from sql2all_spark.looputil import loop_shuffle_partitions
+
+    words = _distinct_words(spark, sf_dir)
+    with loop_shuffle_partitions(words):
+        words, vc, em, _costs = _em_round(spark, sf_dir, words=words)
     return (
         em.join(F.broadcast(vc), "piece")
         .select(
@@ -196,39 +203,49 @@ def text_sp_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     " CTEs between.",
 )
 def text_sp_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    words, vc, em = _em_round(spark, sf_dir)
-    # Bounded collects (<= SP_VOCAB + alphabet rows each): the round-1
-    # EM ledger drives the prune decision; the seed vocabulary supplies
-    # the always-kept single characters.
-    em_rows = em.collect()
-    singles = {r["piece"] for r in vc.collect() if len(r["piece"]) == 1}
-    kept = sorted(em_rows, key=lambda r: (-r["em_count"], r["piece"]))
-    survivors = {r["piece"] for r in kept[:SP_KEEP]} | singles
-    em1 = {r["piece"]: r["em_count"] for r in em_rows}
-    # Laplace-renormalized costs over survivors — computed ENGINE-side
-    # (Spark ln, like the seed costs) so both engines share the FLOOR
-    # quantization discipline; the createDataFrame input is integers.
-    em0 = spark.createDataFrame(
-        sorted((p, em1.get(p, 0)) for p in survivors), "piece string, em long"
-    )
-    tot2 = em0.agg(
-        F.sum("em").cast("double").alias("t"),
-        F.count(F.lit(1)).cast("double").alias("v"),
-    )
-    vc2 = em0.join(F.broadcast(tot2), F.lit(True)).select(
-        "piece",
-        F.floor(
-            F.lit(float(SP_SCALE))
-            * -F.log(
-                (F.col("em").cast("double") + F.lit(1.0))
-                / (F.col("t") + F.col("v"))
+    # The bounded-collect rounds run under a shuffle width derived from
+    # the measured word count, AQE off below one partition's worth
+    # (r17, the sp_loop pattern: each collect is ONE job instead of
+    # several AQE exchange-materialization jobs; no-op at cluster
+    # scale).  The returned report frame executes OUTSIDE the scope at
+    # the session width.
+    from sql2all_spark.functions.sp_core import _distinct_words
+    from sql2all_spark.looputil import loop_shuffle_partitions
+
+    words = _distinct_words(spark, sf_dir)
+    with loop_shuffle_partitions(words):
+        words, vc, em, costs = _em_round(spark, sf_dir, words=words)
+        # Bounded collect (<= SP_VOCAB + alphabet rows): the round-1 EM
+        # ledger drives the prune decision; the always-kept single
+        # characters come from the seed cost dict _em_round already
+        # collected (r17: one collect job instead of two).
+        em_rows = em.collect()
+        singles = {p for p in costs if len(p) == 1}
+        kept = sorted(em_rows, key=lambda r: (-r["em_count"], r["piece"]))
+        survivors = {r["piece"] for r in kept[:SP_KEEP]} | singles
+        em1 = {r["piece"]: r["em_count"] for r in em_rows}
+        em0_rows = sorted((p, em1.get(p, 0)) for p in survivors)
+        # exact-integer Laplace denominator driver-side (Python int sum
+        # == Spark long sum, cast to the identical double); the -LN
+        # stays ENGINE-side (Spark ln, like the seed costs) so both
+        # engines share the FLOOR quantization discipline — one local
+        # single-stage job instead of createDataFrame -> agg ->
+        # broadcast-join -> collect (r17, the sp_loop pattern).
+        tv = float(sum(em_ for _, em_ in em0_rows)) + float(len(em0_rows))
+        em0 = spark.createDataFrame(em0_rows, "piece string, em long")
+        vc2 = em0.select(
+            "piece",
+            F.floor(
+                F.lit(float(SP_SCALE))
+                * -F.log(
+                    (F.col("em").cast("double") + F.lit(1.0)) / F.lit(tv)
+                )
+                + F.lit(0.5)
             )
-            + F.lit(0.5)
+            .cast("long")
+            .alias("cost"),
         )
-        .cast("long")
-        .alias("cost"),
-    )
-    costs2 = {r["piece"]: r["cost"] for r in vc2.collect()}
+        costs2 = {r["piece"]: r["cost"] for r in vc2.collect()}
     em2 = _segment_em(words, costs2)
     em1_df = spark.createDataFrame(
         sorted(em1.items()), "piece string, em1_count long"
