@@ -53,7 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sql2all_spark.cache import materialize_tracked
+from sql2all_spark.cache import checkpoint_tracked, materialize_tracked
 from sql2all_spark.functions.clf_core import (
     CAP_N,
     CLF_ROUNDS,
@@ -172,6 +172,26 @@ ORDER BY stage_ord ASC NULLS FIRST
 def pipeline_pretrain_funnel(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _funnel_frame(spark, sf_dir, truncate=True)
+
+
+def _funnel_frame(
+    spark: SparkSession, sf_dir: str, truncate: bool = True
+) -> DataFrame:
+    """The funnel, with each policy stage materialized at its boundary.
+
+    ``truncate=True`` (production, r17): the four stage frames are
+    CHECKPOINTED (``cache.checkpoint_tracked``), so each stage executes
+    exactly once and every downstream plan — the stage counts, the
+    final 3-row explode — is a leaf scan.  Before this, the composed
+    ~0.8 MB plan re-entered Catalyst per action and AQE re-planned
+    ~100 exchanges of already-cached subtrees; the measured remaining
+    cost of the query was that planning/scheduling floor, not bytes
+    (guide §3.3 "materialising an intermediate truncates the plan";
+    VERDICT r16 #1).  ``truncate=False`` keeps the fully-composed
+    lineage (materialize_tracked) — the plan-pin test audits the
+    parent shapes through it; values are identical either way."""
+    stage = checkpoint_tracked if truncate else materialize_tracked
     d, cleaned, _spans = cleaned_corpus(spark, sf_dir)
     perdoc = (
         d.select("doc_id")
@@ -189,7 +209,7 @@ def pipeline_pretrain_funnel(
         perdoc.groupBy("cleaned_fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-        .transform(materialize_tracked)
+        .transform(stage)
     )
     feats = _feats(spark, sf_dir).transform(materialize_tracked)
     w = trained_weights(feats, sf_dir)
@@ -201,7 +221,7 @@ def pipeline_pretrain_funnel(
     dom = (
         assigned_domains(load_vecs(spark, sf_dir))
         .select(F.col("vec_id").alias("doc_id"), "domain")
-        .transform(materialize_tracked)
+        .transform(stage)
     )
     joined = surv.join(dom, "doc_id", "left").select(
         F.coalesce(F.col("domain").cast("string"), F.lit("unassigned")).alias(
@@ -221,7 +241,7 @@ def pipeline_pretrain_funnel(
         .over(by_dom.orderBy(F.col("p_fx").asc(), F.col("doc_id").asc()))
         .alias("rn"),
         F.count(F.lit(1)).over(by_dom).alias("n"),
-    ).transform(materialize_tracked)  # tau + s2 + the c2/c3 counts read it
+    ).transform(stage)  # tau + s2 + the c2/c3 counts read it
     tau = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
         "domain", F.col("p_fx").alias("tau")
     )
@@ -230,7 +250,7 @@ def pipeline_pretrain_funnel(
         ranked.join(tau, "domain")
         .filter(F.col("p_fx") >= F.col("tau"))
         .select("domain", "doc_id", "source", "p_fx")
-        .transform(materialize_tracked)
+        .transform(stage)
     )
     win_src = Window.partitionBy("source").orderBy(
         F.col("p_fx").desc(), F.col("doc_id").asc()

@@ -142,24 +142,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the propagation rounds re-shuffle a slim bounded edge/label set.
     from sql2all_spark.looputil import loop_shuffle_partitions
 
+    def _propagate(lbl: DataFrame) -> DataFrame:
+        # each node's best neighbor label this round
+        nbr = (
+            edges.join(lbl, edges.v == lbl.doc_id)
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        return lbl.join(nbr, lbl.doc_id == nbr.u, "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce("nbr_min", F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+
     with loop_shuffle_partitions(edges):
-        for _ in range(MAX_ROUNDS):
-            # each node's best neighbor label this round
-            nbr = (
-                edges.join(labels, edges.v == labels.doc_id)
-                .groupBy("u")
-                .agg(F.min("cluster_id").alias("nbr_min"))
-            )
-            # eager=False: the sum-aggregate below is the round's first
-            # action, so it materializes the checkpoint blocks itself —
-            # one job per round instead of checkpoint-then-aggregate
+        for _ in range(0, MAX_ROUNDS, 2):
+            # TWO propagation rounds per convergence check (r17, the
+            # star_components pattern): each round is truncated
+            # individually (eager=False — the next round builds on a
+            # leaf RDD, no plan composition), but the sum-aggregate runs
+            # every OTHER round; labels are monotone non-increasing, so
+            # an unchanged sum across a double round still ⇔ fixpoint,
+            # at half the driver round trips.  The first round's
+            # checkpoint blocks materialize lazily inside the pair's one
+            # job.
             new_labels = _truncate_lineage(
-                labels.join(nbr, labels.doc_id == nbr.u, "left").select(
-                    "doc_id",
-                    F.least(
-                        F.col("cluster_id"),
-                        F.coalesce("nbr_min", F.col("cluster_id")),
-                    ).alias("cluster_id"),
+                _propagate(
+                    _truncate_lineage(_propagate(labels), eager=False)
                 ),
                 eager=False,
             )
@@ -259,13 +270,31 @@ def star_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> tuple[Dat
     from sql2all_spark.looputil import loop_shuffle_partitions
 
     with loop_shuffle_partitions(e):
-        for _ in range(max_rounds):
-            # eager=False: the signature aggregate below materializes
-            # the blocks — one job per round instead of two
+        while rounds < max_rounds:
+            # eager=False: each round's lineage is truncated NOW (the
+            # next round builds on a leaf RDD — plans never compose, so
+            # no subtree duplication) but the blocks materialize inside
+            # whichever job first executes them.
             e = _truncate_lineage(
                 _small_star(_large_star(e)), eager=False
             )
             rounds += 1
+            # Convergence signature every OTHER round (r17, VERDICT r16
+            # #6): the loop's cost at small edge sets is the per-round
+            # driver floor (job scheduling + the collect round trip —
+            # measured ~0.4 s against ~0.1 s of executor work), and
+            # contraction is idempotent at the fixpoint, so checking
+            # every second round halves the job count at the cost of at
+            # most one extra (no-op) contraction.  The skipped round's
+            # checkpoint blocks materialize lazily inside the next
+            # signature job (one job per pair, both rounds' stages).
+            # NOTE: composing the two contractions into one un-truncated
+            # plan instead was tried and measured 2x WORSE — each
+            # contraction references its input several times (sym union,
+            # window reuse), so an un-truncated pair re-executes the
+            # inner contraction combinatorially.
+            if rounds % 2 == 1 and rounds < max_rounds:
+                continue
             # bit_xor, not sum: xor of 64-bit hashes cannot overflow under
             # ANSI mode; the edge set is distinct so xor-of-set detects change
             sig = e.agg(

@@ -14,13 +14,16 @@ from sql2all_spark.operators.graph import star_components
 
 def test_star_converges_log_rounds_on_deep_chain(spark):
     """A 64-node chain has diameter 63: label propagation needs ~63 rounds,
-    alternating star must stay within log2(diameter)+2."""
+    alternating star must stay within log2(diameter)+2 contractions —
+    +2 more for the r17 pair-batched convergence check (signatures are
+    taken every OTHER contraction, so detection can overshoot by one
+    no-op pair)."""
     n = 64
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "u long, v long"
     )
     labels, rounds = star_components(chain)
-    assert rounds <= math.log2(n - 1) + 2, rounds
+    assert rounds <= math.log2(n - 1) + 4, rounds
     got = {r.doc_id: r.cluster_id for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
 
@@ -70,7 +73,7 @@ def test_star_empty_edges(spark):
     df = spark.createDataFrame([], "u long, v long")
     labels, rounds = star_components(df)
     assert labels.count() == 0
-    assert rounds <= 2
+    assert rounds <= 4  # one converged contraction pair (r17 batching)
 
 
 def test_truncate_lineage_uses_reliable_checkpoint_when_configured(sf_dir):

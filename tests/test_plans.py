@@ -1524,8 +1524,15 @@ def test_pretrain_funnel_composes_parent_shapes(spark, sf_dir):
     assignment's broadcast-cross + struct-MIN (the only nested-loop
     join is the k-row centroid cross), the cap's WindowGroupLimit
     bounded heap — and no exchange carries text or embeddings after
-    the scans."""
-    plan = _plan(spark, sf_dir, "pipeline_pretrain_funnel")
+    the scans.  Audited through the UNTRUNCATED composition
+    (truncate=False): the production builder checkpoints each stage
+    boundary (r17 plan-count surgery), which makes the registered
+    query's plan a leaf-scan ledger — the composed lineage this test
+    pins is the same code path minus the checkpoint calls."""
+    from sql2all_spark.operators.funnel import _funnel_frame
+    from sql2all_spark.plans import physical_plan
+
+    plan = physical_plan(_funnel_frame(spark, sf_dir, truncate=False))
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan  # strip reassembly
     assert "partial_min(struct" in plan  # assignment struct-MIN
@@ -1534,3 +1541,20 @@ def test_pretrain_funnel_composes_parent_shapes(spark, sf_dir):
     for seg in plan.split("Exchange hashpartitioning(")[1:]:
         head = seg[:120]
         assert "text#" not in head and "embedding" not in head, head
+
+
+def test_pretrain_funnel_production_plan_is_truncated(spark, sf_dir):
+    """The registered funnel (r17): every stage boundary is checkpointed,
+    so the executed plan is a bounded ledger over leaf relations — the
+    composed strip/score/assign chain appears ZERO times (it ran once,
+    inside the stage materializations), the cap's WindowGroupLimit
+    still guards the s3 count, and the whole plan stays small enough
+    that Catalyst planning is no longer the query's dominant cost
+    (before: ~0.8 MB composed plan, ~100 exchanges re-planned per
+    action; VERDICT r16 #1)."""
+    plan = _plan(spark, sf_dir, "pipeline_pretrain_funnel")
+    assert "LeftAnti" not in plan  # strip chain truncated at keep1
+    assert "partial_min(struct" not in plan  # assignment truncated at dom
+    assert "WindowGroupLimit" in plan  # s3 cap computed above the s2 leaf
+    assert plan.count("Scan ExistingRDD") >= 3  # checkpointed stage leaves
+    assert len(plan) < 300_000, f"funnel plan regrew: {len(plan)} bytes"
