@@ -80,34 +80,44 @@ def write_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     these are external tables rooted under the per-process tempdir."""
     key = _sf_key(sf_dir)
     t_orders, t_lineitem = f"bk_orders_{key}", f"bk_lineitem_{key}"
+
     # Repartition on the bucket key to the bucket count before writing:
     # the fixture scan is one row group, so without this each bucketed
     # write ran as ONE task serially sorting and writing every bucket's
     # file (§2.5).  Hash-partitioned on the bucket column the write runs
     # N_BUCKETS-wide and each task emits its bucket's file; at
     # production bucket counts (thousands) this is full parallelism.
-    (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderstatus")
-        .repartition(N_BUCKETS, "o_orderkey")
-        .write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(N_BUCKETS, "o_orderkey")
-        .sortBy("o_orderkey")
-        .option("path", f"{_bucket_root()}/{key}/orders")
-        .saveAsTable(t_orders)
-    )
-    (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-        .repartition(N_BUCKETS, "l_orderkey")
-        .write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(N_BUCKETS, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", f"{_bucket_root()}/{key}/lineitem")
-        .saveAsTable(t_lineitem)
-    )
+    def _write(table: str, src: str, cols: list[str], bkey: str) -> None:
+        (
+            load_table(spark, sf_dir, src)
+            .select(*cols)
+            .repartition(N_BUCKETS, bkey)
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(N_BUCKETS, bkey)
+            .sortBy(bkey)
+            .option("path", f"{_bucket_root()}/{key}/{src}")
+            .saveAsTable(table)
+        )
+
+    # The two writes are independent jobs over disjoint tables — submit
+    # them from two driver threads so the second write's tasks back-fill
+    # the slots the first one's tail leaves idle (guide §2.6 "overlap
+    # independent jobs"); each write occupies at most N_BUCKETS slots of
+    # a wider session.  Values untouched: disjoint outputs, same plans.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fo = pool.submit(
+            _write, t_orders, "orders",
+            ["o_orderkey", "o_orderstatus"], "o_orderkey",
+        )
+        fl = pool.submit(
+            _write, t_lineitem, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount"], "l_orderkey",
+        )
+        fo.result()
+        fl.result()
     return t_orders, t_lineitem
 
 
